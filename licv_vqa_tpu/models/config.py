@@ -1,0 +1,101 @@
+"""Model configurations for the LMM zoo.
+
+Replaces the external ``lmm_icl_interface`` package's model wrappers
+(reference: utils.py:31-80, SURVEY.md §2.3) with in-repo JAX models.  The
+``injection_site`` field encodes the semantics of the reference's
+string-templated ``layer_format`` addressing (reference: config/lmm/*.yaml):
+decoder-block output for Idefics-9B / OpenFlamingo, the MLP sublayer output
+for Idefics2 (reference: config/lmm/idefics2-8B-base.yaml:8).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+
+BLOCK_OUTPUT = "block_output"
+MLP_OUTPUT = "mlp_output"
+
+
+def injection_site_from_layer_format(layer_format: str) -> str:
+    """Map a reference ``layer_format`` string to a semantic injection site."""
+    return MLP_OUTPUT if layer_format.rstrip().endswith(".mlp") else BLOCK_OUTPUT
+
+
+@dataclasses.dataclass(frozen=True)
+class DecoderConfig:
+    """LLaMA/Mistral/MPT-family causal decoder."""
+
+    vocab_size: int = 32000
+    d_model: int = 4096
+    n_layers: int = 32
+    n_heads: int = 32
+    n_kv_heads: int = 32  # < n_heads → GQA (Mistral); == n_heads → MHA
+    d_ff: int = 11008
+    rope_theta: float = 10000.0
+    norm_eps: float = 1e-6
+    max_seq_len: int = 4096
+    tie_embeddings: bool = False
+    injection_site: str = BLOCK_OUTPUT
+    dtype: jnp.dtype = jnp.bfloat16
+    # MPT-style (OpenFlamingo's language encoder): no RoPE, ALiBi biases,
+    # no biasless-RMSNorm (uses LayerNorm), single fused MLP with GELU.
+    positional: str = "rope"  # "rope" | "alibi"
+    norm_type: str = "rmsnorm"  # "rmsnorm" | "layernorm"
+    activation: str = "silu_glu"  # "silu_glu" | "gelu"
+    qk_layernorm: bool = False
+    attn_logit_softcap: Optional[float] = None
+
+    @property
+    def head_dim(self) -> int:
+        return self.d_model // self.n_heads
+
+
+@dataclasses.dataclass(frozen=True)
+class VisionConfig:
+    """CLIP/SigLIP-family ViT encoder."""
+
+    image_size: int = 224
+    patch_size: int = 14
+    d_model: int = 1280
+    n_layers: int = 32
+    n_heads: int = 16
+    d_ff: int = 5120
+    norm_eps: float = 1e-5
+    use_class_token: bool = True  # CLIP yes, SigLIP no
+    use_pre_norm: bool = True  # CLIP pre-layernorm on embeddings
+    activation: str = "gelu"
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @property
+    def n_patches(self) -> int:
+        side = self.image_size // self.patch_size
+        return side * side + (1 if self.use_class_token else 0)
+
+
+@dataclasses.dataclass(frozen=True)
+class PerceiverConfig:
+    """Perceiver resampler (Idefics-9B / OpenFlamingo / Idefics2 connector)."""
+
+    n_latents: int = 64
+    n_layers: int = 6
+    n_heads: int = 16
+    head_dim: int = 96
+    d_model: int = 4096  # latent width (= text d_model for idefics)
+    d_ff: int = 16384
+    norm_eps: float = 1e-6
+    concat_kv_latents: bool = True  # idefics concatenates latents to keys/values
+    dtype: jnp.dtype = jnp.bfloat16
+
+
+@dataclasses.dataclass(frozen=True)
+class CrossAttnConfig:
+    """Gated cross-attention blocks (Idefics-9B / Flamingo)."""
+
+    every_n_layers: int = 4
+    n_heads: int = 32
+    d_ff: int = 11008
+    norm_eps: float = 1e-6
+    dtype: jnp.dtype = jnp.bfloat16

@@ -1,0 +1,178 @@
+"""Golden-value tests for the ICV ops against independent torch/numpy
+implementations of the reference math (spec: SURVEY.md §2.1-2.2)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from licv_vqa_tpu.ops import (
+    aligned_teacher_gather,
+    answer_region_mask,
+    icv_inject,
+    icv_inject_reference,
+    masked_kl_divergence,
+    shifted_cross_entropy,
+)
+
+PAD = 0
+
+
+def torch_renorm(h, shift):
+    s = h + shift
+    return s / s.norm(dim=-1, keepdim=True) * h.norm(dim=-1, keepdim=True)
+
+
+def test_icv_inject_matches_torch():
+    rng = np.random.default_rng(1)
+    h = rng.normal(size=(2, 5, 128)).astype(np.float32)
+    v = rng.normal(size=(1, 1, 128)).astype(np.float32)
+    want = torch_renorm(torch.tensor(h), torch.tensor(v)).numpy()
+    got = np.asarray(icv_inject_reference(jnp.asarray(h), jnp.asarray(v)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    got2 = np.asarray(icv_inject(jnp.asarray(h), jnp.asarray(v)))
+    np.testing.assert_allclose(got2, want, rtol=1e-5, atol=1e-5)
+
+
+def test_icv_inject_norm_preserved():
+    rng = np.random.default_rng(2)
+    h = jnp.asarray(rng.normal(size=(3, 7, 256)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(256,)).astype(np.float32))
+    out = icv_inject_reference(h, v)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(out), axis=-1),
+        np.linalg.norm(np.asarray(h), axis=-1),
+        rtol=1e-5,
+    )
+
+
+def test_icv_inject_custom_vjp_matches_autodiff():
+    rng = np.random.default_rng(3)
+    h = jnp.asarray(rng.normal(size=(2, 4, 128)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(1, 1, 128)).astype(np.float32))
+
+    def loss_custom(h, v):
+        return jnp.sum(jnp.sin(icv_inject(h, v)))
+
+    def loss_ref(h, v):
+        return jnp.sum(jnp.sin(icv_inject_reference(h, v)))
+
+    gh_c, gv_c = jax.grad(loss_custom, argnums=(0, 1))(h, v)
+    gh_r, gv_r = jax.grad(loss_ref, argnums=(0, 1))(h, v)
+    np.testing.assert_allclose(np.asarray(gh_c), np.asarray(gh_r), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gv_c), np.asarray(gv_r), rtol=1e-4, atol=1e-5)
+
+
+def _make_batch(rng, bs=3, v=11):
+    """Construct teacher/student id layouts mirroring the collator contract."""
+    s_stu, s_tea = 12, 20
+    stu_ids = np.full((bs, s_stu), PAD, np.int64)
+    tea_ids = np.full((bs, s_tea), PAD, np.int64)
+    qx_len = np.zeros(bs, np.int64)
+    icl_len = np.zeros(bs, np.int64)
+    for b in range(bs):
+        qx = rng.integers(3, 6)  # bos + query tokens
+        ans = rng.integers(1, 4)  # answer + eos region
+        ice = rng.integers(5, 10)  # in-context shots region
+        qx_len[b] = qx
+        icl_len[b] = ice + (qx - 1)  # reference: ice + query_x-without-bos
+        stu_ids[b, : qx + ans] = rng.integers(1, v, size=qx + ans)
+        tea_len = ice + (qx - 1) + ans
+        tea_ids[b, :tea_len] = rng.integers(1, v, size=tea_len)
+    return stu_ids, tea_ids, qx_len, icl_len
+
+
+def test_mask_counts_match_reference_structure():
+    rng = np.random.default_rng(4)
+    stu_ids, tea_ids, qx_len, icl_len = _make_batch(rng)
+    m_stu = np.asarray(
+        answer_region_mask(jnp.asarray(stu_ids), jnp.asarray(qx_len), PAD)
+    )
+    m_tea = np.asarray(
+        answer_region_mask(jnp.asarray(tea_ids), jnp.asarray(icl_len), PAD)
+    )
+    # the equal-count property the reference's flat elementwise KL relies on
+    np.testing.assert_array_equal(m_stu.sum(1), m_tea.sum(1))
+
+
+@pytest.mark.parametrize("temperature", [1.0, 2.5])
+def test_masked_kl_matches_reference_boolean_gather(temperature):
+    rng = np.random.default_rng(5)
+    bs, v = 3, 11
+    stu_ids, tea_ids, qx_len, icl_len = _make_batch(rng, bs, v)
+    stu_logits = rng.normal(size=(bs, stu_ids.shape[1], v)).astype(np.float32)
+    tea_logits = rng.normal(size=(bs, tea_ids.shape[1], v)).astype(np.float32)
+    eps = 1e-6
+
+    # ---- reference path (torch, boolean mask + flat elementwise KL) ----
+    t_stu = torch.tensor(stu_logits)
+    t_tea = torch.tensor(tea_logits)
+    m_stu = torch.tensor(
+        np.asarray(answer_region_mask(jnp.asarray(stu_ids), jnp.asarray(qx_len), PAD))
+    )
+    m_tea = torch.tensor(
+        np.asarray(answer_region_mask(jnp.asarray(tea_ids), jnp.asarray(icl_len), PAD))
+    )
+    stu_flat = t_stu[m_stu].view(-1, v) / temperature
+    tea_flat = t_tea[m_tea].view(-1, v) / temperature
+    want = (
+        (
+            tea_flat.softmax(dim=1)
+            * ((tea_flat.softmax(dim=1) + eps).log() - (stu_flat.softmax(dim=1) + eps).log())
+        )
+        .sum(dim=1)
+        .mean()
+        * temperature**2
+    ).item()
+
+    # ---- our static-shape path ----
+    mask = answer_region_mask(jnp.asarray(stu_ids), jnp.asarray(qx_len), PAD)
+    tea_aligned = aligned_teacher_gather(
+        jnp.asarray(tea_logits),
+        jnp.asarray(icl_len),
+        jnp.asarray(qx_len),
+        stu_ids.shape[1],
+    )
+    got = float(
+        masked_kl_divergence(
+            jnp.asarray(stu_logits), tea_aligned, mask, temperature, eps
+        )
+    )
+    assert got == pytest.approx(want, rel=1e-5)
+
+
+def test_shifted_cross_entropy_matches_torch():
+    rng = np.random.default_rng(6)
+    bs, s, v = 2, 9, 13
+    logits = rng.normal(size=(bs, s, v)).astype(np.float32)
+    labels = rng.integers(0, v, size=(bs, s)).astype(np.int64)
+    want = F.cross_entropy(
+        torch.tensor(logits)[:, :-1].reshape(-1, v),
+        torch.tensor(labels)[:, 1:].reshape(-1),
+    ).item()
+    got = float(shifted_cross_entropy(jnp.asarray(logits), jnp.asarray(labels)))
+    assert got == pytest.approx(want, rel=1e-5)
+
+    # with ignore_index
+    labels2 = labels.copy()
+    labels2[:, -3:] = -100
+    want2 = F.cross_entropy(
+        torch.tensor(logits)[:, :-1].reshape(-1, v),
+        torch.tensor(labels2)[:, 1:].reshape(-1),
+        ignore_index=-100,
+    ).item()
+    got2 = float(shifted_cross_entropy(jnp.asarray(logits), jnp.asarray(labels2)))
+    assert got2 == pytest.approx(want2, rel=1e-5)
+
+
+def test_pallas_kernel_interpret_mode():
+    from licv_vqa_tpu.ops.icv_inject import _icv_inject_pallas
+
+    rng = np.random.default_rng(7)
+    h = jnp.asarray(rng.normal(size=(2, 16, 128)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(2, 128)).astype(np.float32))
+    want = icv_inject_reference(h, v[:, None, :])
+    got = _icv_inject_pallas(h, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
