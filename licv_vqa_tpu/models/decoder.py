@@ -1,0 +1,287 @@
+"""Scan-stacked causal decoder with native ICV injection and a KV cache.
+
+Replaces the reference's HF-module + baukit-hook stack: the per-layer ICV
+residual edit (reference: icv_src/icv_model/icv_intervention.py:61-86) is a
+term inside the ``lax.scan`` body, selected statically — ``icv_scaled=None``
+compiles the term away (replacing ``toggle_intervention``, reference
+:49-59).  Layer params are stacked on a leading L axis so XLA sees ONE layer
+program; weights stream HBM→VMEM per scan step.
+
+The decode path uses a fixed-size KV cache updated with
+``dynamic_update_slice`` — fixed shapes end-to-end so the whole
+prefill/decode loop jits once per (batch, bucket) shape.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.icv_inject import icv_inject_reference
+from .config import BLOCK_OUTPUT, MLP_OUTPUT, DecoderConfig
+from . import layers as L
+
+
+# ---------------------------------------------------------------------------
+# Parameter init
+# ---------------------------------------------------------------------------
+
+
+def init_layer_params(key, cfg: DecoderConfig, n_layers: int) -> dict:
+    """Stacked decoder-layer params with leading dim ``n_layers``."""
+    d, dh = cfg.d_model, cfg.head_dim
+    h, kv, f = cfg.n_heads, cfg.n_kv_heads, cfg.d_ff
+    ks = jax.random.split(key, 8)
+
+    def w(k, shape):
+        return L.dense_init(k, (n_layers, *shape), cfg.dtype)
+
+    p = {
+        "attn": {
+            "wq": w(ks[0], (d, h * dh)),
+            "wk": w(ks[1], (d, kv * dh)),
+            "wv": w(ks[2], (d, kv * dh)),
+            "wo": w(ks[3], (h * dh, d)),
+        },
+        "ln1": jnp.ones((n_layers, d), cfg.dtype),
+        "ln2": jnp.ones((n_layers, d), cfg.dtype),
+    }
+    if cfg.activation == "silu_glu":
+        p["mlp"] = {
+            "w_gate": w(ks[4], (d, f)),
+            "w_up": w(ks[5], (d, f)),
+            "w_down": w(ks[6], (f, d)),
+        }
+    else:
+        p["mlp"] = {"w_up": w(ks[4], (d, f)), "w_down": w(ks[5], (f, d))}
+    if cfg.norm_type == "layernorm":
+        p["ln1_b"] = jnp.zeros((n_layers, d), cfg.dtype)
+        p["ln2_b"] = jnp.zeros((n_layers, d), cfg.dtype)
+    return p
+
+
+def init_decoder_params(key, cfg: DecoderConfig) -> dict:
+    k_emb, k_layers, k_head = jax.random.split(key, 3)
+    params = {
+        "embed": L.dense_init(k_emb, (cfg.vocab_size, cfg.d_model), cfg.dtype),
+        "layers": init_layer_params(k_layers, cfg, cfg.n_layers),
+        "final_norm": jnp.ones((cfg.d_model,), cfg.dtype),
+    }
+    if not cfg.tie_embeddings:
+        params["lm_head"] = L.dense_init(
+            k_head, (cfg.d_model, cfg.vocab_size), cfg.dtype
+        )
+    return params
+
+
+# ---------------------------------------------------------------------------
+# KV cache
+# ---------------------------------------------------------------------------
+
+
+def init_kv_cache(cfg: DecoderConfig, batch: int, max_len: int) -> dict:
+    shape = (cfg.n_layers, batch, max_len, cfg.n_kv_heads, cfg.head_dim)
+    return {
+        "k": jnp.zeros(shape, cfg.dtype),
+        "v": jnp.zeros(shape, cfg.dtype),
+        "pos": jnp.zeros((batch, max_len), jnp.int32),
+        "valid": jnp.zeros((batch, max_len), bool),
+        "index": jnp.zeros((), jnp.int32),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Single decoder layer (reusable by multimodal wrappers)
+# ---------------------------------------------------------------------------
+
+
+def _norm(cfg: DecoderConfig, w, b, x):
+    if cfg.norm_type == "rmsnorm":
+        return L.rms_norm(w, x, cfg.norm_eps)
+    return L.layer_norm(w, b, x, cfg.norm_eps)
+
+
+def decoder_layer(
+    cfg: DecoderConfig,
+    p: dict,  # single layer's params (no leading L)
+    h: jax.Array,  # (B, S, D)
+    cos: Optional[jax.Array],
+    sin: Optional[jax.Array],
+    mask: jax.Array,  # (B, 1, S, Sk) bool
+    bias: Optional[jax.Array],  # ALiBi etc.
+    icv_row: Optional[jax.Array],  # (D,) scaled icv for this layer, or None
+    kv_write: Optional[tuple] = None,  # (k_cache_l, v_cache_l, index) for decode
+):
+    b, s, d = h.shape
+    nh, nkv, dh = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+
+    x = _norm(cfg, p["ln1"], p.get("ln1_b"), h)
+    q = jnp.dot(x, p["attn"]["wq"]).reshape(b, s, nh, dh)
+    k = jnp.dot(x, p["attn"]["wk"]).reshape(b, s, nkv, dh)
+    v = jnp.dot(x, p["attn"]["wv"]).reshape(b, s, nkv, dh)
+    if cfg.positional == "rope":
+        q = L.apply_rope(q, cos, sin)
+        k = L.apply_rope(k, cos, sin)
+
+    if kv_write is not None:
+        k_cache, v_cache, index = kv_write
+        k_cache = jax.lax.dynamic_update_slice(k_cache, k, (0, index, 0, 0))
+        v_cache = jax.lax.dynamic_update_slice(v_cache, v, (0, index, 0, 0))
+        k_full, v_full = k_cache, v_cache
+        new_kv = (k_cache, v_cache)
+    else:
+        k_full, v_full = k, v
+        new_kv = None
+
+    k_full = L.repeat_kv(k_full, nh // nkv)
+    v_full = L.repeat_kv(v_full, nh // nkv)
+    attn = L.dot_product_attention(
+        q, k_full, v_full, bias=bias, mask=mask, logit_softcap=cfg.attn_logit_softcap
+    )
+    attn = jnp.dot(attn.reshape(b, s, nh * dh), p["attn"]["wo"]).astype(h.dtype)
+    h = h + attn
+
+    x2 = _norm(cfg, p["ln2"], p.get("ln2_b"), h)
+    mlp = L.swiglu_mlp(p["mlp"], x2) if cfg.activation == "silu_glu" else L.gelu_mlp(
+        p["mlp"], x2
+    )
+    if icv_row is not None and cfg.injection_site == MLP_OUTPUT:
+        # idefics2 semantics: the hook edits the .mlp sublayer OUTPUT before
+        # the residual add (reference: config/lmm/idefics2-8B-base.yaml:8)
+        mlp = icv_inject_reference(mlp, icv_row)
+    h = h + mlp
+
+    if icv_row is not None and cfg.injection_site == BLOCK_OUTPUT:
+        h = icv_inject_reference(h, icv_row)
+    return h, new_kv
+
+
+# ---------------------------------------------------------------------------
+# Full forward (text-only causal LM; multimodal models wrap decoder_layer)
+# ---------------------------------------------------------------------------
+
+
+def _positions_from_mask(attention_mask: jax.Array) -> jax.Array:
+    """HF convention: position_ids = cumsum(mask)-1, clipped at 0."""
+    pos = jnp.cumsum(attention_mask.astype(jnp.int32), axis=-1) - 1
+    return jnp.maximum(pos, 0)
+
+
+def forward_hidden(
+    cfg: DecoderConfig,
+    params: dict,
+    inputs_embeds: jax.Array,  # (B, S, D)
+    attention_mask: jax.Array,  # (B, S) 1=real token
+    icv_scaled: Optional[jax.Array] = None,  # (L, D)
+    cache: Optional[dict] = None,
+    positions: Optional[jax.Array] = None,
+    remat: bool = False,
+) -> tuple[jax.Array, Optional[dict]]:
+    """Run the stacked decoder; returns (hidden (B,S,D), new cache or None)."""
+    b, s, d = inputs_embeds.shape
+    h = inputs_embeds
+
+    if cache is None:
+        if positions is None:
+            positions = _positions_from_mask(attention_mask)
+        mask = L.causal_mask(positions, positions, attention_mask.astype(bool))
+        index = None
+    else:
+        # decoding s new tokens against the cache
+        index = cache["index"]
+        if positions is None:
+            raise ValueError("positions required when decoding with a cache")
+        max_len = cache["k"].shape[2]
+        step_idx = index + jnp.arange(s, dtype=jnp.int32)
+        cache_pos = jax.lax.dynamic_update_slice(
+            cache["pos"], positions.astype(jnp.int32), (0, index)
+        )
+        cache_valid = jax.lax.dynamic_update_slice(
+            cache["valid"], attention_mask.astype(bool), (0, index)
+        )
+        # a key is visible if valid, already written, and position <= query's
+        written = (
+            jnp.arange(max_len, dtype=jnp.int32)[None, :] < (index + s)
+        )  # (1, max_len)
+        mask = (
+            (cache_pos[:, None, :] <= positions[:, :, None])
+            & cache_valid[:, None, :]
+            & written[:, None, :]
+        )[:, None, :, :]
+
+    if cfg.positional == "rope":
+        cos, sin = L.rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+        bias = None
+    else:
+        cos = sin = None
+        k_pos = cache_pos if cache is not None else positions
+        bias = L.alibi_bias(cfg.n_heads, positions, k_pos)
+
+    have_icv = icv_scaled is not None
+
+    def body(h, xs):
+        p, icv_row, kv = xs
+        icv_arg = icv_row if have_icv else None
+        kv_write = (kv[0], kv[1], index) if cache is not None else None
+        h, new_kv = decoder_layer(cfg, p, h, cos, sin, mask, bias, icv_arg, kv_write)
+        return h, new_kv
+
+    if remat:
+        body = jax.checkpoint(body)
+
+    icv_xs = icv_scaled if have_icv else jnp.zeros((cfg.n_layers, 1), h.dtype)
+    kv_xs = (
+        (cache["k"], cache["v"])
+        if cache is not None
+        else (
+            jnp.zeros((cfg.n_layers, 0)),
+            jnp.zeros((cfg.n_layers, 0)),
+        )
+    )
+    h, kv_out = jax.lax.scan(body, h, (params["layers"], icv_xs, kv_xs))
+
+    new_cache = None
+    if cache is not None:
+        new_cache = {
+            "k": kv_out[0],
+            "v": kv_out[1],
+            "pos": cache_pos,
+            "valid": cache_valid,
+            "index": index + s,
+        }
+    h = _norm(cfg, params["final_norm"], params.get("final_norm_b"), h)
+    return h, new_cache
+
+
+def logits_from_hidden(cfg: DecoderConfig, params: dict, h: jax.Array) -> jax.Array:
+    head = params["embed"].T if cfg.tie_embeddings else params["lm_head"]
+    return jnp.dot(h, head, preferred_element_type=jnp.float32)
+
+
+def causal_lm_forward(
+    cfg: DecoderConfig,
+    params: dict,
+    input_ids: jax.Array,
+    attention_mask: jax.Array,
+    icv_scaled: Optional[jax.Array] = None,
+    cache: Optional[dict] = None,
+    positions: Optional[jax.Array] = None,
+    remat: bool = False,
+):
+    """Text-only causal LM: returns (logits f32 (B,S,V), new_cache)."""
+    embeds = params["embed"][input_ids].astype(cfg.dtype)
+    h, new_cache = forward_hidden(
+        cfg,
+        params,
+        embeds,
+        attention_mask,
+        icv_scaled=icv_scaled,
+        cache=cache,
+        positions=positions,
+        remat=remat,
+    )
+    return logits_from_hidden(cfg, params, h), new_cache

@@ -1,0 +1,188 @@
+"""Transformer building blocks as pure functions over param pytrees.
+
+Functional (no module framework): params are nested dicts of arrays, every
+block is ``f(params, inputs, ...) -> outputs``.  This keeps scan-stacking of
+layer params, sharding annotation, and weight conversion fully explicit.
+
+Numerical conventions match HF LLaMA/Mistral so converted checkpoints are
+bit-comparable: RMSNorm in f32, RoPE in the rotate-half formulation, softmax
+in f32, SwiGLU MLP.  Kernels are stored (in_features, out_features).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# Norms
+# ---------------------------------------------------------------------------
+
+
+def rms_norm(w: jax.Array, x: jax.Array, eps: float) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    out = xf * jax.lax.rsqrt(var + eps)
+    return (out * w.astype(jnp.float32)).astype(x.dtype)
+
+
+def layer_norm(
+    w: jax.Array, b: Optional[jax.Array], x: jax.Array, eps: float
+) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    out = (xf - mu) * jax.lax.rsqrt(var + eps) * w.astype(jnp.float32)
+    if b is not None:
+        out = out + b.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Rotary position embeddings (HF rotate-half convention)
+# ---------------------------------------------------------------------------
+
+
+def rope_cos_sin(
+    positions: jax.Array,  # (B, S) int32
+    head_dim: int,
+    theta: float,
+) -> tuple[jax.Array, jax.Array]:
+    inv_freq = 1.0 / (
+        theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
+    )  # (Dh/2,)
+    angles = positions.astype(jnp.float32)[..., None] * inv_freq  # (B, S, Dh/2)
+    angles = jnp.concatenate([angles, angles], axis=-1)  # (B, S, Dh)
+    return jnp.cos(angles), jnp.sin(angles)
+
+
+def _rotate_half(x: jax.Array) -> jax.Array:
+    half = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """x: (B, S, H, Dh); cos/sin: (B, S, Dh)."""
+    cos = cos[:, :, None, :]
+    sin = sin[:, :, None, :]
+    xf = x.astype(jnp.float32)
+    return (xf * cos + _rotate_half(xf) * sin).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# ALiBi (MPT backbone for OpenFlamingo)
+# ---------------------------------------------------------------------------
+
+
+def alibi_slopes(n_heads: int) -> jax.Array:
+    import math
+
+    def pow2slopes(n):
+        start = 2.0 ** (-(2.0 ** -(math.log2(n) - 3.0)))
+        return start ** jnp.arange(1, n + 1, dtype=jnp.float32)
+
+    if math.log2(n_heads).is_integer():
+        return pow2slopes(n_heads)
+    closest = 2 ** math.floor(math.log2(n_heads))
+    base = pow2slopes(closest)
+    extra = pow2slopes(2 * closest)[0::2][: n_heads - closest]
+    return jnp.concatenate([base, extra])
+
+
+def alibi_bias(
+    n_heads: int, q_pos: jax.Array, k_pos: jax.Array
+) -> jax.Array:
+    """ALiBi additive bias (B, H, Sq, Sk): ``-slope_h · (q_pos − k_pos)``."""
+    slopes = alibi_slopes(n_heads)  # (H,)
+    rel = (q_pos[:, :, None] - k_pos[:, None, :]).astype(jnp.float32)  # (B,Sq,Sk)
+    return -slopes[None, :, None, None] * rel[:, None, :, :]
+
+
+# ---------------------------------------------------------------------------
+# Attention
+# ---------------------------------------------------------------------------
+
+
+def repeat_kv(x: jax.Array, n_rep: int) -> jax.Array:
+    """(B, S, KV, Dh) → (B, S, KV*n_rep, Dh)."""
+    if n_rep == 1:
+        return x
+    b, s, kv, dh = x.shape
+    return jnp.broadcast_to(x[:, :, :, None, :], (b, s, kv, n_rep, dh)).reshape(
+        b, s, kv * n_rep, dh
+    )
+
+
+def dot_product_attention(
+    q: jax.Array,  # (B, Sq, H, Dh)
+    k: jax.Array,  # (B, Sk, H, Dh)
+    v: jax.Array,  # (B, Sk, H, Dh)
+    bias: Optional[jax.Array] = None,  # broadcastable to (B, H, Sq, Sk)
+    mask: Optional[jax.Array] = None,  # bool, broadcastable to (B, H, Sq, Sk)
+    scale: Optional[float] = None,
+    logit_softcap: Optional[float] = None,
+) -> jax.Array:
+    """MXU-friendly attention; softmax accumulates in f32."""
+    dh = q.shape[-1]
+    scale = scale if scale is not None else 1.0 / jnp.sqrt(dh).astype(jnp.float32)
+    scores = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * jnp.float32(scale)
+    if logit_softcap:
+        scores = jnp.tanh(scores / logit_softcap) * logit_softcap
+    if bias is not None:
+        scores = scores + bias.astype(jnp.float32)
+    if mask is not None:
+        scores = jnp.where(mask, scores, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bkhd->bqhd", probs.astype(v.dtype), v, preferred_element_type=jnp.float32
+    )
+    return out.astype(q.dtype)
+
+
+def causal_mask(
+    q_positions: jax.Array,  # (B, Sq) absolute positions
+    k_positions: jax.Array,  # (B, Sk)
+    k_valid: Optional[jax.Array] = None,  # (B, Sk) bool padding mask
+) -> jax.Array:
+    """(B, 1, Sq, Sk) boolean mask: causal ∧ key-valid."""
+    m = k_positions[:, None, :] <= q_positions[:, :, None]  # (B, Sq, Sk)
+    if k_valid is not None:
+        m = m & k_valid[:, None, :]
+    return m[:, None, :, :]
+
+
+# ---------------------------------------------------------------------------
+# MLPs
+# ---------------------------------------------------------------------------
+
+
+def swiglu_mlp(p: dict, x: jax.Array) -> jax.Array:
+    gate = jnp.dot(x, p["w_gate"], preferred_element_type=jnp.float32)
+    up = jnp.dot(x, p["w_up"], preferred_element_type=jnp.float32)
+    h = (jax.nn.silu(gate) * up).astype(x.dtype)
+    return jnp.dot(h, p["w_down"], preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+def gelu_mlp(p: dict, x: jax.Array) -> jax.Array:
+    h = jnp.dot(x, p["w_up"], preferred_element_type=jnp.float32)
+    if "b_up" in p:
+        h = h + p["b_up"].astype(jnp.float32)
+    h = jax.nn.gelu(h, approximate=False).astype(x.dtype)
+    out = jnp.dot(h, p["w_down"], preferred_element_type=jnp.float32)
+    if "b_down" in p:
+        out = out + p["b_down"].astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Init helpers
+# ---------------------------------------------------------------------------
+
+
+def dense_init(key, shape, dtype, scale: float = 0.02):
+    return (jax.random.normal(key, shape, jnp.float32) * scale).astype(dtype)
