@@ -1,0 +1,225 @@
+"""Fixed-shape jitted generation: greedy and beam search with a KV cache.
+
+Replaces the reference's HF ``generate`` + per-step baukit hooks (reference:
+inference.py:300-321 with TraceDict firing per layer per token, SURVEY.md
+§3.4).  Here the ICV term is compiled into the forward, the whole decode is
+one ``lax.scan`` — no host round-trips per token — and everything is static
+shape so a (batch, bucket) pair compiles exactly once.
+
+Beam search reproduces HF semantics at the reference's settings
+(``num_beams=3, length_penalty=0.0, min_new_tokens=0``, reference:
+config/inference.yaml:26-30): top-2K candidate expansion, EOS candidates
+retired to a finished pool, live beams merged into the pool at the end,
+best-by-score wins.  Running all ``max_new_tokens`` steps (no dynamic early
+exit) is score-equivalent because per-step logprobs are ≤ 0, so late
+finishers can never beat the pool once HF's stop condition holds.
+
+``forward_fn(input_ids, attention_mask, positions, cache) -> (logits, cache)``
+is the only model contract; multimodal extras (image latents, ICV) are bound
+by the caller via closure.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = jnp.float32(-1.0e7)
+
+
+def _positions_from_mask(attention_mask: jax.Array) -> jax.Array:
+    pos = jnp.cumsum(attention_mask.astype(jnp.int32), axis=-1) - 1
+    return jnp.maximum(pos, 0)
+
+
+# ---------------------------------------------------------------------------
+# Greedy
+# ---------------------------------------------------------------------------
+
+
+def greedy_generate(
+    forward_fn: Callable,
+    input_ids: jax.Array,  # (B, S) LEFT-padded prompts
+    attention_mask: jax.Array,  # (B, S)
+    max_new_tokens: int,
+    eos_token_id: int,
+    pad_token_id: int,
+    min_new_tokens: int = 0,
+) -> jax.Array:
+    """Returns (B, S + max_new_tokens) sequences (prompt + generated)."""
+    b, s = input_ids.shape
+    positions = _positions_from_mask(attention_mask)
+    logits, cache = forward_fn(input_ids, attention_mask, positions, None)
+    last_logits = logits[:, -1, :].astype(jnp.float32)
+    next_pos = positions[:, -1] + 1
+
+    def step(carry, t):
+        last_logits, cache, next_pos, finished = carry
+        lg = jnp.where(
+            (t < min_new_tokens),
+            last_logits.at[:, eos_token_id].set(NEG_INF),
+            last_logits,
+        )
+        token = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+        token = jnp.where(finished, pad_token_id, token)
+        new_finished = finished | (token == eos_token_id)
+        step_mask = jnp.ones((b, 1), jnp.int32)
+        logits, cache = forward_fn(
+            token[:, None], step_mask, next_pos[:, None], cache
+        )
+        return (
+            logits[:, -1, :].astype(jnp.float32),
+            cache,
+            next_pos + 1,
+            new_finished,
+        ), token
+
+    finished0 = jnp.zeros((b,), bool)
+    (_, _, _, _), tokens = jax.lax.scan(
+        step,
+        (last_logits, cache, next_pos, finished0),
+        jnp.arange(max_new_tokens),
+    )
+    return jnp.concatenate([input_ids, tokens.T], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Beam search
+# ---------------------------------------------------------------------------
+
+
+def _flatten_beam(x: jax.Array) -> jax.Array:
+    return x.reshape((-1,) + x.shape[2:])
+
+
+def _unflatten_beam(x: jax.Array, b: int, k: int) -> jax.Array:
+    return x.reshape((b, k) + x.shape[1:])
+
+
+def _cache_map_batch(cache: Any, fn: Callable[[jax.Array, int], jax.Array]) -> Any:
+    """Apply fn(leaf, batch_axis) to every cache leaf; knows the KV layout."""
+    if cache is None:
+        return None
+    out = dict(cache)
+    for key in cache:
+        if key in ("k", "v", "xk", "xv"):
+            out[key] = fn(cache[key], 1)  # (L, B, ...)
+        elif key == "index":
+            out[key] = cache[key]
+        else:
+            out[key] = fn(cache[key], 0)  # (B, ...)
+    return out
+
+
+def beam_generate(
+    forward_fn: Callable,
+    input_ids: jax.Array,  # (B, S) LEFT-padded prompts
+    attention_mask: jax.Array,
+    max_new_tokens: int,
+    eos_token_id: int,
+    pad_token_id: int,
+    num_beams: int = 3,
+    length_penalty: float = 0.0,
+    min_new_tokens: int = 0,
+) -> jax.Array:
+    """Returns the best beam per batch item: (B, S + max_new_tokens)."""
+    b, s = input_ids.shape
+    k = num_beams
+    positions = _positions_from_mask(attention_mask)
+
+    # ---- prefill once per batch item, then replicate state across beams ----
+    logits, cache = forward_fn(input_ids, attention_mask, positions, None)
+    last_logp = jax.nn.log_softmax(logits[:, -1, :].astype(jnp.float32), axis=-1)
+    vocab = last_logp.shape[-1]
+
+    rep = lambda x, axis: jnp.repeat(x, k, axis=axis)
+    cache = _cache_map_batch(cache, rep)
+    next_pos = rep(positions[:, -1:] + 1, 0).reshape(b * k)  # (B*K,)
+
+    # beam state
+    live_scores = jnp.full((b, k), NEG_INF).at[:, 0].set(0.0)  # force beam0 first
+    live_tokens = jnp.full((b, k, max_new_tokens), pad_token_id, jnp.int32)
+    fin_scores = jnp.full((b, k), NEG_INF)
+    fin_tokens = jnp.full((b, k, max_new_tokens), pad_token_id, jnp.int32)
+    last_logp = rep(last_logp[:, None, :], 1)  # (B, K, V)
+
+    def step(carry, t):
+        live_scores, live_tokens, fin_scores, fin_tokens, last_logp, cache, next_pos = (
+            carry
+        )
+        logp = jnp.where(t < min_new_tokens, last_logp.at[..., eos_token_id].set(NEG_INF), last_logp)
+        cand = live_scores[:, :, None] + logp  # (B, K, V)
+        flat = cand.reshape(b, k * vocab)
+        top_scores, top_idx = jax.lax.top_k(flat, 2 * k)  # (B, 2K)
+        src_beam = top_idx // vocab
+        token = (top_idx % vocab).astype(jnp.int32)
+        is_eos = token == eos_token_id
+
+        # candidate token histories: parent's history + new token at slot t
+        parent_hist = jnp.take_along_axis(
+            live_tokens, src_beam[:, :, None], axis=1
+        )  # (B, 2K, T)
+        cand_hist = jax.vmap(
+            lambda h, tok: h.at[:, t].set(tok), in_axes=(0, 0)
+        )(parent_hist, token)
+
+        # ---- finished pool update: EOS candidates compete for K slots ----
+        # HF skips EOS candidates ranked >= K among the 2K, and its length
+        # penalty divides by the FULL (padded prompt + generated) length.
+        lp_len = jnp.float32(s + t + 1)
+        rank_ok = jnp.arange(2 * k, dtype=jnp.int32)[None, :] < k
+        eos_scores = jnp.where(
+            is_eos & rank_ok, top_scores / (lp_len**length_penalty), NEG_INF
+        )
+        pool_scores = jnp.concatenate([fin_scores, eos_scores], axis=1)  # (B, 3K)
+        pool_tokens = jnp.concatenate([fin_tokens, cand_hist], axis=1)
+        best_scores, best_idx = jax.lax.top_k(pool_scores, k)
+        fin_scores = best_scores
+        fin_tokens = jnp.take_along_axis(pool_tokens, best_idx[:, :, None], axis=1)
+
+        # ---- select top-K non-EOS candidates as the new live beams ----
+        live_cand = jnp.where(is_eos, NEG_INF, top_scores)
+        new_scores, sel = jax.lax.top_k(live_cand, k)  # (B, K)
+        new_beam = jnp.take_along_axis(src_beam, sel, axis=1)
+        new_token = jnp.take_along_axis(token, sel, axis=1)
+        live_tokens = jnp.take_along_axis(cand_hist, sel[:, :, None], axis=1)
+        live_scores = new_scores
+
+        # gather beam-major state: flat index = b * K + beam
+        flat_sel = (
+            jnp.arange(b, dtype=jnp.int32)[:, None] * k + new_beam
+        ).reshape(-1)
+        cache = _cache_map_batch(cache, lambda x, ax: jnp.take(x, flat_sel, axis=ax))
+
+        # run one decode step for the selected beams
+        step_tok = new_token.reshape(b * k, 1)
+        step_mask = jnp.ones((b * k, 1), jnp.int32)
+        logits, cache = forward_fn(step_tok, step_mask, next_pos[:, None], cache)
+        last_logp = jax.nn.log_softmax(
+            logits[:, -1, :].astype(jnp.float32), axis=-1
+        ).reshape(b, k, vocab)
+        return (
+            live_scores,
+            live_tokens,
+            fin_scores,
+            fin_tokens,
+            last_logp,
+            cache,
+            next_pos + 1,
+        ), None
+
+    carry = (live_scores, live_tokens, fin_scores, fin_tokens, last_logp, cache, next_pos)
+    carry, _ = jax.lax.scan(step, carry, jnp.arange(max_new_tokens))
+    live_scores, live_tokens, fin_scores, fin_tokens = carry[0], carry[1], carry[2], carry[3]
+
+    # merge live beams into the pool (HF finalize) and pick the best
+    lp_len = jnp.float32(s + max_new_tokens)
+    live_final = live_scores / (lp_len**length_penalty)
+    all_scores = jnp.concatenate([fin_scores, live_final], axis=1)
+    all_tokens = jnp.concatenate([fin_tokens, live_tokens], axis=1)
+    best = jnp.argmax(all_scores, axis=1)
+    best_tokens = jnp.take_along_axis(all_tokens, best[:, None, None], axis=1)[:, 0]
+    return jnp.concatenate([input_ids, best_tokens], axis=1)

@@ -1,0 +1,158 @@
+"""Decode parity vs HF ``generate`` on a tiny-random Llama (torch CPU).
+
+Covers the reference's exact eval decode settings: greedy and
+``num_beams=3, length_penalty=0.0, max_new_tokens=5``
+(reference: config/inference.yaml:26-30, bs=1 and batched)."""
+
+from functools import partial
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from licv_vqa_tpu.infer import beam_generate, greedy_generate
+from licv_vqa_tpu.models import DecoderConfig, causal_lm_forward, init_kv_cache
+from tests.test_decoder_parity import V, D, LAYERS, HEADS, FF, _our_cfg, _tiny_hf_llama
+
+PAD, EOS = 0, 2
+MAXLEN = 40
+
+
+def _forward_fn(cfg, params, icv=None):
+    def fn(input_ids, attention_mask, positions, cache):
+        if cache is None:
+            cache = init_kv_cache(cfg, input_ids.shape[0], MAXLEN)
+        return causal_lm_forward(
+            cfg,
+            params,
+            input_ids,
+            attention_mask,
+            icv_scaled=icv,
+            cache=cache,
+            positions=positions,
+        )
+
+    return fn
+
+
+def _setup():
+    from licv_vqa_tpu.models.convert import convert_llama, hf_state_dict
+
+    hf = _tiny_hf_llama()
+    hf.generation_config.pad_token_id = PAD
+    hf.generation_config.eos_token_id = EOS
+    cfg = _our_cfg()
+    params = convert_llama(hf_state_dict(hf), cfg, dtype=jnp.float32)
+    return hf, cfg, params
+
+
+def _prompts(rng, bs, s):
+    ids = rng.integers(3, V, size=(bs, s)).astype(np.int64)
+    mask = np.ones_like(ids)
+    # left-pad some rows
+    for i in range(1, bs):
+        n = rng.integers(0, s // 2)
+        ids[i, :n] = PAD
+        mask[i, :n] = 0
+    return ids, mask
+
+
+@pytest.mark.parametrize("bs", [1, 3])
+def test_greedy_matches_hf(bs):
+    hf, cfg, params = _setup()
+    rng = np.random.default_rng(10)
+    ids, mask = _prompts(rng, bs, 9)
+    want = hf.generate(
+        input_ids=torch.tensor(ids),
+        attention_mask=torch.tensor(mask),
+        max_new_tokens=6,
+        do_sample=False,
+        num_beams=1,
+    ).numpy()
+
+    got = np.asarray(
+        greedy_generate(
+            _forward_fn(cfg, params),
+            jnp.asarray(ids),
+            jnp.asarray(mask),
+            max_new_tokens=6,
+            eos_token_id=EOS,
+            pad_token_id=PAD,
+        )
+    )
+    s = ids.shape[1]
+    # HF may stop early when all rows hit EOS; compare the overlap, padding after
+    n = want.shape[1] - s
+    for b in range(bs):
+        w = want[b, s : s + n]
+        g = got[b, s : s + n]
+        np.testing.assert_array_equal(g[: len(w)], w)
+        assert np.all(g[len(w) :] == PAD)
+
+
+@pytest.mark.parametrize("bs,seed", [(1, 11), (3, 12), (1, 13)])
+def test_beam3_matches_hf(bs, seed):
+    hf, cfg, params = _setup()
+    rng = np.random.default_rng(seed)
+    ids, mask = _prompts(rng, bs, 8)
+    want = hf.generate(
+        input_ids=torch.tensor(ids),
+        attention_mask=torch.tensor(mask),
+        max_new_tokens=5,
+        min_new_tokens=0,
+        do_sample=False,
+        num_beams=3,
+        length_penalty=0.0,
+    ).numpy()
+
+    got = np.asarray(
+        beam_generate(
+            _forward_fn(cfg, params),
+            jnp.asarray(ids),
+            jnp.asarray(mask),
+            max_new_tokens=5,
+            eos_token_id=EOS,
+            pad_token_id=PAD,
+            num_beams=3,
+            length_penalty=0.0,
+        )
+    )
+    s = ids.shape[1]
+    n = want.shape[1] - s
+    for b in range(bs):
+        w = want[b, s:]
+        g = got[b, s:]
+        # strip trailing pads from both (HF pads finished hyps too)
+        w = w[: (np.nonzero(w != PAD)[0].max() + 1)] if np.any(w != PAD) else w[:0]
+        g = g[: (np.nonzero(g != PAD)[0].max() + 1)] if np.any(g != PAD) else g[:0]
+        np.testing.assert_array_equal(g, w)
+
+
+def test_beam_with_icv_runs_and_differs():
+    hf, cfg, params = _setup()
+    rng = np.random.default_rng(14)
+    ids, mask = _prompts(rng, 2, 8)
+    icv = jnp.asarray(rng.normal(size=(LAYERS, D)).astype(np.float32))
+    base = np.asarray(
+        beam_generate(
+            _forward_fn(cfg, params),
+            jnp.asarray(ids),
+            jnp.asarray(mask),
+            max_new_tokens=5,
+            eos_token_id=EOS,
+            pad_token_id=PAD,
+        )
+    )
+    steered = np.asarray(
+        beam_generate(
+            _forward_fn(cfg, params, icv=icv),
+            jnp.asarray(ids),
+            jnp.asarray(mask),
+            max_new_tokens=5,
+            eos_token_id=EOS,
+            pad_token_id=PAD,
+        )
+    )
+    assert base.shape == steered.shape
+    assert not np.array_equal(base, steered)
