@@ -1,0 +1,280 @@
+"""ICV training objective and jitted train step.
+
+Replaces the reference's LightningModule (reference: icv_src/icv_module.py):
+teacher = frozen LMM on the full 32-shot ICL prompt (no ICV, no grad);
+student = same LMM zero-shot with the ICV injected; loss = masked
+temperature-KL on the answer-token logits (+ optional hard CE).  The
+~131K-param trainable pytree makes ZeRO/CPU-offload unnecessary (SURVEY.md
+§2.5): gradients are one tiny ``psum`` emitted by ``jit`` from the mesh
+shardings.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..ops import (
+    aligned_teacher_gather,
+    answer_region_mask,
+    masked_kl_divergence,
+    shifted_cross_entropy,
+)
+from .encoder import GlobalICVEncoder, ICVParams
+
+
+@dataclasses.dataclass(frozen=True)
+class ICVModuleConfig:
+    """Mirror of config/icv_module/icv_module.yaml (reference keys)."""
+
+    hard_loss_weight: float = 0.0
+    only_hard_loss: bool = False
+    init_temperature: float = 1.0
+    decay_ratio: float = -1.0
+    decay_per_step: float = -1.0
+    min_temperature: float = 1.0
+    learnable_t: bool = False
+    kl_eps: float = 1e-6
+    alpha_lr: float = 1e-2
+    icv_lr: float = 1e-4
+    weight_decay: float = 1e-3
+    warm_steps: float = 0.1
+    gradient_clip_val: float = 1.0
+    accumulate_grad_batches: int = 1
+
+    @classmethod
+    def from_config(cls, cfg, trainer_cfg=None) -> "ICVModuleConfig":
+        kw = dict(
+            hard_loss_weight=float(cfg.get("hard_loss_weight", 0.0)),
+            only_hard_loss=bool(cfg.get("only_hard_loss", False)),
+            init_temperature=float(cfg.get("init_temperature", 1.0)),
+            decay_ratio=float(cfg.get("decay_ratio", -1)),
+            decay_per_step=float(cfg.get("decay_per_step", -1)),
+            # the reference config key is misspelled "min_tmeprature"
+            min_temperature=float(
+                cfg.get("min_tmeprature", cfg.get("min_temperature", 1.0))
+            ),
+            learnable_t=bool(cfg.get("learnable_t", False)),
+            kl_eps=float(cfg.get("kl_eps", 1e-6)),
+            alpha_lr=float(cfg.get("alpha_lr", 1e-2)),
+            icv_lr=float(cfg.get("icv_lr", 1e-4)),
+            weight_decay=float(cfg.get("weight_decay", 1e-3)),
+            warm_steps=float(cfg.get("warm_steps", 0.1)),
+        )
+        if trainer_cfg is not None:
+            kw["gradient_clip_val"] = float(trainer_cfg.get("gradient_clip_val", 1.0))
+            kw["accumulate_grad_batches"] = int(
+                trainer_cfg.get("accumulate_grad_batches", 1)
+            )
+        return cls(**kw)
+
+
+# ---------------------------------------------------------------------------
+# Loss
+# ---------------------------------------------------------------------------
+
+
+def icv_loss_fn(
+    trainable: dict,  # {"encoder": ICVParams, "temperature": f32 scalar}
+    model_params: Any,  # frozen LMM pytree
+    batch: dict,  # query_inputs / inputs / query_x_length / in_context_length
+    forward_fn: Callable,  # (model_params, inputs, icv_scaled|None) -> logits
+    encoder: GlobalICVEncoder,
+    cfg: ICVModuleConfig,
+    pad_token_id: int,
+) -> tuple[jax.Array, dict]:
+    """Reference forward semantics (icv_src/icv_module.py:71-119)."""
+    enc_out = encoder(trainable["encoder"])
+    icv_scaled = enc_out.alpha[:, None] * enc_out.in_context_vector  # (L, D)
+
+    query_inputs = batch["query_inputs"]
+    stu_logits = forward_fn(model_params, query_inputs, icv_scaled)  # (B,Ss,V) f32
+
+    metrics = {}
+    loss = jnp.float32(0.0)
+
+    if cfg.hard_loss_weight or cfg.only_hard_loss:
+        labels = jnp.where(
+            query_inputs["attention_mask"].astype(bool),
+            query_inputs["input_ids"],
+            -100,
+        )
+        # NOTE the reference feeds labels=input_ids with right padding intact;
+        # HF models still mask nothing, but pads there are real pad ids whose
+        # loss the frozen model dominates. We mask pads (strictly better
+        # training signal; answer-region CE is what the objective intends).
+        ce = shifted_cross_entropy(stu_logits, labels)
+        metrics["ce_loss"] = ce
+        if cfg.only_hard_loss:
+            metrics["loss"] = ce
+            return ce, metrics
+        loss = loss + cfg.hard_loss_weight * ce
+
+    teacher_inputs = batch["inputs"]
+    tea_logits = jax.lax.stop_gradient(
+        forward_fn(model_params, teacher_inputs, None)
+    )
+
+    stu_mask = answer_region_mask(
+        query_inputs["input_ids"], batch["query_x_length"], pad_token_id
+    )
+    tea_aligned = aligned_teacher_gather(
+        tea_logits,
+        batch["in_context_length"],
+        batch["query_x_length"],
+        stu_logits.shape[1],
+    )
+    kl = masked_kl_divergence(
+        stu_logits, tea_aligned, stu_mask, trainable["temperature"], cfg.kl_eps
+    )
+    metrics["kl_loss"] = kl
+    loss = loss + kl
+    metrics["loss"] = loss
+    return loss, metrics
+
+
+# ---------------------------------------------------------------------------
+# Optimizer: two LR groups + transformers-style cosine schedule with warmup
+# ---------------------------------------------------------------------------
+
+
+def cosine_schedule_with_warmup(peak_lr: float, warmup_steps: int, total_steps: int):
+    """Exact ``transformers.get_cosine_schedule_with_warmup`` factor curve
+    (reference: icv_src/icv_module.py:203-205)."""
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = jnp.maximum(1.0, warmup_steps)
+        rest = jnp.maximum(1.0, total_steps - warmup_steps)
+        progress = (step - warmup_steps) / rest
+        factor = jnp.where(
+            step < warmup_steps,
+            step / warm,
+            jnp.maximum(0.0, 0.5 * (1.0 + jnp.cos(jnp.pi * progress))),
+        )
+        return peak_lr * factor
+
+    return schedule
+
+
+def make_optimizer(cfg: ICVModuleConfig, total_steps: int) -> optax.GradientTransformation:
+    warmup = (
+        int(cfg.warm_steps * total_steps)
+        if isinstance(cfg.warm_steps, float) and cfg.warm_steps < 1
+        else int(cfg.warm_steps)
+    )
+
+    def adamw(lr):
+        return optax.chain(
+            optax.clip_by_global_norm(cfg.gradient_clip_val),
+            optax.adamw(
+                learning_rate=cosine_schedule_with_warmup(lr, warmup, total_steps),
+                weight_decay=cfg.weight_decay,
+            ),
+        )
+
+    def label_fn(tree):
+        # reference groups: any param named *alpha* at alpha_lr, rest at icv_lr
+        return {
+            "encoder": {"icv": "icv", "alpha": "alpha"},
+            "temperature": "icv",
+        }
+
+    tx = optax.multi_transform(
+        {"icv": adamw(cfg.icv_lr), "alpha": adamw(cfg.alpha_lr)}, label_fn
+    )
+    if cfg.accumulate_grad_batches > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.accumulate_grad_batches)
+    return tx
+
+
+# ---------------------------------------------------------------------------
+# Train state + step
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: dict  # trainable: {"encoder": {...}, "temperature": ()}
+    opt_state: Any
+    step: jax.Array
+
+
+jax.tree_util.register_pytree_node(
+    TrainState,
+    lambda s: ((s.params, s.opt_state, s.step), None),
+    lambda _, c: TrainState(*c),
+)
+
+
+def init_train_state(
+    key, encoder: GlobalICVEncoder, cfg: ICVModuleConfig, optimizer
+) -> TrainState:
+    params = {
+        "encoder": encoder.init(key),
+        "temperature": jnp.asarray(cfg.init_temperature, jnp.float32),
+    }
+    return TrainState(
+        params=params, opt_state=optimizer.init(params), step=jnp.zeros((), jnp.int32)
+    )
+
+
+def decay_temperature(state: TrainState, cfg: ICVModuleConfig) -> TrainState:
+    """Step decay (reference: icv_src/icv_module.py:150-158; the reference
+    silently de-registers the Parameter on first decay — here temperature is
+    simply a value that decays when enabled)."""
+    if cfg.decay_ratio < 0:
+        return state
+    dps = jnp.int32(max(int(cfg.decay_per_step), 1))
+    should = (state.step % dps == 0) & (state.step != 0)
+    t = jnp.where(
+        should,
+        jnp.maximum(state.params["temperature"] * cfg.decay_ratio, cfg.min_temperature),
+        state.params["temperature"],
+    )
+    params = dict(state.params)
+    params["temperature"] = t
+    return TrainState(params=params, opt_state=state.opt_state, step=state.step)
+
+
+def make_train_step(
+    forward_fn: Callable,
+    encoder: GlobalICVEncoder,
+    cfg: ICVModuleConfig,
+    optimizer,
+    pad_token_id: int,
+):
+    """Build the jittable train step: grads w.r.t. the tiny trainable pytree
+    only; the frozen LMM params are a non-differentiated argument."""
+
+    def step(state: TrainState, model_params, batch):
+        state = decay_temperature(state, cfg)
+        grad_fn = jax.value_and_grad(icv_loss_fn, has_aux=True)
+        (loss, metrics), grads = grad_fn(
+            state.params,
+            model_params,
+            batch,
+            forward_fn,
+            encoder,
+            cfg,
+            pad_token_id,
+        )
+        if not cfg.learnable_t:
+            grads["temperature"] = jnp.zeros_like(grads["temperature"])
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        if cfg.decay_ratio >= 0 or not cfg.learnable_t:
+            params["temperature"] = state.params["temperature"]
+        metrics["temperature"] = params["temperature"]
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return (
+            TrainState(params=params, opt_state=opt_state, step=state.step + 1),
+            metrics,
+        )
+
+    return step

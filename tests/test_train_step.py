@@ -1,0 +1,143 @@
+"""End-to-end ICV training slice on a tiny decoder (SURVEY.md §7 build plan):
+jitted train step, KL decreasing, two-LR-group optimizer, grad accumulation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from licv_vqa_tpu.icv import GlobalICVEncoder, ICVModuleConfig
+from licv_vqa_tpu.icv.module import (
+    cosine_schedule_with_warmup,
+    init_train_state,
+    make_optimizer,
+    make_train_step,
+)
+from licv_vqa_tpu.models import DecoderConfig, causal_lm_forward, init_decoder_params
+
+PAD = 0
+V, D, LAYERS = 64, 32, 3
+
+
+def _setup(hard_loss_weight=0.0, accum=1, learnable_t=False, warm_steps=2):
+    cfg = DecoderConfig(
+        vocab_size=V, d_model=D, n_layers=LAYERS, n_heads=4, n_kv_heads=4,
+        d_ff=64, dtype=jnp.float32,
+    )
+    params = init_decoder_params(jax.random.PRNGKey(0), cfg)
+    encoder = GlobalICVEncoder(
+        lmm_hidden_dim=D, lmm_layers=LAYERS, alpha_init_value=0.1, use_sigmoid=False
+    )
+    mcfg = ICVModuleConfig(
+        hard_loss_weight=hard_loss_weight,
+        icv_lr=5e-2,
+        alpha_lr=5e-2,
+        warm_steps=warm_steps,
+        accumulate_grad_batches=accum,
+        learnable_t=learnable_t,
+    )
+    tx = make_optimizer(mcfg, total_steps=100)
+    state = init_train_state(jax.random.PRNGKey(1), encoder, mcfg, tx)
+
+    def forward_fn(model_params, inputs, icv_scaled):
+        logits, _ = causal_lm_forward(
+            cfg, model_params, inputs["input_ids"], inputs["attention_mask"],
+            icv_scaled=icv_scaled,
+        )
+        return logits
+
+    step = jax.jit(make_train_step(forward_fn, encoder, mcfg, tx, PAD))
+    return cfg, params, encoder, mcfg, state, step
+
+
+def _batch(rng, bs=4):
+    s_stu, s_tea = 10, 16
+    stu = np.full((bs, s_stu), PAD, np.int64)
+    tea = np.full((bs, s_tea), PAD, np.int64)
+    qx, icl = np.zeros(bs, np.int64), np.zeros(bs, np.int64)
+    for b in range(bs):
+        q, a, ice = rng.integers(3, 6), rng.integers(1, 3), rng.integers(4, 8)
+        qx[b] = q
+        icl[b] = ice + q - 1
+        stu[b, : q + a] = rng.integers(1, V, size=q + a)
+        tea[b, : icl[b] + a] = rng.integers(1, V, size=icl[b] + a)
+    return {
+        "query_inputs": {
+            "input_ids": jnp.asarray(stu),
+            "attention_mask": jnp.asarray((stu != PAD).astype(np.int32)),
+        },
+        "inputs": {
+            "input_ids": jnp.asarray(tea),
+            "attention_mask": jnp.asarray((tea != PAD).astype(np.int32)),
+        },
+        "query_x_length": jnp.asarray(qx),
+        "in_context_length": jnp.asarray(icl),
+    }
+
+
+def test_train_step_runs_and_loss_decreases():
+    cfg, params, encoder, mcfg, state, step = _setup()
+    rng = np.random.default_rng(0)
+    batch = _batch(rng)
+    losses = []
+    for _ in range(20):
+        state, metrics = step(state, params, batch)
+        losses.append(float(metrics["kl_loss"]))
+    assert losses[-1] < losses[0] * 0.9, losses[:3] + losses[-3:]
+    # frozen model params must not change
+    # (they are not part of the train state at all — structural guarantee)
+    assert set(state.params.keys()) == {"encoder", "temperature"}
+    assert not np.allclose(np.asarray(state.params["encoder"]["alpha"]), 0.1)
+
+
+def test_hard_loss_and_only_hard_loss():
+    cfg, params, encoder, mcfg, state, step = _setup(hard_loss_weight=0.5)
+    rng = np.random.default_rng(1)
+    state, metrics = step(state, params, _batch(rng))
+    assert "ce_loss" in metrics and "kl_loss" in metrics
+    want = float(metrics["kl_loss"]) + 0.5 * float(metrics["ce_loss"])
+    assert float(metrics["loss"]) == pytest.approx(want, rel=1e-5)
+
+
+def test_temperature_frozen_by_default():
+    cfg, params, encoder, mcfg, state, step = _setup()
+    rng = np.random.default_rng(2)
+    for _ in range(3):
+        state, metrics = step(state, params, _batch(rng))
+    assert float(state.params["temperature"]) == 1.0
+
+
+def test_grad_accumulation():
+    cfg, params, encoder, mcfg, state, step = _setup(accum=4, warm_steps=0)
+    rng = np.random.default_rng(3)
+    icv0 = np.asarray(state.params["encoder"]["icv"]).copy()
+    for i in range(3):
+        state, _ = step(state, params, _batch(rng))
+    # no optimizer step applied yet after 3 of 4 micro-batches
+    np.testing.assert_array_equal(np.asarray(state.params["encoder"]["icv"]), icv0)
+    state, _ = step(state, params, _batch(rng))
+    assert not np.array_equal(np.asarray(state.params["encoder"]["icv"]), icv0)
+
+
+def test_cosine_schedule_matches_transformers():
+    from transformers import get_cosine_schedule_with_warmup
+    import torch
+
+    opt = torch.optim.AdamW([torch.nn.Parameter(torch.zeros(1))], lr=1.0)
+    sched = get_cosine_schedule_with_warmup(opt, num_warmup_steps=10, num_training_steps=100)
+    ours = cosine_schedule_with_warmup(1.0, 10, 100)
+    for step_i in range(100):
+        want = sched.get_last_lr()[0]
+        got = float(ours(step_i))
+        assert got == pytest.approx(want, abs=1e-6), step_i
+        opt.step()
+        sched.step()
+
+
+def test_sigmoid_alpha():
+    enc = GlobalICVEncoder(lmm_hidden_dim=8, lmm_layers=2, use_sigmoid=True)
+    p = enc.init(jax.random.PRNGKey(0))
+    out = enc(p)
+    np.testing.assert_allclose(
+        np.asarray(out.alpha), 1 / (1 + np.exp(-np.asarray(p["alpha"]))), rtol=1e-6
+    )
