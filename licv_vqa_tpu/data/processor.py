@@ -1,0 +1,192 @@
+"""Multimodal prompt processor: interleaved [image|text] → model tensors.
+
+Replaces ``lmm_icl_interface.LMMPromptProcessor.prepare_input`` (reference
+call sites: icv_src/icv_datamodule.py:80-103, inference.py:277).  Produces
+STATIC-SHAPE numpy batches: sequence length padded to a bucket multiple and
+image count padded to the batch max, so every (batch, bucket) pair compiles
+exactly once on TPU.
+
+Image-token layouts per model family:
+
+- ``idefics``    — ``<fake_token_around_image><image><fake_token_around_image>``
+  per image (adjacent images share the fake token); 1 text token per image,
+  vision features enter via gated cross-attention.
+- ``idefics2``   — ``<fake_token_around_image>`` + ``<image>``×64 +
+  ``<fake_token_around_image>``; vision features are spliced inline.
+- ``flamingo``   — ``<image>`` followed by the shot text and
+  ``<|endofchunk|>`` handled by the prompt templates.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Sequence
+
+import numpy as np
+
+FAKE_IMAGE_TOKEN = "<fake_token_around_image>"
+IMAGE_TOKEN = "<image>"
+
+# CLIP normalization (OpenCLIP ViT-H for idefics); SigLIP uses 0.5s.
+CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
+CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
+SIGLIP_MEAN = (0.5, 0.5, 0.5)
+SIGLIP_STD = (0.5, 0.5, 0.5)
+
+
+@dataclasses.dataclass
+class ImageTransform:
+    """Resize (bicubic) + rescale + normalize → (H, W, 3) float32."""
+
+    image_size: int = 224
+    mean: tuple = CLIP_MEAN
+    std: tuple = CLIP_STD
+
+    def __call__(self, image: Any) -> np.ndarray:
+        arr = self._to_array(image)
+        arr = (arr / 255.0 - np.asarray(self.mean)) / np.asarray(self.std)
+        return arr.astype(np.float32)
+
+    def _to_array(self, image: Any) -> np.ndarray:
+        if isinstance(image, np.ndarray):
+            a = image
+            if a.shape[:2] != (self.image_size, self.image_size):
+                a = self._resize_np(a)
+            return a.astype(np.float32)
+        try:  # PIL image or path
+            from PIL import Image as PILImage
+
+            if isinstance(image, (str,)):
+                image = PILImage.open(image)
+            if isinstance(image, PILImage.Image):
+                img = image.convert("RGB").resize(
+                    (self.image_size, self.image_size), PILImage.BICUBIC
+                )
+                return np.asarray(img, dtype=np.float32)
+        except ImportError:
+            pass
+        raise TypeError(f"unsupported image type: {type(image)}")
+
+    def _resize_np(self, a: np.ndarray) -> np.ndarray:
+        from PIL import Image as PILImage
+
+        img = PILImage.fromarray(a.astype(np.uint8))
+        img = img.resize((self.image_size, self.image_size), PILImage.BICUBIC)
+        return np.asarray(img, dtype=np.float32)
+
+
+def _is_image(x: Any) -> bool:
+    if isinstance(x, str):
+        return False
+    if isinstance(x, np.ndarray):
+        return True
+    try:
+        from PIL import Image as PILImage
+
+        return isinstance(x, PILImage.Image)
+    except ImportError:
+        return False
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+class PromptProcessor:
+    def __init__(
+        self,
+        tokenizer,
+        image_transform: Optional[ImageTransform] = None,
+        family: str = "idefics",
+        image_seq_len: int = 64,  # idefics2 inline tokens per image
+        padding_side: str = "right",
+        pad_to_multiple: int = 64,
+        max_length: int = 2048,
+        add_bos: bool = True,
+    ):
+        self.tokenizer = tokenizer
+        self.image_transform = image_transform or ImageTransform()
+        self.family = family
+        self.image_seq_len = image_seq_len
+        self.padding_side = padding_side
+        self.pad_to_multiple = pad_to_multiple
+        self.max_length = max_length
+        self.add_bos = add_bos
+        self.input_ids_field = "input_ids"
+        self.image_token_id = tokenizer.token_id(IMAGE_TOKEN)
+        self.fake_token_id = tokenizer.token_id(FAKE_IMAGE_TOKEN)
+
+    # -- single prompt → (ids, images) ------------------------------------
+    def _encode_prompt(self, prompt: Sequence[Any], add_eos_token: bool):
+        ids: list[int] = []
+        if self.add_bos:
+            ids.append(self.tokenizer.bos_token_id)
+        images: list[np.ndarray] = []
+        last_was_image = False
+        for part in prompt:
+            if _is_image(part):
+                images.append(self.image_transform(part))
+                if self.family == "idefics":
+                    if last_was_image:
+                        ids.pop()  # adjacent images share one fake token
+                    ids += [self.fake_token_id, self.image_token_id, self.fake_token_id]
+                elif self.family == "idefics2":
+                    if last_was_image:
+                        ids.pop()
+                    ids += (
+                        [self.fake_token_id]
+                        + [self.image_token_id] * self.image_seq_len
+                        + [self.fake_token_id]
+                    )
+                else:  # flamingo
+                    ids.append(self.image_token_id)
+                last_was_image = True
+            else:
+                ids += self.tokenizer.encode(str(part))
+                last_was_image = False
+        if add_eos_token:
+            ids.append(self.tokenizer.eos_token_id)
+        return ids[: self.max_length], images
+
+    # -- batch API ----------------------------------------------------------
+    def prepare_input(
+        self,
+        prompts: Sequence[Sequence[Any]],
+        padding: bool = True,
+        truncation: bool = True,
+        add_eos_token: bool = False,
+        return_tensors: str = "np",
+        padding_side: Optional[str] = None,
+    ) -> dict:
+        del truncation, return_tensors  # always truncates at max_length; numpy out
+        side = padding_side or self.padding_side
+        encoded = [self._encode_prompt(p, add_eos_token) for p in prompts]
+        b = len(encoded)
+        pad_id = self.tokenizer.pad_token_id
+        max_len = max(len(ids) for ids, _ in encoded) if padding else self.max_length
+        max_len = min(_round_up(max_len, self.pad_to_multiple), self.max_length)
+        n_img = max((len(imgs) for _, imgs in encoded), default=0)
+        n_img = max(n_img, 1)
+        hw = self.image_transform.image_size
+
+        input_ids = np.full((b, max_len), pad_id, np.int32)
+        attn = np.zeros((b, max_len), np.int32)
+        pixels = np.zeros((b, n_img, hw, hw, 3), np.float32)
+        img_valid = np.zeros((b, n_img), bool)
+        for i, (ids, imgs) in enumerate(encoded):
+            ids = ids[:max_len]
+            if side == "right":
+                input_ids[i, : len(ids)] = ids
+                attn[i, : len(ids)] = 1
+            else:
+                input_ids[i, max_len - len(ids) :] = ids
+                attn[i, max_len - len(ids) :] = 1
+            for j, img in enumerate(imgs):
+                pixels[i, j] = img
+                img_valid[i, j] = True
+        return {
+            "input_ids": input_ids,
+            "attention_mask": attn,
+            "pixel_values": pixels,
+            "pixel_valid": img_valid,
+        }

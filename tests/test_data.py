@@ -1,0 +1,278 @@
+"""Data pipeline tests: templating, loaders on synthetic JSON fixtures,
+shot sampling, processor layouts, and the 4-view collator contract."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from licv_vqa_tpu.data import (
+    CaptionDataset,
+    ImageTransform,
+    PromptManager,
+    PromptProcessor,
+    VQADataset,
+    WhitespaceTokenizer,
+    collate_icv_batch,
+)
+from licv_vqa_tpu.data.loaders import Table, load_vqav2_ds, load_okvqa_ds, load_coco_ds
+
+VQA_PM = dict(
+    prompt_template="Question:<Q> Short answer:<A>.",
+    column_token_map={"question": "<Q>", "answer": "<A>"},
+    label_field="answer",
+    sep_token="\n\n",
+    query_prompt_template="Question:<Q> Short answer:<A>",
+)
+
+
+def test_prompt_manager_vqa_semantics():
+    pm = PromptManager(**VQA_PM)
+    item = {"question": "What color?", "answer": "blue"}
+    assert (
+        pm.gen_ice_text_with_label(item, add_sep_token=True)
+        == "Question:What color? Short answer:blue.\n\n"
+    )
+    assert (
+        pm.gen_ice_text_with_label(item, add_sep_token=False)
+        == "Question:What color? Short answer:blue"
+    )
+    assert pm.gen_query_text_without_label(item) == "Question:What color? Short answer:"
+
+
+def test_prompt_manager_caption():
+    pm = PromptManager(
+        prompt_template="Caption:<X>",
+        column_token_map={"single_caption": "<X>"},
+        label_field="single_caption",
+        sep_token="\n\n",
+        query_prompt_template="Caption:<X>",
+    )
+    item = {"single_caption": "a dog"}
+    assert pm.gen_ice_text_with_label(item, True) == "Caption:a dog\n\n"
+    assert pm.gen_query_text_without_label(item) == "Caption:"
+
+
+# ---------------------------------------------------------------------------
+# Synthetic fixtures mirroring the VQAv2 / OK-VQA / COCO schemas
+# ---------------------------------------------------------------------------
+
+
+def make_vqav2_fixture(root: Path, n=6, split="train2014", okvqa=False):
+    root.mkdir(parents=True, exist_ok=True)
+    img_dir = root / "images" / split
+    img_dir.mkdir(parents=True, exist_ok=True)
+    questions, annotations = [], []
+    rng = np.random.default_rng(0)
+    for i in range(n):
+        qid, img_id = 1000 + (n - i), 500 + i  # reversed qid order → sort matters
+        img = Image.fromarray(
+            rng.integers(0, 255, size=(32, 32, 3), dtype=np.uint8)
+        )
+        img.save(img_dir / f"COCO_{split}_{img_id:012d}.jpg")
+        questions.append(
+            {"question_id": qid, "image_id": img_id, "question": f"What is item {i}?"}
+        )
+        annotations.append(
+            {
+                "question_id": qid,
+                "image_id": img_id,
+                "multiple_choice_answer": f"ans{i}",
+                "question_type": "what is" if i % 2 else "how many",
+                "answer_type": "other",
+                "answers": [
+                    {"answer": f"ans{i}", "answer_confidence": "yes", "answer_id": j}
+                    for j in range(10)
+                ],
+            }
+        )
+    if okvqa:
+        qf = root / f"OpenEnded_mscoco_{split}_questions.json"
+        af = root / f"mscoco_{split}_annotations.json"
+    else:
+        qf = root / f"v2_OpenEnded_mscoco_{split}_questions.json"
+        af = root / f"v2_mscoco_{split}_annotations.json"
+    qf.write_text(json.dumps({"questions": questions}))
+    af.write_text(json.dumps({"annotations": annotations}))
+    return img_dir
+
+
+def make_coco_fixture(root: Path, n=4):
+    root.mkdir(parents=True, exist_ok=True)
+    img_dir = root / "imgs"
+    img_dir.mkdir(exist_ok=True)
+    rng = np.random.default_rng(1)
+    images, anns = [], []
+    for i in range(n):
+        img_id = 300 + i
+        fname = f"{img_id:012d}.jpg"
+        Image.fromarray(
+            rng.integers(0, 255, size=(24, 24, 3), dtype=np.uint8)
+        ).save(img_dir / fname)
+        images.append({"id": img_id, "file_name": fname})
+        for c in range(2):
+            anns.append(
+                {"image_id": img_id, "caption": f"caption {i}-{c}", "id": i * 10 + c}
+            )
+    ann_file = root / "captions.json"
+    ann_file.write_text(json.dumps({"images": images, "annotations": anns}))
+    return img_dir, ann_file
+
+
+def test_load_vqav2(tmp_path):
+    img_dir = make_vqav2_fixture(tmp_path, n=6)
+    ds = load_vqav2_ds(str(tmp_path), str(img_dir), str(img_dir), split="train")
+    assert len(ds) == 6
+    qids = ds.column("question_id")
+    assert qids == sorted(qids)  # sorted by question_id
+    row = ds[0]
+    assert row["idx"] == 0
+    assert row["answer"].startswith("ans")
+    assert row["gen_question_type"] in ("what", "how")  # first word
+    assert row["image"].size == (32, 32)  # lazily decoded PIL
+
+
+def test_load_okvqa(tmp_path):
+    img_dir = make_vqav2_fixture(tmp_path, n=4, okvqa=True)
+    ds = load_okvqa_ds(str(tmp_path), str(img_dir), str(img_dir), split="train")
+    row = ds[0]
+    assert row["gen_question_type"] in ("what is", "how many")  # verbatim
+    assert row["answer"] == row["answers"][0]["answer"]
+
+
+def test_load_coco(tmp_path):
+    img_dir, ann = make_coco_fixture(tmp_path)
+    ds = load_coco_ds(str(img_dir), str(img_dir), str(ann), str(ann), split="train")
+    assert len(ds) == 4
+    row = ds[1]
+    assert row["single_caption"] == row["captions"][0]
+    assert len(row["captions"]) == 2
+
+
+def _processor():
+    tok = WhitespaceTokenizer()
+    return PromptProcessor(
+        tok,
+        ImageTransform(image_size=16),
+        family="idefics",
+        pad_to_multiple=8,
+        max_length=512,
+    )
+
+
+def _vqa_dataset(tmp_path, few_shot=2):
+    img_dir = make_vqav2_fixture(tmp_path, n=6)
+    pm = PromptManager(**VQA_PM)
+    return VQADataset(
+        name="vqav2",
+        root_dir=str(tmp_path),
+        train_coco_dataset_root=str(img_dir),
+        val_coco_dataset_root=str(img_dir),
+        prompt_manager=pm,
+        instruction="Answer the question.\n",
+        few_shot_num=few_shot,
+        max_train_size=-1,
+        split="train",
+        seed=0,
+    )
+
+
+def test_vqa_dataset_no_query_leak(tmp_path):
+    ds = _vqa_dataset(tmp_path)
+    for idx in range(len(ds)):
+        item = ds[idx]
+        # structure: [instruction, img, text, img, text]
+        assert item["ice_prompt"][0] == "Answer the question.\n"
+        assert len(item["ice_prompt"]) == 1 + 2 * 2
+        q_text = item["query_prompt"][1]
+        for shot_text in item["ice_prompt"][2::2]:
+            assert shot_text.rstrip("\n") != q_text + "."  # query never a shot
+        assert item["query_x"][1].endswith("Short answer:")
+
+
+def test_collator_contract(tmp_path):
+    ds = _vqa_dataset(tmp_path)
+    proc = _processor()
+    batch = collate_icv_batch([ds[0], ds[1], ds[2]], proc)
+    qi, ti = batch["query_inputs"], batch["inputs"]
+    assert qi["input_ids"].shape[0] == 3
+    assert qi["input_ids"].shape[1] % 8 == 0  # bucketed
+    eos = proc.tokenizer.eos_token_id
+    pad = proc.tokenizer.pad_token_id
+    for b in range(3):
+        stu = qi["input_ids"][b]
+        tea = ti["input_ids"][b]
+        # EOS appended to both label-bearing views
+        assert eos in stu and eos in tea
+        # the answer-region mask-count property the KL relies on
+        stu_len = int((stu != pad).sum())
+        tea_len = int((tea != pad).sum())
+        stu_ans = stu_len - int(batch["query_x_length"][b])
+        tea_ans = tea_len - int(batch["in_context_length"][b])
+        assert stu_ans == tea_ans > 0
+        # aligned answer tokens are identical
+        np.testing.assert_array_equal(
+            stu[int(batch["query_x_length"][b]) : stu_len],
+            tea[int(batch["in_context_length"][b]) : tea_len],
+        )
+
+
+def test_processor_idefics_layout():
+    proc = _processor()
+    img = np.zeros((16, 16, 3), np.uint8)
+    out = proc.prepare_input([["hello", img, "world"]])
+    ids = out["input_ids"][0]
+    fake, image = proc.fake_token_id, proc.image_token_id
+    nonpad = ids[ids != proc.tokenizer.pad_token_id]
+    assert list(nonpad[:1]) == [proc.tokenizer.bos_token_id]
+    assert list(nonpad).count(image) == 1
+    i = list(nonpad).index(image)
+    assert nonpad[i - 1] == fake and nonpad[i + 1] == fake
+    assert out["pixel_values"].shape == (1, 1, 16, 16, 3)
+    assert out["pixel_valid"][0, 0]
+
+
+def test_processor_adjacent_images_share_fake_token():
+    proc = _processor()
+    img = np.zeros((16, 16, 3), np.uint8)
+    out = proc.prepare_input([[img, img]])
+    ids = list(out["input_ids"][0])
+    fake, image = proc.fake_token_id, proc.image_token_id
+    assert ids.count(image) == 2
+    assert ids.count(fake) == 3  # merged middle token
+
+
+def test_processor_left_padding():
+    proc = _processor()
+    out = proc.prepare_input([["a b c"], ["a b c d e f"]], padding_side="left")
+    ids = out["input_ids"]
+    assert ids[0, 0] == proc.tokenizer.pad_token_id
+    assert ids[0, -1] != proc.tokenizer.pad_token_id
+    np.testing.assert_array_equal(
+        out["attention_mask"].sum(1), [4, 7]
+    )  # bos + tokens
+
+
+def test_caption_dataset(tmp_path):
+    img_dir, ann = make_coco_fixture(tmp_path)
+    pm = PromptManager(
+        prompt_template="Caption:<X>",
+        column_token_map={"single_caption": "<X>"},
+        label_field="single_caption",
+        sep_token="\n\n",
+    )
+    ds = CaptionDataset(
+        name="coco2017",
+        train_coco_dataset_root=str(img_dir),
+        val_coco_dataset_root=str(img_dir),
+        train_coco_annotation_file=str(ann),
+        val_coco_annotation_file=str(ann),
+        prompt_manager=pm,
+        few_shot_num=2,
+        max_train_size=-1,
+        seed=0,
+    )
+    item = ds[0]
+    assert item["query_x"][1] == "Caption:"
