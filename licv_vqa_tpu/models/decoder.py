@@ -126,6 +126,9 @@ def decoder_layer(
     if cfg.positional == "rope":
         q = L.apply_rope(q, cos, sin)
         k = L.apply_rope(k, cos, sin)
+    if "q_norm" in p["attn"]:  # idefics qk_layer_norms: per-head-dim RMSNorm
+        q = L.rms_norm(p["attn"]["q_norm"], q, cfg.norm_eps)
+        k = L.rms_norm(p["attn"]["k_norm"], k, cfg.norm_eps)
 
     if kv_write is not None:
         k_cache, v_cache, index = kv_write

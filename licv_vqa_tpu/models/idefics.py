@@ -1,0 +1,466 @@
+"""Idefics-9B: LLaMA backbone + CLIP ViT-H tower + perceiver + gated
+cross-attention, with the ICV injected natively in the decoder scan.
+
+Replaces the reference's ``IdeficsInterface`` from the external
+``lmm_icl_interface`` package (reference: utils.py:40-50) and the baukit hook
+layer addressing ``model.model.layers.<LAYER_NUM>`` (reference:
+config/lmm/idefics-9B.yaml:7) — the injection site is the decoder-block
+output inside the scan body.
+
+Architecture mirrors HF ``IdeficsForVisionText2Text`` so converted
+checkpoints are numerically comparable:
+
+- gated cross-attn fires BEFORE decoder layer ``i`` when
+  ``i % cross_layer_interval == 0``; layers are scanned in GROUPS of
+  ``interval`` so cross-attn params are not padded across all layers;
+- each text token cross-attends ONLY to the most recent preceding image
+  (one-hot mask computed from ``<image>`` token positions), output gated by
+  ``tanh(alpha)`` and zeroed for tokens with no preceding image;
+- optional per-head-dim RMSNorm on q/k after RoPE (``qk_layer_norms``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.icv_inject import icv_inject_reference
+from . import layers as L
+from .config import BLOCK_OUTPUT, DecoderConfig, PerceiverConfig, VisionConfig
+from .decoder import (
+    _positions_from_mask,
+    decoder_layer,
+    init_kv_cache,
+    init_layer_params,
+    logits_from_hidden,
+)
+from .perceiver import init_perceiver_params, perceiver_forward
+from .vision import init_vision_params, vision_forward
+
+
+@dataclasses.dataclass(frozen=True)
+class IdeficsConfig:
+    text: DecoderConfig
+    vision: VisionConfig
+    perceiver: PerceiverConfig
+    cross_layer_interval: int = 4
+    qk_layer_norms: bool = False
+    qk_layer_norms_perceiver: bool = False
+    alpha_type: str = "float"  # "float" | "vector"
+    additional_vocab_size: int = 2
+    image_token_id: int = 32001  # <image> in the extended vocab
+    use_resampler: bool = True
+
+    @classmethod
+    def idefics_9b(cls, dtype=jnp.bfloat16) -> "IdeficsConfig":
+        """Idefics-9B shapes (reference: config/lmm/idefics-9B.yaml — 32
+        layers, hidden 4096; vision = OpenCLIP ViT-H/14)."""
+        return cls(
+            text=DecoderConfig(
+                vocab_size=32002,
+                d_model=4096,
+                n_layers=32,
+                n_heads=32,
+                n_kv_heads=32,
+                d_ff=11008,
+                qk_layernorm=True,
+                injection_site=BLOCK_OUTPUT,
+                dtype=dtype,
+            ),
+            vision=VisionConfig(
+                image_size=224,
+                patch_size=14,
+                d_model=1280,
+                n_layers=32,
+                n_heads=16,
+                d_ff=5120,
+                dtype=dtype,
+            ),
+            perceiver=PerceiverConfig(
+                n_latents=64,
+                n_layers=6,
+                n_heads=16,
+                head_dim=96,
+                d_model=1280,
+                d_ff=5120,
+                dtype=dtype,
+            ),
+            cross_layer_interval=4,
+            qk_layer_norms=True,
+            qk_layer_norms_perceiver=True,
+            additional_vocab_size=2,
+            image_token_id=32001,
+        )
+
+    @classmethod
+    def tiny(cls, dtype=jnp.float32) -> "IdeficsConfig":
+        """Tiny-random config for tests (the reference's debug idiom,
+        reference: config/train.yaml:15)."""
+        return cls(
+            text=DecoderConfig(
+                vocab_size=110,
+                d_model=64,
+                n_layers=4,
+                n_heads=4,
+                n_kv_heads=4,
+                d_ff=128,
+                qk_layernorm=True,
+                dtype=dtype,
+            ),
+            vision=VisionConfig(
+                image_size=28,
+                patch_size=14,
+                d_model=32,
+                n_layers=2,
+                n_heads=2,
+                d_ff=64,
+                dtype=dtype,
+            ),
+            perceiver=PerceiverConfig(
+                n_latents=4,
+                n_layers=2,
+                n_heads=2,
+                head_dim=16,
+                d_model=32,
+                d_ff=64,
+                dtype=dtype,
+            ),
+            cross_layer_interval=2,
+            qk_layer_norms=True,
+            qk_layer_norms_perceiver=True,
+            additional_vocab_size=2,
+            image_token_id=108,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Params
+# ---------------------------------------------------------------------------
+
+
+def init_xattn_params(key, cfg: IdeficsConfig, n_xattn: int) -> dict:
+    t = cfg.text
+    d, de = t.d_model, cfg.perceiver.d_model
+    nh, dh = t.n_heads, t.head_dim
+    f = t.d_ff
+    ks = jax.random.split(key, 8)
+
+    def w(k, shape):
+        return L.dense_init(k, (n_xattn, *shape), t.dtype)
+
+    p = {
+        "ln1": jnp.ones((n_xattn, d), t.dtype),
+        "ln2": jnp.ones((n_xattn, d), t.dtype),
+        "attn": {
+            "wq": w(ks[0], (d, nh * dh)),
+            "wk": w(ks[1], (de, nh * dh)),
+            "wv": w(ks[2], (de, nh * dh)),
+            "wo": w(ks[3], (nh * dh, d)),
+        },
+        "mlp": {
+            "w_gate": w(ks[4], (d, f)),
+            "w_up": w(ks[5], (d, f)),
+            "w_down": w(ks[6], (f, d)),
+        },
+        "alpha_xattn": jnp.zeros(
+            (n_xattn, d) if cfg.alpha_type == "vector" else (n_xattn,), t.dtype
+        ),
+        "alpha_dense": jnp.zeros(
+            (n_xattn, d) if cfg.alpha_type == "vector" else (n_xattn,), t.dtype
+        ),
+    }
+    if cfg.qk_layer_norms:
+        p["attn"]["q_norm"] = jnp.ones((n_xattn, dh), t.dtype)
+        p["attn"]["k_norm"] = jnp.ones((n_xattn, dh), t.dtype)
+    return p
+
+
+def init_idefics_params(key, cfg: IdeficsConfig) -> dict:
+    t = cfg.text
+    ks = jax.random.split(key, 6)
+    layers = init_layer_params(ks[0], t, t.n_layers)
+    if cfg.qk_layer_norms:
+        layers["attn"]["q_norm"] = jnp.ones((t.n_layers, t.head_dim), t.dtype)
+        layers["attn"]["k_norm"] = jnp.ones((t.n_layers, t.head_dim), t.dtype)
+    n_xattn = t.n_layers // cfg.cross_layer_interval
+    return {
+        "embed": L.dense_init(ks[1], (t.vocab_size, t.d_model), t.dtype),
+        "layers": layers,
+        "xattn": init_xattn_params(ks[2], cfg, n_xattn),
+        "final_norm": jnp.ones((t.d_model,), t.dtype),
+        "lm_head": L.dense_init(ks[3], (t.d_model, t.vocab_size), t.dtype),
+        "vision": init_vision_params(ks[4], cfg.vision),
+        "perceiver": init_perceiver_params(
+            ks[5], cfg.perceiver, cfg.qk_layer_norms_perceiver
+        ),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Image attention plumbing
+# ---------------------------------------------------------------------------
+
+
+def image_attention_onehot(
+    input_ids: jax.Array, image_token_id: int, eos_token_id: int, n_images: int
+) -> jax.Array:
+    """(B, S, N_img) one-hot: each token attends to the most recent preceding
+    ``<image>`` token (HF idefics processor semantics; tokens strictly after
+    an EOS attend to none)."""
+    is_img = (input_ids == image_token_id).astype(jnp.int32)
+    count = jnp.cumsum(is_img, axis=1) - 1  # -1 before any image
+    after_eos = jnp.cumsum((input_ids == eos_token_id).astype(jnp.int32), axis=1)
+    after_eos = after_eos - (input_ids == eos_token_id).astype(jnp.int32)  # exclusive
+    valid = (count >= 0) & (after_eos == 0)
+    onehot = jax.nn.one_hot(jnp.maximum(count, 0), n_images, dtype=jnp.float32)
+    return onehot * valid[:, :, None].astype(jnp.float32)
+
+
+def last_image_onehot(
+    input_ids: jax.Array, image_token_id: int, n_images: int
+) -> jax.Array:
+    """(B, 1, N_img) one-hot of the LAST image in the prompt — the mask every
+    generated token uses during decode."""
+    count = jnp.sum((input_ids == image_token_id).astype(jnp.int32), axis=1) - 1
+    onehot = jax.nn.one_hot(jnp.maximum(count, 0), n_images, dtype=jnp.float32)
+    return (onehot * (count >= 0)[:, None].astype(jnp.float32))[:, None, :]
+
+
+def encode_images(
+    cfg: IdeficsConfig, params: dict, pixel_values: jax.Array
+) -> jax.Array:
+    """(B, N_img, H, W, 3) → image latents (B, N_img·n_lat, De)."""
+    b, n_img = pixel_values.shape[:2]
+    flat = pixel_values.reshape((b * n_img,) + pixel_values.shape[2:])
+    feats = vision_forward(cfg.vision, params["vision"], flat)
+    if cfg.use_resampler:
+        feats = perceiver_forward(cfg.perceiver, params["perceiver"], feats)
+    return feats.reshape(b, n_img * feats.shape[1], feats.shape[2])
+
+
+# ---------------------------------------------------------------------------
+# Gated cross-attention block
+# ---------------------------------------------------------------------------
+
+
+def gated_xattn_block(
+    cfg: IdeficsConfig,
+    p: dict,  # single block params
+    h: jax.Array,  # (B, S, D)
+    image_latents: jax.Array,  # (B, N_img*n_lat, De)
+    img_mask: jax.Array,  # (B, 1, S, N_img*n_lat) bool
+    gate: jax.Array,  # (B, S) 1.0 where the token attends ≥1 image
+) -> jax.Array:
+    t = cfg.text
+    b, s, d = h.shape
+    nh, dh = t.n_heads, t.head_dim
+    x = L.rms_norm(p["ln1"], h, t.norm_eps)
+    q = jnp.dot(x, p["attn"]["wq"]).reshape(b, s, nh, dh)
+    k = jnp.dot(image_latents, p["attn"]["wk"]).reshape(b, -1, nh, dh)
+    v = jnp.dot(image_latents, p["attn"]["wv"]).reshape(b, -1, nh, dh)
+    if "q_norm" in p["attn"]:
+        q = L.rms_norm(p["attn"]["q_norm"], q, t.norm_eps)
+        k = L.rms_norm(p["attn"]["k_norm"], k, t.norm_eps)
+    attn = L.dot_product_attention(q, k, v, mask=img_mask)
+    attn = jnp.dot(attn.reshape(b, s, nh * dh), p["attn"]["wo"]).astype(h.dtype)
+    attn = attn * gate[:, :, None].astype(attn.dtype)
+    h = h + jnp.tanh(p["alpha_xattn"]).astype(h.dtype) * attn
+
+    x2 = L.rms_norm(p["ln2"], h, t.norm_eps)
+    mlp = L.swiglu_mlp(p["mlp"], x2)
+    return h + jnp.tanh(p["alpha_dense"]).astype(h.dtype) * mlp
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def idefics_forward(
+    cfg: IdeficsConfig,
+    params: dict,
+    input_ids: jax.Array,  # (B, S)
+    attention_mask: jax.Array,  # (B, S)
+    image_latents: jax.Array,  # (B, N_img*n_lat, De) from encode_images
+    image_attn_onehot: jax.Array,  # (B, S, N_img) incl. pixel_valid masking
+    icv_scaled: Optional[jax.Array] = None,  # (L, D)
+    cache: Optional[dict] = None,
+    positions: Optional[jax.Array] = None,
+    remat: bool = False,
+):
+    """Returns (logits f32 (B,S,V), new_cache)."""
+    t = cfg.text
+    interval = cfg.cross_layer_interval
+    n_groups = t.n_layers // interval
+    b, s = input_ids.shape
+
+    h = params["embed"][input_ids].astype(t.dtype)
+
+    # self-attention mask / positions (same construction as decoder.py)
+    if cache is None:
+        if positions is None:
+            positions = _positions_from_mask(attention_mask)
+        mask = L.causal_mask(positions, positions, attention_mask.astype(bool))
+        index = None
+        cache_pos = cache_valid = None
+    else:
+        index = cache["index"]
+        if positions is None:
+            raise ValueError("positions required when decoding with a cache")
+        max_len = cache["k"].shape[2]
+        cache_pos = jax.lax.dynamic_update_slice(
+            cache["pos"], positions.astype(jnp.int32), (0, index)
+        )
+        cache_valid = jax.lax.dynamic_update_slice(
+            cache["valid"], attention_mask.astype(bool), (0, index)
+        )
+        written = jnp.arange(max_len, dtype=jnp.int32)[None, :] < (index + s)
+        mask = (
+            (cache_pos[:, None, :] <= positions[:, :, None])
+            & cache_valid[:, None, :]
+            & written[:, None, :]
+        )[:, None, :, :]
+
+    cos, sin = L.rope_cos_sin(positions, t.head_dim, t.rope_theta)
+
+    # cross-attention mask: expand per-image one-hot over that image's latents
+    n_lat = image_latents.shape[1] // image_attn_onehot.shape[-1]
+    xmask = jnp.repeat(image_attn_onehot, n_lat, axis=-1) > 0  # (B, S, N_img*n_lat)
+    gate = jnp.any(xmask, axis=-1).astype(jnp.float32)  # (B, S)
+    xmask = xmask[:, None, :, :]  # (B, 1, S, Nk)
+
+    # group-stack the per-layer leaves: (L, ...) → (G, interval, ...)
+    def regroup(x):
+        return x.reshape((n_groups, interval) + x.shape[1:])
+
+    glayers = jax.tree.map(regroup, params["layers"])
+    have_icv = icv_scaled is not None
+    icv_xs = (
+        regroup(icv_scaled.astype(t.dtype))
+        if have_icv
+        else jnp.zeros((n_groups, interval, 1), t.dtype)
+    )
+    if cache is not None:
+        kv_xs = (regroup(cache["k"]), regroup(cache["v"]))
+    else:
+        kv_xs = (
+            jnp.zeros((n_groups, interval, 0)),
+            jnp.zeros((n_groups, interval, 0)),
+        )
+
+    def group_body(h, xs):
+        xp, lp, icv_g, kv_g = xs
+        h = gated_xattn_block(cfg, xp, h, image_latents, xmask, gate)
+
+        def layer_body(h, xs_l):
+            p_l, icv_row, kv_l = xs_l
+            icv_arg = icv_row if have_icv else None
+            kv_write = (kv_l[0], kv_l[1], index) if cache is not None else None
+            h, new_kv = decoder_layer(
+                cfg.text, p_l, h, cos, sin, mask, None, icv_arg, kv_write
+            )
+            return h, new_kv
+
+        if remat:
+            layer_body = jax.checkpoint(layer_body)
+        h, new_kv_g = jax.lax.scan(layer_body, h, (lp, icv_g, kv_g))
+        return h, new_kv_g
+
+    if remat:
+        group_body = jax.checkpoint(group_body)
+    h, kv_out = jax.lax.scan(
+        group_body, h, (params["xattn"], glayers, icv_xs, kv_xs)
+    )
+
+    new_cache = None
+    if cache is not None:
+
+        def degroup(x):
+            return x.reshape((t.n_layers,) + x.shape[2:])
+
+        new_cache = {
+            "k": degroup(kv_out[0]),
+            "v": degroup(kv_out[1]),
+            "pos": cache_pos,
+            "valid": cache_valid,
+            "index": index + s,
+        }
+
+    h = L.rms_norm(params["final_norm"], h, t.norm_eps)
+    return logits_from_hidden(t, params, h), new_cache
+
+
+def make_idefics_forward_fns(cfg: IdeficsConfig, params, eos_token_id: int):
+    """Bind (prefill/step) closures for the decode loop and a train-forward.
+
+    Returns ``forward_fn(input_ids, attention_mask, positions, cache)`` after
+    pixel binding via ``bind_images``.
+    """
+
+    def train_forward(model_params, inputs, icv_scaled):
+        latents = encode_images(cfg, model_params, inputs["pixel_values"])
+        onehot = image_attention_onehot(
+            inputs["input_ids"],
+            cfg.image_token_id,
+            eos_token_id,
+            inputs["pixel_values"].shape[1],
+        )
+        onehot = onehot * inputs["pixel_valid"][:, None, :].astype(jnp.float32)
+        logits, _ = idefics_forward(
+            cfg,
+            model_params,
+            inputs["input_ids"],
+            inputs["attention_mask"],
+            latents,
+            onehot,
+            icv_scaled=icv_scaled,
+            remat=True,
+        )
+        return logits
+
+    def bind_images(pixel_values, pixel_valid, prompt_ids, icv_scaled, max_len):
+        latents = encode_images(cfg, params, pixel_values)
+        n_img = pixel_values.shape[1]
+        pv = pixel_valid[:, None, :].astype(jnp.float32)
+        prefill_onehot = (
+            image_attention_onehot(
+                prompt_ids, cfg.image_token_id, eos_token_id, n_img
+            )
+            * pv
+        )
+        step_onehot = (
+            last_image_onehot(prompt_ids, cfg.image_token_id, n_img) * pv
+        )
+
+        def forward_fn(input_ids, attention_mask, positions, cache):
+            b = input_ids.shape[0]
+            if cache is None:
+                cache = init_kv_cache(cfg.text, b, max_len)
+                onehot = prefill_onehot
+                lat = latents
+            else:
+                # during beam decode the batch may be beam-expanded
+                rep = b // latents.shape[0]
+                lat = jnp.repeat(latents, rep, axis=0)
+                so = jnp.repeat(step_onehot, rep, axis=0)
+                onehot = jnp.broadcast_to(
+                    so, (b, input_ids.shape[1], so.shape[-1])
+                )
+            return idefics_forward(
+                cfg,
+                params,
+                input_ids,
+                attention_mask,
+                lat,
+                onehot,
+                icv_scaled=icv_scaled,
+                cache=cache,
+                positions=positions,
+            )
+
+        return forward_fn
+
+    return train_forward, bind_images

@@ -1,0 +1,110 @@
+"""CLIP-style ViT vision tower (Idefics-9B's OpenCLIP ViT-H/14).
+
+Patchify is a reshape + one big matmul (stride==kernel convolution is exactly
+that), which lands on the MXU directly.  Pre-LN encoder, biased projections,
+GELU MLP — matching HF ``IdeficsVisionTransformer`` so converted weights are
+bit-comparable.  Returns ``last_hidden_state`` (NO post-layernorm), which is
+what the perceiver consumes.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .config import VisionConfig
+from . import layers as L
+
+
+def init_vision_params(key, cfg: VisionConfig) -> dict:
+    d, f, p = cfg.d_model, cfg.d_ff, cfg.patch_size
+    ks = jax.random.split(key, 10)
+    n = cfg.n_layers
+
+    def w(k, shape):
+        return L.dense_init(k, shape, cfg.dtype)
+
+    params = {
+        "patch_embed": w(ks[0], (p * p * 3, d)),
+        "pos_embed": w(ks[1], (cfg.n_patches, d)),
+        "pre_ln": {"w": jnp.ones((d,), cfg.dtype), "b": jnp.zeros((d,), cfg.dtype)},
+        "post_ln": {"w": jnp.ones((d,), cfg.dtype), "b": jnp.zeros((d,), cfg.dtype)},
+        "layers": {
+            "ln1": {
+                "w": jnp.ones((n, d), cfg.dtype),
+                "b": jnp.zeros((n, d), cfg.dtype),
+            },
+            "ln2": {
+                "w": jnp.ones((n, d), cfg.dtype),
+                "b": jnp.zeros((n, d), cfg.dtype),
+            },
+            "attn": {
+                "wq": w(ks[2], (n, d, d)),
+                "bq": jnp.zeros((n, d), cfg.dtype),
+                "wk": w(ks[3], (n, d, d)),
+                "bk": jnp.zeros((n, d), cfg.dtype),
+                "wv": w(ks[4], (n, d, d)),
+                "bv": jnp.zeros((n, d), cfg.dtype),
+                "wo": w(ks[5], (n, d, d)),
+                "bo": jnp.zeros((n, d), cfg.dtype),
+            },
+            "mlp": {
+                "w1": w(ks[6], (n, d, f)),
+                "b1": jnp.zeros((n, f), cfg.dtype),
+                "w2": w(ks[7], (n, f, d)),
+                "b2": jnp.zeros((n, d), cfg.dtype),
+            },
+        },
+    }
+    if cfg.use_class_token:
+        params["class_embed"] = w(ks[8], (d,))
+    return params
+
+
+def patchify(pixels: jax.Array, patch: int) -> jax.Array:
+    """(B, H, W, 3) → (B, N, P·P·3) in (p_h, p_w, channel) order — matches a
+    stride-P conv with kernel layout (kh, kw, C, D)."""
+    b, h, w, c = pixels.shape
+    gh, gw = h // patch, w // patch
+    x = pixels.reshape(b, gh, patch, gw, patch, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)  # (B, gh, gw, P, P, C)
+    return x.reshape(b, gh * gw, patch * patch * c)
+
+
+def _vit_layer(cfg: VisionConfig, p: dict, h: jax.Array) -> jax.Array:
+    b, s, d = h.shape
+    nh, dh = cfg.n_heads, d // cfg.n_heads
+    x = L.layer_norm(p["ln1"]["w"], p["ln1"]["b"], h, cfg.norm_eps)
+    a = p["attn"]
+    q = (jnp.dot(x, a["wq"]) + a["bq"]).reshape(b, s, nh, dh)
+    k = (jnp.dot(x, a["wk"]) + a["bk"]).reshape(b, s, nh, dh)
+    v = (jnp.dot(x, a["wv"]) + a["bv"]).reshape(b, s, nh, dh)
+    attn = L.dot_product_attention(q, k, v)
+    h = h + (jnp.dot(attn.reshape(b, s, d), a["wo"]) + a["bo"]).astype(h.dtype)
+
+    x2 = L.layer_norm(p["ln2"]["w"], p["ln2"]["b"], h, cfg.norm_eps)
+    m = p["mlp"]
+    z = jnp.dot(x2, m["w1"]) + m["b1"]
+    z = jax.nn.gelu(z.astype(jnp.float32), approximate=False).astype(h.dtype)
+    h = h + (jnp.dot(z, m["w2"]) + m["b2"]).astype(h.dtype)
+    return h
+
+
+def vision_forward(cfg: VisionConfig, params: dict, pixels: jax.Array) -> jax.Array:
+    """(B, H, W, 3) float → last_hidden_state (B, N, D)."""
+    x = patchify(pixels.astype(cfg.dtype), cfg.patch_size)
+    h = jnp.dot(x, params["patch_embed"])
+    if cfg.use_class_token:
+        cls = jnp.broadcast_to(
+            params["class_embed"][None, None, :], (h.shape[0], 1, h.shape[-1])
+        )
+        h = jnp.concatenate([cls, h], axis=1)
+    h = h + params["pos_embed"][None, : h.shape[1], :]
+    if cfg.use_pre_norm:
+        h = L.layer_norm(params["pre_ln"]["w"], params["pre_ln"]["b"], h, cfg.norm_eps)
+
+    def body(h, p):
+        return _vit_layer(cfg, p, h), None
+
+    h, _ = jax.lax.scan(body, h, params["layers"])
+    return h
