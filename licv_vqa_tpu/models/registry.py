@@ -1,0 +1,162 @@
+"""Model registry: config group ``lmm`` → a runnable model bundle.
+
+Replaces the reference's ``init_interface`` factory over the external
+``lmm_icl_interface`` package (reference: utils.py:31-80).  A bundle carries
+the JAX model (config + params), tokenizer, processor, and the two forward
+closures the trainer/decoder need.
+
+Weight resolution for real checkpoints: ``{model_cpk_dir}/{model_name}`` with
+HF ``*.safetensors`` shards (or ``pytorch_model*.bin``).  When absent —
+e.g. in an offline environment — parameters are randomly initialized with a
+loud warning; the tiny configs (``tiny-idefics``) exist for exactly the
+smoke-run idiom the reference used (reference: config/train.yaml:15).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..data.processor import (
+    CLIP_MEAN,
+    CLIP_STD,
+    SIGLIP_MEAN,
+    SIGLIP_STD,
+    ImageTransform,
+    PromptProcessor,
+)
+from ..data.tokenizer import WhitespaceTokenizer, load_hf_tokenizer
+from ..utils.log import get_logger
+from .config import injection_site_from_layer_format
+from .convert import convert_idefics
+from .idefics import IdeficsConfig, init_idefics_params, make_idefics_forward_fns
+
+logger = get_logger("models")
+
+
+@dataclasses.dataclass
+class ModelBundle:
+    name: str
+    model_cfg: Any
+    params: Any
+    tokenizer: Any
+    processor: PromptProcessor
+    train_forward: Callable  # (model_params, inputs, icv_scaled) -> logits
+    bind_decode: Callable  # (pixels, valid, prompt_ids, icv, max_len) -> fwd_fn
+    hidden_size: int
+    n_layers: int
+
+    @property
+    def pad_token_id(self) -> int:
+        return self.tokenizer.pad_token_id
+
+    @property
+    def eos_token_id(self) -> int:
+        return self.tokenizer.eos_token_id
+
+
+def _load_hf_weights(model_dir: Path) -> Optional[dict]:
+    shards = sorted(model_dir.glob("*.safetensors"))
+    if shards:
+        from safetensors import safe_open
+
+        sd: dict = {}
+        for shard in shards:
+            with safe_open(str(shard), framework="pt") as f:
+                for k in f.keys():
+                    sd[k] = f.get_tensor(k)
+        return sd
+    bins = sorted(model_dir.glob("pytorch_model*.bin"))
+    if bins:
+        import torch
+
+        sd = {}
+        for b in bins:
+            sd.update(torch.load(b, map_location="cpu", weights_only=True))
+        return sd
+    return None
+
+
+def _resolve_tokenizer(model_dir: Optional[Path]):
+    if model_dir is not None and (model_dir / "tokenizer_config.json").exists():
+        return load_hf_tokenizer(str(model_dir))
+    logger.warning(
+        "no HF tokenizer found (%s) — falling back to WhitespaceTokenizer "
+        "(smoke/synthetic mode only)",
+        model_dir,
+    )
+    return WhitespaceTokenizer()
+
+
+def _idefics_bundle(cfg, model_cfg: IdeficsConfig, name: str) -> ModelBundle:
+    model_dir = None
+    if cfg is not None and "model_cpk_dir" in cfg:
+        try:
+            model_dir = Path(str(cfg.model_cpk_dir)) / str(cfg.lmm.model_name)
+        except Exception:
+            model_dir = None
+
+    sd = _load_hf_weights(model_dir) if model_dir and model_dir.exists() else None
+    if sd is not None:
+        params = convert_idefics(sd, model_cfg)
+        logger.info("loaded idefics weights from %s", model_dir)
+    else:
+        logger.warning(
+            "idefics weights not found under %s — RANDOM INIT (bf16)", model_dir
+        )
+        params = init_idefics_params(jax.random.PRNGKey(0), model_cfg)
+
+    tokenizer = _resolve_tokenizer(model_dir)
+    # keep the processor's image token in sync with the model config
+    if hasattr(tokenizer, "token_id"):
+        tok_img = tokenizer.token_id("<image>")
+        if tok_img is not None and tok_img >= 0 and sd is not None:
+            model_cfg = dataclasses.replace(model_cfg, image_token_id=tok_img)
+
+    processor = PromptProcessor(
+        tokenizer,
+        ImageTransform(model_cfg.vision.image_size, CLIP_MEAN, CLIP_STD),
+        family="idefics",
+    )
+    # make the whitespace-tokenizer smoke path self-consistent
+    if isinstance(tokenizer, WhitespaceTokenizer):
+        model_cfg = dataclasses.replace(
+            model_cfg, image_token_id=processor.image_token_id
+        )
+
+    train_forward, bind_decode = make_idefics_forward_fns(
+        model_cfg, params, tokenizer.eos_token_id
+    )
+    return ModelBundle(
+        name=name,
+        model_cfg=model_cfg,
+        params=params,
+        tokenizer=tokenizer,
+        processor=processor,
+        train_forward=train_forward,
+        bind_decode=bind_decode,
+        hidden_size=model_cfg.text.d_model,
+        n_layers=model_cfg.text.n_layers,
+    )
+
+
+def build_model(cfg) -> ModelBundle:
+    """``cfg`` is the composed top-level config (needs ``cfg.lmm``)."""
+    name = str(cfg.lmm.name)
+    if name == "idefics-9b":
+        return _idefics_bundle(cfg, IdeficsConfig.idefics_9b(), name)
+    if name == "tiny-idefics":
+        return _idefics_bundle(cfg, IdeficsConfig.tiny(dtype=jnp.float32), name)
+    if name == "idefics2-8b-base":
+        from .idefics2 import build_idefics2_bundle
+
+        return build_idefics2_bundle(cfg)
+    if "openflamingo" in name.lower():
+        from .openflamingo import build_openflamingo_bundle
+
+        return build_openflamingo_bundle(cfg)
+    raise ValueError(f"unknown lmm name: {name}")

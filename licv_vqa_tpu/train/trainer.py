@@ -1,0 +1,186 @@
+"""The training driver: mesh + jitted step + epoch loop.
+
+Replaces PyTorch-Lightning ``Trainer`` + DeepSpeed (reference: train.py:55-77,
+config/trainer/*.yaml).  Scaling model (SURVEY.md §2.5): the batch is sharded
+over the mesh's ``dp`` axis, frozen LMM params are replicated (or tp-sharded
+when ``strategy=dp_tp``), and ``jit`` emits the single tiny gradient ``psum``
+for the ~131K-param ICV pytree — there is no user-level collective code.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from pathlib import Path
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..core.mesh import AXIS_DP, AXIS_TP, MeshConfig, create_mesh
+from ..icv.encoder import GlobalICVEncoder
+from ..icv.module import (
+    ICVModuleConfig,
+    TrainState,
+    init_train_state,
+    make_optimizer,
+    make_train_step,
+)
+from ..utils.log import get_logger
+from .checkpoint import StepCheckpointer, save_icv_checkpoint
+
+logger = get_logger("train")
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    """Mirror of config/trainer/*.yaml (reference override keys kept)."""
+
+    devices: int = -1
+    strategy: str = "dp"
+    tp: int = 1
+    precision: str = "bf16-mixed"
+    max_epochs: int = 10
+    gradient_clip_val: float = 1.0
+    log_every_n_steps: int = 10
+    accumulate_grad_batches: int = 1
+    checkpoint_every_n_steps: int = 200
+    limit_train_batches: int = -1
+    remat: bool = True
+    default_root_dir: str = "."
+
+    @classmethod
+    def from_config(cls, cfg) -> "TrainerConfig":
+        known = {f.name for f in dataclasses.fields(cls)}
+        kw = {k: cfg[k] for k in cfg.keys() if k in known}
+        kw.pop("default_root_dir", None)
+        try:
+            kw["default_root_dir"] = str(cfg.get("default_root_dir", "."))
+        except Exception:
+            kw["default_root_dir"] = "."
+        return cls(**kw)
+
+
+class Trainer:
+    def __init__(
+        self,
+        trainer_cfg: TrainerConfig,
+        module_cfg: ICVModuleConfig,
+        encoder: GlobalICVEncoder,
+        forward_fn: Callable,  # (model_params, inputs, icv_scaled) -> logits
+        model_params: Any,
+        pad_token_id: int,
+        mesh=None,
+        metrics_hook: Optional[Callable[[int, dict], None]] = None,
+    ):
+        self.cfg = trainer_cfg
+        self.module_cfg = dataclasses.replace(
+            module_cfg,
+            gradient_clip_val=trainer_cfg.gradient_clip_val,
+            accumulate_grad_batches=trainer_cfg.accumulate_grad_batches,
+        )
+        self.encoder = encoder
+        self.forward_fn = forward_fn
+        self.pad_token_id = pad_token_id
+        self.metrics_hook = metrics_hook
+
+        if mesh is None:
+            n = trainer_cfg.devices
+            devices = jax.devices()
+            if n not in (-1, 0) and n < len(devices):
+                devices = devices[:n]
+            tp = trainer_cfg.tp if trainer_cfg.strategy == "dp_tp" else 1
+            mesh = create_mesh(MeshConfig(dp=-1, tp=tp), devices)
+        self.mesh = mesh
+        self.repl = NamedSharding(mesh, P())
+        self.batch_shard = NamedSharding(mesh, P(AXIS_DP))
+        # frozen weights: replicated under dp; (future) tp rules hook in here
+        self.model_params = jax.device_put(model_params, self.repl)
+
+    # ------------------------------------------------------------------
+    def fit(
+        self,
+        loader,
+        run_dir: str | Path,
+        lmm_args: Optional[dict] = None,
+        use_sigmoid: bool = False,
+    ) -> TrainState:
+        cfg = self.cfg
+        steps_per_epoch = len(loader)
+        if cfg.limit_train_batches and cfg.limit_train_batches > 0:
+            steps_per_epoch = min(steps_per_epoch, cfg.limit_train_batches)
+        total_micro = steps_per_epoch * cfg.max_epochs
+        total_steps = max(1, total_micro // cfg.accumulate_grad_batches)
+
+        optimizer = make_optimizer(self.module_cfg, total_steps)
+        state = init_train_state(
+            jax.random.PRNGKey(0), self.encoder, self.module_cfg, optimizer
+        )
+        state = jax.device_put(state, self.repl)
+
+        run_dir = Path(run_dir)
+        ckpt = StepCheckpointer(run_dir / "steps")
+        resume_step, state = ckpt.restore(state)
+        if resume_step is not None:
+            logger.info("resumed from step checkpoint %d", resume_step)
+
+        step_fn = jax.jit(
+            make_train_step(
+                self.forward_fn,
+                self.encoder,
+                self.module_cfg,
+                optimizer,
+                self.pad_token_id,
+            ),
+            donate_argnums=(0,),
+        )
+
+        micro_step = int(np.asarray(state.step)) * 1  # counts micro-batches
+        done = False
+        t0 = time.time()
+        for epoch in range(cfg.max_epochs):
+            if done:
+                break
+            for bi, batch in enumerate(loader):
+                if bi >= steps_per_epoch:
+                    break
+                if micro_step >= total_micro:
+                    done = True
+                    break
+                batch = jax.device_put(batch, self.batch_shard)
+                state, metrics = step_fn(state, self.model_params, batch)
+                micro_step += 1
+                if micro_step % max(1, cfg.log_every_n_steps) == 0:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    dt = time.time() - t0
+                    logger.info(
+                        "epoch %d micro %d/%d loss=%.4f kl=%.4f (%.2f it/s)",
+                        epoch,
+                        micro_step,
+                        total_micro,
+                        m.get("loss", float("nan")),
+                        m.get("kl_loss", float("nan")),
+                        micro_step / max(dt, 1e-6),
+                    )
+                    if self.metrics_hook:
+                        self.metrics_hook(micro_step, m)
+                if (
+                    cfg.checkpoint_every_n_steps > 0
+                    and micro_step % cfg.checkpoint_every_n_steps == 0
+                ):
+                    ckpt.save(micro_step, state)
+        ckpt.wait()
+
+        # final artifact with the reference's exact key contract
+        icv_np = jax.tree.map(np.asarray, state.params["encoder"])
+        save_icv_checkpoint(
+            run_dir,
+            icv_np,
+            use_sigmoid=use_sigmoid,
+            lmm_args=lmm_args or {},
+            temperature=float(np.asarray(state.params["temperature"])),
+        )
+        logger.info("saved %s", run_dir / "icv_cpk.pth")
+        return state
