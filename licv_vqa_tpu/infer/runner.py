@@ -1,0 +1,180 @@
+"""Batched evaluation runners: ICV-steered zero-shot and few-shot ICL.
+
+Replaces the reference's Python-driven loops (reference: inference.py:246-378)
+with fixed-shape jitted generation: prompts are LEFT-padded to bucket
+multiples, short final batches are padded to the batch size and the extra
+rows discarded (the reference allocates unused slots the same way,
+inference.py:264-267), so each (batch, bucket, n_images) triple compiles
+exactly once.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.prompt import PromptManager
+from ..utils.log import get_logger
+from .decode import beam_generate, greedy_generate
+
+logger = get_logger("infer")
+
+
+def _chunked(seq, n):
+    buf = []
+    for x in seq:
+        buf.append(x)
+        if len(buf) == n:
+            yield buf
+            buf = []
+    if buf:
+        yield buf
+
+
+def make_generate_fn(bundle, generate_kwargs: dict) -> Callable:
+    """Build ONE jitted generate over (ids, mask, pixels, valid, icv).
+
+    The KV cache length is derived from the (bucketed) prompt length at trace
+    time, so memory tracks the actual bucket instead of the global max."""
+    max_new = int(generate_kwargs.get("max_new_tokens", 5))
+    min_new = int(generate_kwargs.get("min_new_tokens", 0))
+    num_beams = int(generate_kwargs.get("num_beams", 1))
+    length_penalty = float(generate_kwargs.get("length_penalty", 0.0))
+    eos, pad = bundle.eos_token_id, bundle.pad_token_id
+
+    def gen(input_ids, attention_mask, pixels, pixel_valid, icv_scaled):
+        fwd = bundle.bind_decode(
+            pixels, pixel_valid, input_ids, icv_scaled,
+            input_ids.shape[1] + max_new + 1,
+        )
+        if num_beams > 1:
+            return beam_generate(
+                fwd,
+                input_ids,
+                attention_mask,
+                max_new_tokens=max_new,
+                eos_token_id=eos,
+                pad_token_id=pad,
+                num_beams=num_beams,
+                length_penalty=length_penalty,
+                min_new_tokens=min_new,
+            )
+        return greedy_generate(
+            fwd,
+            input_ids,
+            attention_mask,
+            max_new_tokens=max_new,
+            eos_token_id=eos,
+            pad_token_id=pad,
+            min_new_tokens=min_new,
+        )
+
+    return jax.jit(gen)
+
+
+def generate_answers(
+    bundle,
+    gen_fn: Callable,
+    prompts: list[list],
+    icv_scaled,
+) -> list[str]:
+    """Tokenize → generate → decode ONLY the continuation
+    (reference: inference.py:300-321)."""
+    proc = bundle.processor
+    enc = proc.prepare_input(prompts, padding=True, padding_side="left")
+    out = gen_fn(
+        jnp.asarray(enc["input_ids"]),
+        jnp.asarray(enc["attention_mask"]),
+        jnp.asarray(enc["pixel_values"]),
+        jnp.asarray(enc["pixel_valid"]),
+        icv_scaled,
+    )
+    out = np.asarray(out)
+    prompt_len = enc["input_ids"].shape[1]
+    return bundle.tokenizer.batch_decode(
+        [row[prompt_len:] for row in out], skip_special_tokens=True
+    )
+
+
+def icv_inference(
+    val_ds,
+    bundle,
+    prompt_manager: PromptManager,
+    bs: int,
+    generate_kwargs: dict,
+    instruction: str = "",
+    icv_scaled: Optional[jax.Array] = None,
+    progress: bool = True,
+) -> dict:
+    """Zero-shot (+ optional ICV) eval loop (reference: inference.py:246-297)."""
+    gen_fn = make_generate_fn(bundle, generate_kwargs)
+    results: dict = {}
+    index = 0
+    it = _maybe_tqdm(val_ds, progress)
+    for batch in _chunked(it, bs):
+        real = len(batch)
+        padded = batch + [batch[-1]] * (bs - real)
+        prompts = []
+        for sample in padded:
+            p = [instruction] if instruction else []
+            p += [sample["image"], prompt_manager.gen_query_text_without_label(sample)]
+            prompts.append(p)
+        generated = generate_answers(bundle, gen_fn, prompts, icv_scaled)
+        for i in range(real):
+            row = {k: v for k, v in batch[i].items() if k != "image"}
+            results[index] = {"prediction": generated[i], **row}
+            index += 1
+    return results
+
+
+def icl_inference(
+    train_ds,
+    val_ds,
+    ice_idx_list: list[list[int]],
+    bundle,
+    prompt_manager: PromptManager,
+    bs: int,
+    generate_kwargs: dict,
+    instruction: str = "",
+    progress: bool = True,
+) -> dict:
+    """True few-shot ICL eval (reference: inference.py:324-378)."""
+    gen_fn = make_generate_fn(bundle, generate_kwargs)
+    results: dict = {}
+    index = 0
+    for batch in _chunked(_maybe_tqdm(val_ds, progress), bs):
+        real = len(batch)
+        ice_ids = ice_idx_list[index : index + real]
+        ice_ids = ice_ids + [ice_ids[-1]] * (bs - real)
+        padded = batch + [batch[-1]] * (bs - real)
+        prompts = []
+        for sample, shots in zip(padded, ice_ids):
+            p = [instruction] if instruction else []
+            for si in shots:
+                shot = train_ds[si]
+                p += [
+                    shot["image"],
+                    prompt_manager.gen_ice_text_with_label(shot, add_sep_token=True),
+                ]
+            p += [sample["image"], prompt_manager.gen_query_text_without_label(sample)]
+            prompts.append(p)
+        generated = generate_answers(bundle, gen_fn, prompts, None)
+        for i in range(real):
+            row = {k: v for k, v in batch[i].items() if k != "image"}
+            results[index] = {"prediction": generated[i], **row}
+            index += 1
+    return results
+
+
+def _maybe_tqdm(it, enabled: bool):
+    if not enabled:
+        return it
+    try:
+        from tqdm import tqdm
+
+        return tqdm(it, total=len(it))
+    except ImportError:
+        return it

@@ -1,0 +1,166 @@
+"""RICE shot retrieval: CLIP dual-encoder + exact top-k.
+
+Replaces the reference's faiss ``IndexFlatIP`` path (reference:
+icv_src/utils/mm_topk_retriver.py) — at these index sizes (≤ ~10⁴) exact
+inner-product search is ONE matmul + ``jax.lax.top_k`` on the accelerator
+(SURVEY.md §2.4), so no ANN library is needed.  The feature-cache contract is
+kept: a ``torch.save`` pickle with the encoded index/test features keyed by
+mode, so caches interoperate with the reference's.
+
+Encoders are pluggable: a transformers CLIP checkpoint from a LOCAL directory
+(``clip_model_path`` / ``$CLIP_CPK_DIR``) when available, else a
+deterministic hash encoder (tests / offline smoke).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from pathlib import Path
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.log import get_logger
+
+logger = get_logger("retrieval")
+
+
+class HashEncoder:
+    """Deterministic, dependency-free featurizer (offline fallback)."""
+
+    dim = 64
+
+    def encode_images(self, images: Sequence) -> np.ndarray:
+        feats = []
+        for img in images:
+            arr = np.asarray(
+                img.convert("L").resize((8, 8)) if hasattr(img, "convert") else img
+            )
+            arr = np.resize(np.asarray(arr, np.float32), (self.dim,))
+            feats.append(arr)
+        return np.stack(feats)
+
+    def encode_texts(self, texts: Sequence[str]) -> np.ndarray:
+        feats = []
+        for t in texts:
+            h = np.zeros(self.dim, np.float32)
+            for i, ch in enumerate(t.encode()):
+                h[(ch * 31 + i) % self.dim] += 1.0
+            feats.append(h)
+        return np.stack(feats)
+
+
+class ClipEncoder:
+    """transformers CLIP from a local checkpoint directory."""
+
+    def __init__(self, model_path: str, batch_size: int = 8):
+        import torch
+        from transformers import CLIPModel, CLIPProcessor
+
+        self.torch = torch
+        self.model = CLIPModel.from_pretrained(model_path).eval()
+        self.processor = CLIPProcessor.from_pretrained(model_path)
+        self.batch_size = batch_size
+
+    def encode_images(self, images) -> np.ndarray:
+        out = []
+        for i in range(0, len(images), self.batch_size):
+            batch = self.processor(
+                images=list(images[i : i + self.batch_size]), return_tensors="pt"
+            )
+            with self.torch.no_grad():
+                out.append(self.model.get_image_features(**batch).numpy())
+        return np.concatenate(out)
+
+    def encode_texts(self, texts) -> np.ndarray:
+        out = []
+        for i in range(0, len(texts), self.batch_size):
+            batch = self.processor(
+                text=list(texts[i : i + self.batch_size]),
+                return_tensors="pt",
+                padding=True,
+                truncation=True,
+            )
+            with self.torch.no_grad():
+                out.append(self.model.get_text_features(**batch).numpy())
+        return np.concatenate(out)
+
+
+def _default_encoder(batch_size: int):
+    path = os.environ.get("CLIP_CPK_DIR")
+    if path and Path(path).exists():
+        logger.info("RICE using CLIP encoder from %s", path)
+        return ClipEncoder(path, batch_size)
+    logger.warning("RICE: no local CLIP checkpoint — using HashEncoder fallback")
+    return HashEncoder()
+
+
+def _l2_normalize(x: np.ndarray) -> np.ndarray:
+    return x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True), 1e-8)
+
+
+class MMTopkRetriever:
+    """mode ∈ {i2i, i2t, t2i, t2t}: test-side query → index-side keys."""
+
+    def __init__(
+        self,
+        index_ds,
+        test_ds,
+        mode: str = "i2i",
+        index_field: str = "image",
+        test_field: Optional[str] = None,
+        batch_size: int = 8,
+        num_workers: int = 0,
+        cache_file: Optional[str] = None,
+        encoder=None,
+        device=None,
+    ):
+        del num_workers, device  # host threading / device handled by JAX
+        self.mode = mode
+        self.index_ds = index_ds
+        self.test_ds = test_ds
+        self.index_field = index_field
+        self.test_field = test_field or index_field
+        self.encoder = encoder or _default_encoder(batch_size)
+
+        feats = self._load_cache(cache_file)
+        if feats is None:
+            q_kind, k_kind = mode.split("2")[0], mode.split("2")[1]
+            index_feats = self._encode(index_ds, self.index_field, k_kind)
+            test_feats = self._encode(test_ds, self.test_field, q_kind)
+            feats = {"index": index_feats, "test": test_feats, "mode": mode}
+            self._save_cache(cache_file, feats)
+        self.index_feats = _l2_normalize(np.asarray(feats["index"], np.float32))
+        self.test_feats = _l2_normalize(np.asarray(feats["test"], np.float32))
+
+    def _encode(self, ds, field: str, kind: str) -> np.ndarray:
+        values = [ds[i][field] for i in range(len(ds))]
+        if kind == "i":
+            return self.encoder.encode_images(values)
+        return self.encoder.encode_texts([str(v) for v in values])
+
+    def _load_cache(self, cache_file):
+        if cache_file and Path(cache_file).exists():
+            import torch
+
+            logger.info("RICE cache hit: %s", cache_file)
+            cached = torch.load(cache_file, weights_only=False)
+            if cached.get("mode") == self.mode:
+                return cached
+        return None
+
+    def _save_cache(self, cache_file, feats):
+        if cache_file:
+            import torch
+
+            Path(cache_file).parent.mkdir(parents=True, exist_ok=True)
+            torch.save(feats, cache_file)
+
+    def retrieve(self, ice_num: int) -> list[list[int]]:
+        """Exact top-``ice_num`` inner-product search on the accelerator."""
+        sims = jnp.asarray(self.test_feats) @ jnp.asarray(self.index_feats).T
+        _, idx = jax.lax.top_k(sims, ice_num)
+        return np.asarray(idx).tolist()

@@ -34,6 +34,26 @@ from .checkpoint import StepCheckpointer, save_icv_checkpoint
 logger = get_logger("train")
 
 
+def _pad_batch_to_multiple(batch, multiple: int):
+    """Zero-pad every leaf's batch dim to a dp multiple.
+
+    Loss-neutral by construction: padded rows have attention_mask 0, so their
+    answer-region masks are all-False (they add nothing to the masked-KL
+    numerator or denominator) and their CE labels are ignored."""
+    if multiple <= 1:
+        return batch
+
+    def pad(x):
+        b = x.shape[0]
+        rem = (-b) % multiple
+        if rem == 0:
+            return x
+        widths = [(0, rem)] + [(0, 0)] * (x.ndim - 1)
+        return np.pad(np.asarray(x), widths)
+
+    return jax.tree.map(pad, batch)
+
+
 @dataclasses.dataclass
 class TrainerConfig:
     """Mirror of config/trainer/*.yaml (reference override keys kept)."""
@@ -149,6 +169,7 @@ class Trainer:
                 if micro_step >= total_micro:
                     done = True
                     break
+                batch = _pad_batch_to_multiple(batch, self.mesh.shape[AXIS_DP])
                 batch = jax.device_put(batch, self.batch_shard)
                 state, metrics = step_fn(state, self.model_params, batch)
                 micro_step += 1

@@ -1,0 +1,156 @@
+"""End-to-end CLI test: the reference's full workflow on synthetic data.
+
+train.py (tiny-random idefics, debug trainer) → icv_cpk.pth →
+inference.py test_icv (beam-3) and test_icl (+RICE) → result.json with VQA
+accuracies.  Mirrors the reference call stacks in SURVEY.md §3.1-3.3.
+"""
+
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+from PIL import Image
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def _write_vqa_split(root: Path, img_root: Path, split: str, n: int, prefix="v2_"):
+    img_root.mkdir(parents=True, exist_ok=True)
+    root.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(hash(split) % 2**31)
+    questions, annotations = [], []
+    answers_pool = ["red", "blue", "two", "cat", "yes", "no"]
+    for i in range(n):
+        qid, img_id = 100 + i, 200 + i
+        Image.fromarray(
+            rng.integers(0, 255, size=(28, 28, 3), dtype=np.uint8)
+        ).save(img_root / f"COCO_{split}_{img_id:012d}.jpg")
+        ans = answers_pool[i % len(answers_pool)]
+        questions.append(
+            {"question_id": qid, "image_id": img_id, "question": f"What thing {i}?"}
+        )
+        annotations.append(
+            {
+                "question_id": qid,
+                "image_id": img_id,
+                "multiple_choice_answer": ans,
+                "question_type": "what",
+                "answer_type": "other",
+                "answers": [{"answer": ans, "answer_id": j + 1} for j in range(10)],
+            }
+        )
+    (root / f"{prefix}OpenEnded_mscoco_{split}_questions.json").write_text(
+        json.dumps({"questions": questions})
+    )
+    ann_name = f"{prefix}mscoco_{split}_annotations.json"
+    (root / ann_name).write_text(json.dumps({"annotations": annotations}))
+    if split == "val2014":
+        (root / f"{prefix}mscoco_val2014_annotations_subdata.json").write_text(
+            json.dumps({"annotations": annotations})
+        )
+
+
+@pytest.fixture()
+def env(tmp_path, monkeypatch):
+    vqa_root = tmp_path / "vqav2"
+    coco = tmp_path / "coco" / "mscoco2014"
+    _write_vqa_split(vqa_root, coco / "train2014", "train2014", 8)
+    _write_vqa_split(vqa_root, coco / "val2014", "val2014", 5)
+    monkeypatch.setenv("VQAV2_PATH", str(vqa_root))
+    monkeypatch.setenv("COCO_PATH", str(tmp_path / "coco"))
+    monkeypatch.setenv("RESULT_DIR", str(tmp_path / "results"))
+    monkeypatch.setenv("MODEL_CPK_DIR", str(tmp_path / "cpk"))
+    monkeypatch.setenv("OKVQA_PATH", str(tmp_path / "okvqa"))
+    monkeypatch.chdir(REPO)
+    return tmp_path
+
+
+COMMON = [
+    "lmm=tiny-idefics",
+    "run_name=e2e",
+    "data_cfg.task.datasets.few_shot_num=2",
+    "data_cfg.task.datasets.max_train_size=-1",
+]
+
+
+def test_full_train_then_inference(env):
+    import train as train_cli
+    import inference as infer_cli
+
+    save_path = train_cli.main(
+        COMMON
+        + [
+            "trainer=debug",
+            "trainer.checkpoint_every_n_steps=2",
+            "trainer.log_every_n_steps=1",
+            "data_cfg.bs=2",
+            "data_cfg.num_workers=1",
+            "icv_module.icv_lr=1e-2",
+        ]
+    )
+    assert (save_path / "icv_cpk.pth").exists()
+    assert (save_path / "metrics.jsonl").exists()
+
+    # artifact contract: loads through torch with the reference's keys
+    import torch
+
+    state = torch.load(save_path / "icv_cpk.pth", weights_only=False)
+    assert state["icv_encoder.icv"].shape == (1, 4, 64)
+    assert state["icv_encoder.alpha"].shape == (1, 4)
+    assert "lmm_args" in state and state["lmm_args"]["total_layers"] == 4
+    assert isinstance(state["use_sigmoid"], bool)
+
+    # idempotent re-run exits early
+    again = train_cli.main(COMMON + ["trainer=debug", "data_cfg.bs=2"])
+    assert again == save_path
+
+    # ---- inference: ICV mode with beam-3 ----
+    result = infer_cli.main(
+        COMMON
+        + [
+            "test_icv=true",
+            "test_num=4",
+            "bs=2",
+            "generate_kwargs.max_new_tokens=3",
+        ]
+    )
+    keys = [k for k in result if "icv result" in k]
+    assert keys, result
+    acc = result[keys[0]]
+    assert "overall" in acc and 0.0 <= acc["overall"] <= 100.0
+
+    # result files on disk, reference layout
+    res_dir = Path(env / "results" / "inference" / "tiny-idefics" / "vqav2" / "e2e")
+    assert (res_dir / "result.json").exists()
+    assert list((res_dir / "meta_info").glob("*icv.json"))
+
+    # idempotency: second call without re_eval exits with stored results
+    again = infer_cli.main(COMMON + ["test_icv=true", "test_num=4", "bs=2"])
+    assert keys[0] in again
+
+
+def test_icl_inference_with_rice(env):
+    import inference as infer_cli
+
+    result = infer_cli.main(
+        COMMON
+        + [
+            "test_icv=false",
+            "test_icl=true",
+            "use_rice=true",
+            "few_shot_list=[1,2]",
+            "test_num=3",
+            "train_num=6",
+            "bs=3",
+            "run_name=e2e_icl",
+            "generate_kwargs.max_new_tokens=3",
+            "generate_kwargs.num_beams=1",
+        ]
+    )
+    icl_keys = [k for k in result if "ICL shot_num" in k]
+    assert len(icl_keys) == 2, result
+    # RICE cache file written with the reference's contract
+    assert list((env / "results" / "cache").glob("*rice_imgemb.pkl"))
