@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Headline benchmark: ICV-steered decode throughput per chip.
+
+Measures greedy decode tokens/sec/chip on the flagship Idefics architecture
+(hidden 4096, heads 32, ff 11008, gated cross-attn every 4 layers, ViT-H
+tower, perceiver) with the ICV injected at EVERY decoder layer — the exact
+hot path the reference drives through per-layer-per-token baukit hooks
+(reference: inference.py:300-321, README:14 notes the hook overhead).
+
+Layer count adapts to the chip's HBM (a TPU v5e cannot hold all 32 bf16
+layers of the 9B + cache; the bench uses the largest fitting depth and
+reports it in the metric name).  Weights are random bf16 — throughput is
+architecture + runtime bound, not weight bound.
+
+Baseline for ``vs_baseline``: the reference's A100 + baukit hook path at the
+same per-token work, estimated at 15 tokens/s/device (bs=1 beam-3 decode with
+32 hooked layers — see BASELINE.md; the repo publishes no number, so the
+driver tracks our absolute value round over round).  Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_TOKENS_PER_SEC = 15.0
+BS = 8
+PROMPT_LEN = 64
+MAX_NEW = 32
+
+
+def build(n_layers: int):
+    import jax
+    import jax.numpy as jnp
+
+    from licv_vqa_tpu.models.idefics import (
+        IdeficsConfig,
+        init_idefics_params,
+        make_idefics_forward_fns,
+    )
+
+    cfg9 = IdeficsConfig.idefics_9b()
+    cfg = dataclasses.replace(
+        cfg9,
+        text=dataclasses.replace(cfg9.text, n_layers=n_layers),
+    )
+    params = init_idefics_params(jax.random.PRNGKey(0), cfg)
+    _, bind_decode = make_idefics_forward_fns(cfg, params, eos_token_id=2)
+    return cfg, params, bind_decode
+
+
+def run(n_layers: int) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from licv_vqa_tpu.infer.decode import greedy_generate
+
+    cfg, params, bind_decode = build(n_layers)
+    rng = np.random.default_rng(0)
+    ids = rng.integers(3, 32000, size=(BS, PROMPT_LEN)).astype(np.int32)
+    ids[:, 1] = cfg.image_token_id
+    mask = np.ones_like(ids)
+    pixels = rng.normal(size=(BS, 1, 224, 224, 3)).astype(np.float32)
+    valid = np.ones((BS, 1), bool)
+    icv = (
+        jnp.asarray(rng.normal(size=(cfg.text.n_layers, 4096)).astype(np.float32))
+        * 0.1
+    ).astype(jnp.bfloat16)
+
+    @jax.jit
+    def gen(ids, mask, pixels, valid, icv):
+        fwd = bind_decode(pixels, valid, ids, icv, PROMPT_LEN + MAX_NEW + 1)
+        return greedy_generate(
+            fwd, ids, mask, max_new_tokens=MAX_NEW, eos_token_id=-1, pad_token_id=0
+        )
+
+    args = (
+        jnp.asarray(ids),
+        jnp.asarray(mask),
+        jnp.asarray(pixels),
+        jnp.asarray(valid),
+        icv,
+    )
+    out = jax.block_until_ready(gen(*args))  # compile + warmup
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = jax.block_until_ready(gen(*args))
+    dt = (time.perf_counter() - t0) / reps
+    tok_per_sec = BS * MAX_NEW / dt
+    return {
+        "metric": f"icv_steered_greedy_decode_tokens_per_sec_per_chip"
+        f"_idefics{n_layers}L4096d_bf16_bs{BS}",
+        "value": round(tok_per_sec, 2),
+        "unit": "tokens/s/chip",
+        "vs_baseline": round(tok_per_sec / BASELINE_TOKENS_PER_SEC, 2),
+    }
+
+
+def main():
+    for n_layers in (24, 16, 8, 4):
+        try:
+            result = run(n_layers)
+            print(json.dumps(result))
+            return
+        except Exception as e:  # OOM on smaller chips → shrink depth
+            print(f"bench: {n_layers} layers failed ({type(e).__name__}); "
+                  "retrying smaller", file=sys.stderr)
+    raise SystemExit("bench failed at all depths")
+
+
+if __name__ == "__main__":
+    main()

@@ -66,7 +66,9 @@ class VisionConfig:
     norm_eps: float = 1e-5
     use_class_token: bool = True  # CLIP yes, SigLIP no
     use_pre_norm: bool = True  # CLIP pre-layernorm on embeddings
-    activation: str = "gelu"
+    use_post_norm: bool = False  # SigLIP post-layernorm on the sequence
+    patch_bias: bool = False  # SigLIP conv has a bias, CLIP does not
+    activation: str = "gelu"  # "gelu" | "gelu_tanh"
     dtype: jnp.dtype = jnp.bfloat16
 
     @property

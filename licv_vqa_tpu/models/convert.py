@@ -253,6 +253,120 @@ def convert_idefics(sd: Mapping, cfg, dtype=None) -> dict:
     return _cast_tree(params, dtype)
 
 
+def convert_siglip_vision(sd: Mapping, cfg: VisionConfig, prefix: str) -> dict:
+    """SigLIP-style tower (Idefics2): biased patch conv, no class token,
+    post-layernorm on the sequence."""
+    n = cfg.n_layers
+    lp = prefix + "encoder.layers.{i}."
+    conv = _np(sd[prefix + "embeddings.patch_embedding.weight"])
+    return {
+        "patch_embed": conv.transpose(2, 3, 1, 0).reshape(-1, conv.shape[0]),
+        "patch_bias": _np(sd[prefix + "embeddings.patch_embedding.bias"]),
+        "pos_embed": _np(sd[prefix + "embeddings.position_embedding.weight"]),
+        "post_ln": _ln(sd, prefix + "post_layernorm."),
+        "layers": {
+            "ln1": {
+                "w": _stack(sd, lp + "layer_norm1.weight", n),
+                "b": _stack(sd, lp + "layer_norm1.bias", n),
+            },
+            "ln2": {
+                "w": _stack(sd, lp + "layer_norm2.weight", n),
+                "b": _stack(sd, lp + "layer_norm2.bias", n),
+            },
+            "attn": {
+                "wq": _stack(sd, lp + "self_attn.q_proj.weight", n, True),
+                "bq": _stack(sd, lp + "self_attn.q_proj.bias", n),
+                "wk": _stack(sd, lp + "self_attn.k_proj.weight", n, True),
+                "bk": _stack(sd, lp + "self_attn.k_proj.bias", n),
+                "wv": _stack(sd, lp + "self_attn.v_proj.weight", n, True),
+                "bv": _stack(sd, lp + "self_attn.v_proj.bias", n),
+                "wo": _stack(sd, lp + "self_attn.out_proj.weight", n, True),
+                "bo": _stack(sd, lp + "self_attn.out_proj.bias", n),
+            },
+            "mlp": {
+                "w1": _stack(sd, lp + "mlp.fc1.weight", n, True),
+                "b1": _stack(sd, lp + "mlp.fc1.bias", n),
+                "w2": _stack(sd, lp + "mlp.fc2.weight", n, True),
+                "b2": _stack(sd, lp + "mlp.fc2.bias", n),
+            },
+        },
+    }
+
+
+def convert_idefics2(sd: Mapping, cfg, dtype=None) -> dict:
+    """``Idefics2ForConditionalGeneration`` state dict → our pytree.
+
+    ``cfg`` is a ``licv_vqa_tpu.models.idefics2.Idefics2Config``."""
+    t = cfg.text
+    dtype = dtype or t.dtype
+    params = convert_llama(sd, t, prefix="model.text_model.", dtype=dtype)
+
+    pp = "model.connector.perceiver_resampler."
+    n = cfg.perceiver.n_layers
+    lp = pp + "layers.{i}."
+    perceiver = {
+        "latents": _np(sd[pp + "latents"]),
+        "layers": {
+            "lat_norm": _stack(sd, lp + "input_latents_norm.weight", n),
+            "ctx_norm": _stack(sd, lp + "input_context_norm.weight", n),
+            "wq": _stack(sd, lp + "self_attn.q_proj.weight", n, True),
+            "wk": _stack(sd, lp + "self_attn.k_proj.weight", n, True),
+            "wv": _stack(sd, lp + "self_attn.v_proj.weight", n, True),
+            "wo": _stack(sd, lp + "self_attn.o_proj.weight", n, True),
+            "post_norm": _stack(sd, lp + "post_attention_layernorm.weight", n),
+            "mlp": {
+                "w_gate": _stack(sd, lp + "mlp.gate_proj.weight", n, True),
+                "w_up": _stack(sd, lp + "mlp.up_proj.weight", n, True),
+                "w_down": _stack(sd, lp + "mlp.down_proj.weight", n, True),
+            },
+        },
+        "final_norm": _np(sd[pp + "norm.weight"]),
+    }
+    cp = "model.connector.modality_projection."
+    connector = {
+        "w_gate": _np(sd[cp + "gate_proj.weight"]).T,
+        "w_up": _np(sd[cp + "up_proj.weight"]).T,
+        "w_down": _np(sd[cp + "down_proj.weight"]).T,
+    }
+    extra = {
+        "vision": convert_siglip_vision(sd, cfg.vision, "model.vision_model."),
+        "connector": connector,
+        "perceiver": perceiver,
+    }
+    return {**params, **_cast_tree(extra, dtype)}
+
+
+def convert_mpt(sd: Mapping, cfg: DecoderConfig, prefix: str = "transformer.", dtype=None) -> dict:
+    """HF ``MptForCausalLM`` → decoder params (OpenFlamingo's language
+    encoder).  The fused ``Wqkv`` (3D, D) splits into q/k/v rows; LayerNorms
+    are bias-free; the LM head ties to the embedding."""
+    dtype = dtype or cfg.dtype
+    n = cfg.n_layers
+    lp = prefix + "blocks.{i}."
+    wqkv = _stack(sd, lp + "attn.Wqkv.weight", n)  # (L, 3D, D)
+    d = cfg.d_model
+    layers = {
+        "attn": {
+            "wq": wqkv[:, :d, :].transpose(0, 2, 1),
+            "wk": wqkv[:, d : 2 * d, :].transpose(0, 2, 1),
+            "wv": wqkv[:, 2 * d :, :].transpose(0, 2, 1),
+            "wo": _stack(sd, lp + "attn.out_proj.weight", n, True),
+        },
+        "mlp": {
+            "w_up": _stack(sd, lp + "ffn.up_proj.weight", n, True),
+            "w_down": _stack(sd, lp + "ffn.down_proj.weight", n, True),
+        },
+        "ln1": _stack(sd, lp + "norm_1.weight", n),
+        "ln2": _stack(sd, lp + "norm_2.weight", n),
+    }
+    params = {
+        "embed": _np(sd[prefix + "wte.weight"]),
+        "layers": layers,
+        "final_norm": _np(sd[prefix + "norm_f.weight"]),
+    }
+    return _cast_tree(params, dtype)
+
+
 def hf_state_dict(model) -> dict:
     """Grab a torch module's state dict as plain numpy arrays."""
     return {k: _np(v) for k, v in model.state_dict().items()}

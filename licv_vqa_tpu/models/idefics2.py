@@ -1,0 +1,322 @@
+"""Idefics2-8B-base: Mistral backbone + SigLIP tower + perceiver connector,
+image features spliced INLINE into the token stream.
+
+Replaces the reference's ``Idefics2Interface`` (reference: utils.py:68-78).
+The ICV injection site is the decoder MLP SUBLAYER output — the semantics of
+the reference's ``layer_format: "model.model.text_model.layers.<L>.mlp"``
+(reference: config/lmm/idefics2-8B-base.yaml:8) — handled by the decoder's
+``injection_site=MLP_OUTPUT``.
+
+Architecture mirrors HF ``Idefics2ForConditionalGeneration``: SigLIP ViT
+(post-LN, biased patch conv, tanh-gelu), connector = SwiGLU modality
+projection (vision→text width) + RMSNorm GQA perceiver (3 layers, 64
+latents), Mistral decoder (GQA 8 kv heads).  Each ``<image>`` placeholder run
+of 64 tokens is replaced by that image's 64 latents via a static-shape
+cumsum gather (HF uses ``masked_scatter``).  Fixed square resolution — the
+NaViT variable-resolution path always sees a full patch mask here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import layers as L
+from .config import DecoderConfig, MLP_OUTPUT, VisionConfig
+from .decoder import (
+    causal_lm_forward,
+    forward_hidden,
+    init_decoder_params,
+    init_kv_cache,
+    logits_from_hidden,
+)
+from .vision import init_vision_params, vision_forward
+
+IMAGE_SEQ_LEN = 64
+
+
+@dataclasses.dataclass(frozen=True)
+class Idefics2PerceiverCfg:
+    n_latents: int = 64
+    n_layers: int = 3
+    n_heads: int = 16
+    n_kv_heads: int = 4
+    head_dim: int = 96
+    d_model: int = 4096
+    norm_eps: float = 1e-6
+    dtype: jnp.dtype = jnp.bfloat16
+
+
+@dataclasses.dataclass(frozen=True)
+class Idefics2Config:
+    text: DecoderConfig
+    vision: VisionConfig
+    perceiver: Idefics2PerceiverCfg
+    image_token_id: int = 32001
+    image_seq_len: int = IMAGE_SEQ_LEN
+
+    @classmethod
+    def idefics2_8b(cls, dtype=jnp.bfloat16) -> "Idefics2Config":
+        """Idefics2-8B-base shapes (reference: config/lmm/idefics2-8B-base.yaml
+        — 32 layers, hidden 4096; SigLIP-SO400M tower, Mistral-7B text)."""
+        return cls(
+            text=DecoderConfig(
+                vocab_size=32003,
+                d_model=4096,
+                n_layers=32,
+                n_heads=32,
+                n_kv_heads=8,
+                d_ff=14336,
+                norm_eps=1e-5,
+                injection_site=MLP_OUTPUT,
+                dtype=dtype,
+            ),
+            vision=VisionConfig(
+                image_size=378,
+                patch_size=14,
+                d_model=1152,
+                n_layers=27,
+                n_heads=16,
+                d_ff=4304,
+                use_class_token=False,
+                use_pre_norm=False,
+                use_post_norm=True,
+                patch_bias=True,
+                activation="gelu_tanh",
+                dtype=dtype,
+            ),
+            perceiver=Idefics2PerceiverCfg(dtype=dtype),
+        )
+
+    @classmethod
+    def tiny(cls, dtype=jnp.float32) -> "Idefics2Config":
+        return cls(
+            text=DecoderConfig(
+                vocab_size=120,
+                d_model=64,
+                n_layers=4,
+                n_heads=4,
+                n_kv_heads=2,
+                d_ff=128,
+                norm_eps=1e-5,
+                injection_site=MLP_OUTPUT,
+                dtype=dtype,
+            ),
+            vision=VisionConfig(
+                image_size=28,
+                patch_size=14,
+                d_model=32,
+                n_layers=2,
+                n_heads=2,
+                d_ff=64,
+                use_class_token=False,
+                use_pre_norm=False,
+                use_post_norm=True,
+                patch_bias=True,
+                activation="gelu_tanh",
+                dtype=dtype,
+            ),
+            perceiver=Idefics2PerceiverCfg(
+                n_latents=4,
+                n_layers=2,
+                n_heads=2,
+                n_kv_heads=1,
+                head_dim=16,
+                d_model=64,
+                dtype=dtype,
+            ),
+            image_token_id=118,
+            image_seq_len=4,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Params
+# ---------------------------------------------------------------------------
+
+
+def init_idefics2_params(key, cfg: Idefics2Config) -> dict:
+    t, p, v = cfg.text, cfg.perceiver, cfg.vision
+    ks = jax.random.split(key, 12)
+    n, d, hd = p.n_layers, p.d_model, p.head_dim
+
+    def w(k, shape, dtype=t.dtype):
+        return L.dense_init(k, shape, dtype)
+
+    perceiver = {
+        "latents": jnp.ones((p.n_latents, d), t.dtype),
+        "layers": {
+            "lat_norm": jnp.ones((n, d), t.dtype),
+            "ctx_norm": jnp.ones((n, d), t.dtype),
+            "wq": w(ks[0], (n, d, p.n_heads * hd)),
+            "wk": w(ks[1], (n, d, p.n_kv_heads * hd)),
+            "wv": w(ks[2], (n, d, p.n_kv_heads * hd)),
+            "wo": w(ks[3], (n, p.n_heads * hd, d)),
+            "post_norm": jnp.ones((n, d), t.dtype),
+            "mlp": {
+                "w_gate": w(ks[4], (n, d, 4 * d)),
+                "w_up": w(ks[5], (n, d, 4 * d)),
+                "w_down": w(ks[6], (n, 4 * d, d)),
+            },
+        },
+        "final_norm": jnp.ones((d,), t.dtype),
+    }
+    connector = {
+        "w_gate": w(ks[7], (v.d_model, t.d_ff)),
+        "w_up": w(ks[8], (v.d_model, t.d_ff)),
+        "w_down": w(ks[9], (t.d_ff, t.d_model)),
+    }
+    params = init_decoder_params(ks[10], t)
+    vision = init_vision_params(ks[11], v)
+    vision["patch_bias"] = jnp.zeros((v.d_model,), v.dtype)
+    return {
+        **params,
+        "vision": vision,
+        "connector": connector,
+        "perceiver": perceiver,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Connector forward
+# ---------------------------------------------------------------------------
+
+
+def _perceiver_layer(cfg: Idefics2PerceiverCfg, p, latents, context):
+    b, nl, d = latents.shape
+    nh, nkv, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    lat = L.rms_norm(p["lat_norm"], latents, cfg.norm_eps)
+    ctx = L.rms_norm(p["ctx_norm"], context, cfg.norm_eps)
+    kv_in = jnp.concatenate([ctx, lat], axis=1)
+    q = jnp.dot(lat, p["wq"]).reshape(b, nl, nh, hd)
+    k = jnp.dot(kv_in, p["wk"]).reshape(b, -1, nkv, hd)
+    v = jnp.dot(kv_in, p["wv"]).reshape(b, -1, nkv, hd)
+    k = L.repeat_kv(k, nh // nkv)
+    v = L.repeat_kv(v, nh // nkv)
+    attn = L.dot_product_attention(q, k, v)
+    latents = latents + jnp.dot(attn.reshape(b, nl, nh * hd), p["wo"]).astype(
+        latents.dtype
+    )
+    x = L.rms_norm(p["post_norm"], latents, cfg.norm_eps)
+    return latents + L.swiglu_mlp(p["mlp"], x)
+
+
+def encode_images2(cfg: Idefics2Config, params: dict, pixel_values: jax.Array):
+    """(B, N_img, H, W, 3) → per-image latents (B, N_img, image_seq_len, D)."""
+    b, n_img = pixel_values.shape[:2]
+    flat = pixel_values.reshape((b * n_img,) + pixel_values.shape[2:])
+    feats = vision_forward(cfg.vision, params["vision"], flat)
+    feats = L.swiglu_mlp(params["connector"], feats)  # modality projection
+    pcfg = cfg.perceiver
+    latents = jnp.broadcast_to(
+        params["perceiver"]["latents"][None],
+        (feats.shape[0], pcfg.n_latents, pcfg.d_model),
+    ).astype(feats.dtype)
+
+    def body(latents, p):
+        return _perceiver_layer(pcfg, p, latents, feats), None
+
+    latents, _ = jax.lax.scan(body, latents, params["perceiver"]["layers"])
+    latents = L.rms_norm(params["perceiver"]["final_norm"], latents, pcfg.norm_eps)
+    return latents.reshape(b, n_img, pcfg.n_latents, pcfg.d_model)
+
+
+def merge_image_embeds(
+    input_ids: jax.Array,  # (B, S)
+    inputs_embeds: jax.Array,  # (B, S, D)
+    image_latents: jax.Array,  # (B, N_img, image_seq_len, D)
+    image_token_id: int,
+) -> jax.Array:
+    """Replace the k-th ``<image>`` token with the k-th flattened latent —
+    static-shape equivalent of HF's ``masked_scatter``."""
+    b, s, d = inputs_embeds.shape
+    flat = image_latents.reshape(b, -1, d)
+    is_img = input_ids == image_token_id
+    k = jnp.cumsum(is_img.astype(jnp.int32), axis=1) - 1
+    k = jnp.clip(k, 0, flat.shape[1] - 1)
+    gathered = jnp.take_along_axis(flat, k[:, :, None], axis=1)
+    return jnp.where(is_img[:, :, None], gathered.astype(inputs_embeds.dtype), inputs_embeds)
+
+
+# ---------------------------------------------------------------------------
+# Full forward + bundle closures
+# ---------------------------------------------------------------------------
+
+
+def idefics2_forward(
+    cfg: Idefics2Config,
+    params: dict,
+    input_ids: jax.Array,
+    attention_mask: jax.Array,
+    image_latents: Optional[jax.Array],  # None for pure decode steps
+    icv_scaled: Optional[jax.Array] = None,
+    cache: Optional[dict] = None,
+    positions: Optional[jax.Array] = None,
+    remat: bool = False,
+):
+    embeds = params["embed"][input_ids].astype(cfg.text.dtype)
+    if image_latents is not None:
+        embeds = merge_image_embeds(
+            input_ids, embeds, image_latents, cfg.image_token_id
+        )
+    h, new_cache = forward_hidden(
+        cfg.text,
+        params,
+        embeds,
+        attention_mask,
+        icv_scaled=icv_scaled,
+        cache=cache,
+        positions=positions,
+        remat=remat,
+    )
+    return logits_from_hidden(cfg.text, params, h), new_cache
+
+
+def make_idefics2_forward_fns(cfg: Idefics2Config, params, eos_token_id: int):
+    del eos_token_id  # no EOS-dependent image masking for inline tokens
+
+    def train_forward(model_params, inputs, icv_scaled):
+        latents = encode_images2(cfg, model_params, inputs["pixel_values"])
+        latents = latents * inputs["pixel_valid"][:, :, None, None].astype(
+            latents.dtype
+        )
+        logits, _ = idefics2_forward(
+            cfg,
+            model_params,
+            inputs["input_ids"],
+            inputs["attention_mask"],
+            latents,
+            icv_scaled=icv_scaled,
+            remat=True,
+        )
+        return logits
+
+    def bind_images(pixel_values, pixel_valid, prompt_ids, icv_scaled, max_len):
+        del prompt_ids
+        latents = encode_images2(cfg, params, pixel_values)
+        latents = latents * pixel_valid[:, :, None, None].astype(latents.dtype)
+
+        def forward_fn(input_ids, attention_mask, positions, cache):
+            b = input_ids.shape[0]
+            if cache is None:
+                cache = init_kv_cache(cfg.text, b, max_len)
+                lat = latents
+            else:
+                lat = None  # image tokens only occur in the prompt
+            return idefics2_forward(
+                cfg,
+                params,
+                input_ids,
+                attention_mask,
+                lat,
+                icv_scaled=icv_scaled,
+                cache=cache,
+                positions=positions,
+            )
+
+        return forward_fn
+
+    return train_forward, bind_images

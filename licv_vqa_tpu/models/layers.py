@@ -185,4 +185,7 @@ def gelu_mlp(p: dict, x: jax.Array) -> jax.Array:
 
 
 def dense_init(key, shape, dtype, scale: float = 0.02):
-    return (jax.random.normal(key, shape, jnp.float32) * scale).astype(dtype)
+    # generate directly in the target dtype: avoids a transient f32 copy that
+    # can OOM when random-initializing multi-GB bf16 weight stacks on-chip
+    gen_dtype = dtype if dtype in (jnp.bfloat16, jnp.float32) else jnp.float32
+    return (jax.random.normal(key, shape, gen_dtype) * scale).astype(dtype)

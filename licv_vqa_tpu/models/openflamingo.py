@@ -1,0 +1,395 @@
+"""OpenFlamingo-9B: MPT-7B backbone + CLIP ViT-L/14 tower + Flamingo blocks.
+
+Replaces the reference's ``OpenFlamingoInterface`` (reference: utils.py:51-67,
+config/lmm/openflamingov2-9B.yaml: MPT language encoder, cross-attention
+every 4 layers).  ICV injection site: language-block output
+(``layer_format "model.lang_encoder.transformer.blocks.<L>"``).
+
+Architecture notes:
+
+- MPT decoder: ALiBi (translation-invariant form — equivalent to HF's
+  key-position-only bias under softmax), bias-free LayerNorm, fused-QKV
+  (split at conversion), 4x GELU MLP.  Parity-tested against HF
+  ``MptForCausalLM``.
+- Flamingo gated cross-attention fires BEFORE decoder block ``l`` when
+  ``(l+1) % every == 0`` (open_flamingo convention — end of each group, vs
+  Idefics' start-of-group).  Gates are scalar ``tanh(g)`` initialized 0; text
+  tokens attend only the most recent preceding image's latents; FF is a
+  bias-free GELU MLP.
+- Perceiver resampler reuses the Idefics/Flamingo block (concat-kv latents,
+  LayerNorms) at ViT-L width.
+
+The open_flamingo package is not in this image, so the multimodal assembly is
+built from the public architecture description; the MPT text path has a
+numerical parity test, the flamingo-specific parts are covered by structural
+and decode tests.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import layers as L
+from .config import BLOCK_OUTPUT, DecoderConfig, PerceiverConfig, VisionConfig
+from .decoder import (
+    _positions_from_mask,
+    decoder_layer,
+    init_kv_cache,
+    init_layer_params,
+    logits_from_hidden,
+)
+from .idefics import image_attention_onehot, last_image_onehot
+from .perceiver import init_perceiver_params, perceiver_forward
+from .vision import init_vision_params, vision_forward
+
+
+@dataclasses.dataclass(frozen=True)
+class OpenFlamingoConfig:
+    text: DecoderConfig
+    vision: VisionConfig
+    perceiver: PerceiverConfig
+    cross_attn_every_n_layers: int = 4
+    xattn_heads: int = 8
+    xattn_head_dim: int = 64
+    xattn_ff_mult: int = 4
+    image_token_id: int = 50277
+    media_token: str = "<image>"
+
+    @classmethod
+    def openflamingo_9b(cls, dtype=jnp.bfloat16) -> "OpenFlamingoConfig":
+        """OpenFlamingo-9B (MPT-7B + ViT-L/14; reference:
+        config/lmm/openflamingov2-9B.yaml — 32 layers, hidden 4096,
+        cross_attn_every_n_layers=4)."""
+        return cls(
+            text=DecoderConfig(
+                vocab_size=50432,
+                d_model=4096,
+                n_layers=32,
+                n_heads=32,
+                n_kv_heads=32,
+                d_ff=16384,
+                norm_eps=1e-5,
+                positional="alibi",
+                norm_type="layernorm",
+                activation="gelu",
+                tie_embeddings=True,
+                injection_site=BLOCK_OUTPUT,
+                dtype=dtype,
+            ),
+            vision=VisionConfig(
+                image_size=224,
+                patch_size=14,
+                d_model=1024,
+                n_layers=24,
+                n_heads=16,
+                d_ff=4096,
+                use_class_token=True,
+                use_pre_norm=True,
+                use_post_norm=True,
+                dtype=dtype,
+            ),
+            perceiver=PerceiverConfig(
+                n_latents=64,
+                n_layers=6,
+                n_heads=8,
+                head_dim=64,
+                d_model=1024,
+                d_ff=4096,
+                dtype=dtype,
+            ),
+        )
+
+    @classmethod
+    def tiny(cls, dtype=jnp.float32) -> "OpenFlamingoConfig":
+        return cls(
+            text=DecoderConfig(
+                vocab_size=130,
+                d_model=64,
+                n_layers=4,
+                n_heads=4,
+                n_kv_heads=4,
+                d_ff=256,
+                norm_eps=1e-5,
+                positional="alibi",
+                norm_type="layernorm",
+                activation="gelu",
+                tie_embeddings=True,
+                dtype=dtype,
+            ),
+            vision=VisionConfig(
+                image_size=28,
+                patch_size=14,
+                d_model=32,
+                n_layers=2,
+                n_heads=2,
+                d_ff=64,
+                use_post_norm=True,
+                dtype=dtype,
+            ),
+            perceiver=PerceiverConfig(
+                n_latents=4,
+                n_layers=2,
+                n_heads=2,
+                head_dim=16,
+                d_model=32,
+                d_ff=64,
+                dtype=dtype,
+            ),
+            cross_attn_every_n_layers=2,
+            xattn_heads=2,
+            xattn_head_dim=16,
+            image_token_id=125,
+        )
+
+
+def init_flamingo_xattn_params(key, cfg: OpenFlamingoConfig, n_xattn: int) -> dict:
+    t = cfg.text
+    d, de = t.d_model, cfg.perceiver.d_model
+    nh, dh = cfg.xattn_heads, cfg.xattn_head_dim
+    f = cfg.xattn_ff_mult * d
+    ks = jax.random.split(key, 6)
+
+    def w(k, shape):
+        return L.dense_init(k, (n_xattn, *shape), t.dtype)
+
+    return {
+        "ln_attn": {
+            "w": jnp.ones((n_xattn, d), t.dtype),
+            "b": jnp.zeros((n_xattn, d), t.dtype),
+        },
+        "wq": w(ks[0], (d, nh * dh)),
+        "wkv": w(ks[1], (de, 2 * nh * dh)),
+        "wo": w(ks[2], (nh * dh, d)),
+        "attn_gate": jnp.zeros((n_xattn,), t.dtype),
+        "ln_ff": {
+            "w": jnp.ones((n_xattn, d), t.dtype),
+            "b": jnp.zeros((n_xattn, d), t.dtype),
+        },
+        "ff_up": w(ks[3], (d, f)),
+        "ff_down": w(ks[4], (f, d)),
+        "ff_gate": jnp.zeros((n_xattn,), t.dtype),
+    }
+
+
+def init_openflamingo_params(key, cfg: OpenFlamingoConfig) -> dict:
+    t = cfg.text
+    ks = jax.random.split(key, 6)
+    n_xattn = t.n_layers // cfg.cross_attn_every_n_layers
+    return {
+        "embed": L.dense_init(ks[0], (t.vocab_size, t.d_model), t.dtype),
+        "layers": init_layer_params(ks[1], t, t.n_layers),
+        "xattn": init_flamingo_xattn_params(ks[2], cfg, n_xattn),
+        "final_norm": jnp.ones((t.d_model,), t.dtype),
+        "final_norm_b": jnp.zeros((t.d_model,), t.dtype),
+        "vision": init_vision_params(ks[3], cfg.vision),
+        "perceiver": init_perceiver_params(ks[4], cfg.perceiver, qk_layer_norms=False),
+    }
+
+
+def encode_media(cfg: OpenFlamingoConfig, params: dict, pixel_values: jax.Array):
+    """(B, N_img, H, W, 3) → latents (B, N_img·n_lat, De).  ViT tokens are
+    post-layernormed with the class token dropped (open_clip token output)."""
+    b, n_img = pixel_values.shape[:2]
+    flat = pixel_values.reshape((b * n_img,) + pixel_values.shape[2:])
+    feats = vision_forward(cfg.vision, params["vision"], flat)
+    feats = feats[:, 1:, :]  # drop class token
+    latents = perceiver_forward(cfg.perceiver, params["perceiver"], feats)
+    return latents.reshape(b, n_img * latents.shape[1], latents.shape[2])
+
+
+def flamingo_xattn_block(
+    cfg: OpenFlamingoConfig,
+    p: dict,
+    h: jax.Array,
+    media: jax.Array,  # (B, Nk, De)
+    media_mask: jax.Array,  # (B, 1, S, Nk) bool
+    gate: jax.Array,  # (B, S)
+):
+    b, s, d = h.shape
+    nh, dh = cfg.xattn_heads, cfg.xattn_head_dim
+    x = L.layer_norm(p["ln_attn"]["w"], p["ln_attn"]["b"], h, cfg.text.norm_eps)
+    q = jnp.dot(x, p["wq"]).reshape(b, s, nh, dh)
+    kv = jnp.dot(media, p["wkv"]).reshape(b, -1, 2, nh, dh)
+    k, v = kv[:, :, 0], kv[:, :, 1]
+    attn = L.dot_product_attention(q, k, v, mask=media_mask)
+    attn = jnp.dot(attn.reshape(b, s, nh * dh), p["wo"]).astype(h.dtype)
+    attn = attn * gate[:, :, None].astype(attn.dtype)
+    h = h + jnp.tanh(p["attn_gate"]).astype(h.dtype) * attn
+
+    x2 = L.layer_norm(p["ln_ff"]["w"], p["ln_ff"]["b"], h, cfg.text.norm_eps)
+    z = jax.nn.gelu(jnp.dot(x2, p["ff_up"]).astype(jnp.float32)).astype(h.dtype)
+    ff = jnp.dot(z, p["ff_down"]).astype(h.dtype)
+    return h + jnp.tanh(p["ff_gate"]).astype(h.dtype) * ff
+
+
+def openflamingo_forward(
+    cfg: OpenFlamingoConfig,
+    params: dict,
+    input_ids: jax.Array,
+    attention_mask: jax.Array,
+    media_latents: jax.Array,
+    media_onehot: jax.Array,  # (B, S, N_img)
+    icv_scaled: Optional[jax.Array] = None,
+    cache: Optional[dict] = None,
+    positions: Optional[jax.Array] = None,
+    remat: bool = False,
+):
+    t = cfg.text
+    every = cfg.cross_attn_every_n_layers
+    n_groups = t.n_layers // every
+    b, s = input_ids.shape
+    h = params["embed"][input_ids].astype(t.dtype)
+
+    if cache is None:
+        if positions is None:
+            positions = _positions_from_mask(attention_mask)
+        mask = L.causal_mask(positions, positions, attention_mask.astype(bool))
+        index = None
+        cache_pos = cache_valid = None
+        k_pos = positions
+    else:
+        index = cache["index"]
+        max_len = cache["k"].shape[2]
+        cache_pos = jax.lax.dynamic_update_slice(
+            cache["pos"], positions.astype(jnp.int32), (0, index)
+        )
+        cache_valid = jax.lax.dynamic_update_slice(
+            cache["valid"], attention_mask.astype(bool), (0, index)
+        )
+        written = jnp.arange(max_len, dtype=jnp.int32)[None, :] < (index + s)
+        mask = (
+            (cache_pos[:, None, :] <= positions[:, :, None])
+            & cache_valid[:, None, :]
+            & written[:, None, :]
+        )[:, None, :, :]
+        k_pos = cache_pos
+    bias = L.alibi_bias(t.n_heads, positions, k_pos)
+
+    n_lat = media_latents.shape[1] // media_onehot.shape[-1]
+    xmask = jnp.repeat(media_onehot, n_lat, axis=-1) > 0
+    gate = jnp.any(xmask, axis=-1).astype(jnp.float32)
+    xmask = xmask[:, None, :, :]
+
+    def regroup(x):
+        return x.reshape((n_groups, every) + x.shape[1:])
+
+    glayers = jax.tree.map(regroup, params["layers"])
+    have_icv = icv_scaled is not None
+    icv_xs = (
+        regroup(icv_scaled.astype(t.dtype))
+        if have_icv
+        else jnp.zeros((n_groups, every, 1), t.dtype)
+    )
+    kv_xs = (
+        (regroup(cache["k"]), regroup(cache["v"]))
+        if cache is not None
+        else (jnp.zeros((n_groups, every, 0)), jnp.zeros((n_groups, every, 0)))
+    )
+
+    def one_layer(h, xs_l):
+        p_l, icv_row, kv_l = xs_l
+        icv_arg = icv_row if have_icv else None
+        kv_write = (kv_l[0], kv_l[1], index) if cache is not None else None
+        return decoder_layer(t, p_l, h, None, None, mask, bias, icv_arg, kv_write)
+
+    def group_body(h, xs):
+        xp, lp, icv_g, kv_g = xs
+        first = jax.tree.map(lambda x: x[: every - 1], (lp, icv_g, kv_g))
+        last = jax.tree.map(lambda x: x[every - 1], (lp, icv_g, kv_g))
+
+        def inner(h, xs_l):
+            return one_layer(h, xs_l)
+
+        if remat:
+            inner = jax.checkpoint(inner)
+        h, kv_first = jax.lax.scan(inner, h, first)
+        # flamingo runs gated cross-attention BEFORE the block closing a group
+        h = flamingo_xattn_block(cfg, xp, h, media_latents, xmask, gate)
+        h, kv_last = one_layer(h, last)
+        if cache is not None:
+            kv_g_out = jax.tree.map(
+                lambda f, l: jnp.concatenate([f, l[None]], axis=0), kv_first, kv_last
+            )
+        else:
+            kv_g_out = None
+        return h, kv_g_out
+
+    if remat:
+        group_body = jax.checkpoint(group_body)
+    h, kv_out = jax.lax.scan(group_body, h, (params["xattn"], glayers, icv_xs, kv_xs))
+
+    new_cache = None
+    if cache is not None:
+        new_cache = {
+            "k": kv_out[0].reshape((t.n_layers,) + kv_out[0].shape[2:]),
+            "v": kv_out[1].reshape((t.n_layers,) + kv_out[1].shape[2:]),
+            "pos": cache_pos,
+            "valid": cache_valid,
+            "index": index + s,
+        }
+    h = L.layer_norm(params["final_norm"], params["final_norm_b"], h, t.norm_eps)
+    # MPT ties the LM head to the embedding table
+    logits = jnp.dot(h, params["embed"].T, preferred_element_type=jnp.float32)
+    return logits, new_cache
+
+
+def make_openflamingo_forward_fns(cfg: OpenFlamingoConfig, params, eos_token_id: int):
+    def train_forward(model_params, inputs, icv_scaled):
+        latents = encode_media(cfg, model_params, inputs["pixel_values"])
+        onehot = image_attention_onehot(
+            inputs["input_ids"],
+            cfg.image_token_id,
+            eos_token_id,
+            inputs["pixel_values"].shape[1],
+        ) * inputs["pixel_valid"][:, None, :].astype(jnp.float32)
+        logits, _ = openflamingo_forward(
+            cfg,
+            model_params,
+            inputs["input_ids"],
+            inputs["attention_mask"],
+            latents,
+            onehot,
+            icv_scaled=icv_scaled,
+            remat=True,
+        )
+        return logits
+
+    def bind_images(pixel_values, pixel_valid, prompt_ids, icv_scaled, max_len):
+        latents = encode_media(cfg, params, pixel_values)
+        n_img = pixel_values.shape[1]
+        pv = pixel_valid[:, None, :].astype(jnp.float32)
+        prefill_onehot = (
+            image_attention_onehot(prompt_ids, cfg.image_token_id, eos_token_id, n_img)
+            * pv
+        )
+        step_onehot = last_image_onehot(prompt_ids, cfg.image_token_id, n_img) * pv
+
+        def forward_fn(input_ids, attention_mask, positions, cache):
+            b = input_ids.shape[0]
+            if cache is None:
+                cache = init_kv_cache(cfg.text, b, max_len)
+                onehot, lat = prefill_onehot, latents
+            else:
+                rep = b // latents.shape[0]
+                lat = jnp.repeat(latents, rep, axis=0)
+                so = jnp.repeat(step_onehot, rep, axis=0)
+                onehot = jnp.broadcast_to(so, (b, input_ids.shape[1], so.shape[-1]))
+            return openflamingo_forward(
+                cfg,
+                params,
+                input_ids,
+                attention_mask,
+                lat,
+                onehot,
+                icv_scaled=icv_scaled,
+                cache=cache,
+                positions=positions,
+            )
+
+        return forward_fn
+
+    return train_forward, bind_images

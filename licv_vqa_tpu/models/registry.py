@@ -144,6 +144,58 @@ def _idefics_bundle(cfg, model_cfg: IdeficsConfig, name: str) -> ModelBundle:
     )
 
 
+def _idefics2_bundle(cfg, model_cfg, name: str) -> ModelBundle:
+    from .convert import convert_idefics2
+    from .idefics2 import init_idefics2_params, make_idefics2_forward_fns
+
+    model_dir = None
+    if cfg is not None and "model_cpk_dir" in cfg:
+        try:
+            model_dir = Path(str(cfg.model_cpk_dir)) / str(cfg.lmm.model_name)
+        except Exception:
+            model_dir = None
+    sd = _load_hf_weights(model_dir) if model_dir and model_dir.exists() else None
+    if sd is not None:
+        params = convert_idefics2(sd, model_cfg)
+        logger.info("loaded idefics2 weights from %s", model_dir)
+    else:
+        logger.warning(
+            "idefics2 weights not found under %s — RANDOM INIT", model_dir
+        )
+        params = init_idefics2_params(jax.random.PRNGKey(0), model_cfg)
+
+    tokenizer = _resolve_tokenizer(model_dir)
+    processor = PromptProcessor(
+        tokenizer,
+        ImageTransform(model_cfg.vision.image_size, SIGLIP_MEAN, SIGLIP_STD),
+        family="idefics2",
+        image_seq_len=model_cfg.image_seq_len,
+    )
+    import dataclasses as _dc
+
+    if isinstance(tokenizer, WhitespaceTokenizer):
+        model_cfg = _dc.replace(model_cfg, image_token_id=processor.image_token_id)
+    elif sd is not None:
+        tok_img = tokenizer.token_id("<image>")
+        if tok_img is not None and tok_img >= 0:
+            model_cfg = _dc.replace(model_cfg, image_token_id=tok_img)
+
+    train_forward, bind_decode = make_idefics2_forward_fns(
+        model_cfg, params, tokenizer.eos_token_id
+    )
+    return ModelBundle(
+        name=name,
+        model_cfg=model_cfg,
+        params=params,
+        tokenizer=tokenizer,
+        processor=processor,
+        train_forward=train_forward,
+        bind_decode=bind_decode,
+        hidden_size=model_cfg.text.d_model,
+        n_layers=model_cfg.text.n_layers,
+    )
+
+
 def build_model(cfg) -> ModelBundle:
     """``cfg`` is the composed top-level config (needs ``cfg.lmm``)."""
     name = str(cfg.lmm.name)
@@ -152,11 +204,70 @@ def build_model(cfg) -> ModelBundle:
     if name == "tiny-idefics":
         return _idefics_bundle(cfg, IdeficsConfig.tiny(dtype=jnp.float32), name)
     if name == "idefics2-8b-base":
-        from .idefics2 import build_idefics2_bundle
+        from .idefics2 import Idefics2Config
 
-        return build_idefics2_bundle(cfg)
-    if "openflamingo" in name.lower():
-        from .openflamingo import build_openflamingo_bundle
+        return _idefics2_bundle(cfg, Idefics2Config.idefics2_8b(), name)
+    if name == "tiny-idefics2":
+        from .idefics2 import Idefics2Config
 
-        return build_openflamingo_bundle(cfg)
+        return _idefics2_bundle(cfg, Idefics2Config.tiny(dtype=jnp.float32), name)
+    if "openflamingo" in name.lower() or name == "tiny-flamingo":
+        from .openflamingo import OpenFlamingoConfig
+
+        model_cfg = (
+            OpenFlamingoConfig.tiny(dtype=jnp.float32)
+            if name == "tiny-flamingo"
+            else OpenFlamingoConfig.openflamingo_9b()
+        )
+        return _openflamingo_bundle(cfg, model_cfg, name)
     raise ValueError(f"unknown lmm name: {name}")
+
+
+def _openflamingo_bundle(cfg, model_cfg, name: str) -> ModelBundle:
+    from .openflamingo import init_openflamingo_params, make_openflamingo_forward_fns
+
+    # OpenFlamingo checkpoints are not plain HF shards (MPT base + flamingo
+    # deltas, reference utils.py:51-67); load the MPT base when present and
+    # leave flamingo-specific params at init if no delta file is found.
+    model_dir = None
+    if cfg is not None and "model_cpk_dir" in cfg:
+        try:
+            base = cfg.lmm.get("lang_encoder_path", cfg.lmm.get("model_name", name))
+            model_dir = Path(str(cfg.model_cpk_dir)) / str(base)
+        except Exception:
+            model_dir = None
+    params = init_openflamingo_params(jax.random.PRNGKey(0), model_cfg)
+    sd = _load_hf_weights(model_dir) if model_dir and model_dir.exists() else None
+    if sd is not None:
+        from .convert import convert_mpt
+
+        mpt = convert_mpt(sd, model_cfg.text)
+        params.update({k: mpt[k] for k in ("embed", "layers", "final_norm")})
+        logger.info("loaded MPT backbone from %s", model_dir)
+    else:
+        logger.warning("openflamingo weights not found under %s — RANDOM INIT", model_dir)
+
+    tokenizer = _resolve_tokenizer(model_dir)
+    processor = PromptProcessor(
+        tokenizer,
+        ImageTransform(model_cfg.vision.image_size, CLIP_MEAN, CLIP_STD),
+        family="flamingo",
+    )
+    if isinstance(tokenizer, WhitespaceTokenizer):
+        model_cfg = dataclasses.replace(
+            model_cfg, image_token_id=processor.image_token_id
+        )
+    train_forward, bind_decode = make_openflamingo_forward_fns(
+        model_cfg, params, tokenizer.eos_token_id
+    )
+    return ModelBundle(
+        name=name,
+        model_cfg=model_cfg,
+        params=params,
+        tokenizer=tokenizer,
+        processor=processor,
+        train_forward=train_forward,
+        bind_decode=bind_decode,
+        hidden_size=model_cfg.text.d_model,
+        n_layers=model_cfg.text.n_layers,
+    )

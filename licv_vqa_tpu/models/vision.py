@@ -85,7 +85,8 @@ def _vit_layer(cfg: VisionConfig, p: dict, h: jax.Array) -> jax.Array:
     x2 = L.layer_norm(p["ln2"]["w"], p["ln2"]["b"], h, cfg.norm_eps)
     m = p["mlp"]
     z = jnp.dot(x2, m["w1"]) + m["b1"]
-    z = jax.nn.gelu(z.astype(jnp.float32), approximate=False).astype(h.dtype)
+    approx = cfg.activation == "gelu_tanh"
+    z = jax.nn.gelu(z.astype(jnp.float32), approximate=approx).astype(h.dtype)
     h = h + (jnp.dot(z, m["w2"]) + m["b2"]).astype(h.dtype)
     return h
 
@@ -94,6 +95,8 @@ def vision_forward(cfg: VisionConfig, params: dict, pixels: jax.Array) -> jax.Ar
     """(B, H, W, 3) float → last_hidden_state (B, N, D)."""
     x = patchify(pixels.astype(cfg.dtype), cfg.patch_size)
     h = jnp.dot(x, params["patch_embed"])
+    if "patch_bias" in params:
+        h = h + params["patch_bias"]
     if cfg.use_class_token:
         cls = jnp.broadcast_to(
             params["class_embed"][None, None, :], (h.shape[0], 1, h.shape[-1])
@@ -107,4 +110,8 @@ def vision_forward(cfg: VisionConfig, params: dict, pixels: jax.Array) -> jax.Ar
         return _vit_layer(cfg, p, h), None
 
     h, _ = jax.lax.scan(body, h, params["layers"])
+    if cfg.use_post_norm:
+        h = L.layer_norm(
+            params["post_ln"]["w"], params["post_ln"]["b"], h, cfg.norm_eps
+        )
     return h

@@ -1,0 +1,183 @@
+"""Parity: our JAX Idefics2 vs tiny-random HF Idefics2ForConditionalGeneration.
+
+Covers the SigLIP tower, SwiGLU connector + RMSNorm GQA perceiver, inline
+image-token splicing, Mistral GQA backbone, and the MLP-sublayer ICV
+injection site (layer_format '...layers.<L>.mlp', reference
+config/lmm/idefics2-8B-base.yaml:8).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from licv_vqa_tpu.models.convert import convert_idefics2, hf_state_dict
+from licv_vqa_tpu.models.idefics2 import (
+    Idefics2Config,
+    encode_images2,
+    idefics2_forward,
+)
+
+EOS = 2
+IMG_SEQ = 4
+
+
+def _tiny_hf_idefics2():
+    from transformers import Idefics2ForConditionalGeneration
+    from transformers.models.idefics2.configuration_idefics2 import (
+        Idefics2Config as HFConfig,
+        Idefics2PerceiverConfig,
+        Idefics2VisionConfig,
+    )
+    from transformers.models.mistral.configuration_mistral import MistralConfig
+
+    cfg = HFConfig(
+        image_token_id=118,
+        vision_config=Idefics2VisionConfig(
+            hidden_size=32,
+            intermediate_size=64,
+            num_hidden_layers=2,
+            num_attention_heads=2,
+            image_size=28,
+            patch_size=14,
+            hidden_act="gelu_pytorch_tanh",
+        ),
+        perceiver_config=Idefics2PerceiverConfig(
+            hidden_size=64,
+            resampler_n_latents=IMG_SEQ,
+            resampler_depth=2,
+            resampler_n_heads=2,
+            resampler_head_dim=16,
+            num_key_value_heads=1,
+            hidden_act="silu",
+        ),
+        text_config=MistralConfig(
+            vocab_size=120,
+            hidden_size=64,
+            intermediate_size=128,
+            num_hidden_layers=4,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            rms_norm_eps=1e-5,
+            max_position_embeddings=256,
+            tie_word_embeddings=False,
+            sliding_window=None,
+        ),
+        attn_implementation="eager",
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    return Idefics2ForConditionalGeneration(cfg).eval()
+
+
+def _inputs(rng, bs=2, s=16, n_img=1):
+    cfg = Idefics2Config.tiny()
+    ids = rng.integers(3, 110, size=(bs, s)).astype(np.int64)
+    # one image: 64→4 inline tokens at positions 2..5
+    ids[:, 2 : 2 + IMG_SEQ] = cfg.image_token_id
+    mask = np.ones_like(ids)
+    pixels = rng.normal(size=(bs, n_img, 28, 28, 3)).astype(np.float32)
+    return cfg, ids, mask, pixels
+
+
+def test_idefics2_logits_parity():
+    hf = _tiny_hf_idefics2()
+    cfg = Idefics2Config.tiny()
+    params = convert_idefics2(hf_state_dict(hf), cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    cfg, ids, mask, pixels = _inputs(rng)
+
+    with torch.no_grad():
+        want = hf(
+            input_ids=torch.tensor(ids),
+            attention_mask=torch.tensor(mask),
+            pixel_values=torch.tensor(pixels).permute(0, 1, 4, 2, 3),
+        ).logits.numpy()
+
+    latents = encode_images2(cfg, params, jnp.asarray(pixels))
+    got, _ = idefics2_forward(
+        cfg, params, jnp.asarray(ids), jnp.asarray(mask), latents
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=4e-4, atol=4e-4)
+
+
+def test_idefics2_mlp_site_icv_matches_hook_semantics():
+    hf = _tiny_hf_idefics2()
+    cfg = Idefics2Config.tiny()
+    params = convert_idefics2(hf_state_dict(hf), cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(1)
+    cfg, ids, mask, pixels = _inputs(rng)
+    icv = rng.normal(size=(cfg.text.n_layers, cfg.text.d_model)).astype(np.float32) * 0.1
+
+    handles = []
+
+    def mk(l):
+        shift = torch.tensor(icv[l])[None, None, :]
+
+        def hook(_m, _i, output):
+            h = output[0] if isinstance(output, tuple) else output
+            s = h + shift
+            out = s / s.norm(dim=-1, keepdim=True) * h.norm(dim=-1, keepdim=True)
+            return ((out,) + tuple(output[1:])) if isinstance(output, tuple) else out
+
+        return hook
+
+    # hook the MLP SUBLAYER, exactly like the reference layer_format
+    for l, layer in enumerate(hf.model.text_model.layers):
+        handles.append(layer.mlp.register_forward_hook(mk(l)))
+    with torch.no_grad():
+        want = hf(
+            input_ids=torch.tensor(ids),
+            attention_mask=torch.tensor(mask),
+            pixel_values=torch.tensor(pixels).permute(0, 1, 4, 2, 3),
+        ).logits.numpy()
+    for h in handles:
+        h.remove()
+
+    latents = encode_images2(cfg, params, jnp.asarray(pixels))
+    got, _ = idefics2_forward(
+        cfg,
+        params,
+        jnp.asarray(ids),
+        jnp.asarray(mask),
+        latents,
+        icv_scaled=jnp.asarray(icv),
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=5e-4, atol=5e-4)
+
+
+def test_idefics2_greedy_decode_matches_hf():
+    from licv_vqa_tpu.infer import greedy_generate
+    from licv_vqa_tpu.models.idefics2 import make_idefics2_forward_fns
+
+    hf = _tiny_hf_idefics2()
+    hf.generation_config.pad_token_id = 0
+    hf.generation_config.eos_token_id = EOS
+    cfg = Idefics2Config.tiny()
+    params = convert_idefics2(hf_state_dict(hf), cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(2)
+    _, ids, mask, pixels = _inputs(rng)
+
+    with torch.no_grad():
+        want = hf.generate(
+            input_ids=torch.tensor(ids),
+            attention_mask=torch.tensor(mask),
+            pixel_values=torch.tensor(pixels).permute(0, 1, 4, 2, 3),
+            max_new_tokens=5,
+            do_sample=False,
+            num_beams=1,
+        ).numpy()
+
+    _, bind = make_idefics2_forward_fns(cfg, params, EOS)
+    fwd = bind(
+        jnp.asarray(pixels), jnp.ones((2, 1), bool), jnp.asarray(ids), None, 32
+    )
+    got = np.asarray(
+        greedy_generate(
+            fwd, jnp.asarray(ids), jnp.asarray(mask),
+            max_new_tokens=5, eos_token_id=EOS, pad_token_id=0,
+        )
+    )
+    s = ids.shape[1]
+    n = want.shape[1] - s
+    for b in range(2):
+        np.testing.assert_array_equal(got[b, s : s + n][: n], want[b, s:])
