@@ -49,7 +49,7 @@ def build(n_layers: int):
         text=dataclasses.replace(cfg9.text, n_layers=n_layers),
     )
     params = init_idefics_params(jax.random.PRNGKey(0), cfg)
-    _, bind_decode = make_idefics_forward_fns(cfg, params, eos_token_id=2)
+    _, bind_decode = make_idefics_forward_fns(cfg, eos_token_id=2)
     return cfg, params, bind_decode
 
 
@@ -72,13 +72,14 @@ def run(n_layers: int) -> dict:
     ).astype(jnp.bfloat16)
 
     @jax.jit
-    def gen(ids, mask, pixels, valid, icv):
-        fwd = bind_decode(pixels, valid, ids, icv, PROMPT_LEN + MAX_NEW + 1)
+    def gen(params, ids, mask, pixels, valid, icv):
+        fwd = bind_decode(params, pixels, valid, ids, icv, PROMPT_LEN + MAX_NEW + 1)
         return greedy_generate(
             fwd, ids, mask, max_new_tokens=MAX_NEW, eos_token_id=-1, pad_token_id=0
         )
 
     args = (
+        params,
         jnp.asarray(ids),
         jnp.asarray(mask),
         jnp.asarray(pixels),

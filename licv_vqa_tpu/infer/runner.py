@@ -45,9 +45,9 @@ def make_generate_fn(bundle, generate_kwargs: dict) -> Callable:
     length_penalty = float(generate_kwargs.get("length_penalty", 0.0))
     eos, pad = bundle.eos_token_id, bundle.pad_token_id
 
-    def gen(input_ids, attention_mask, pixels, pixel_valid, icv_scaled):
+    def gen(params, input_ids, attention_mask, pixels, pixel_valid, icv_scaled):
         fwd = bundle.bind_decode(
-            pixels, pixel_valid, input_ids, icv_scaled,
+            params, pixels, pixel_valid, input_ids, icv_scaled,
             input_ids.shape[1] + max_new + 1,
         )
         if num_beams > 1:
@@ -86,6 +86,7 @@ def generate_answers(
     proc = bundle.processor
     enc = proc.prepare_input(prompts, padding=True, padding_side="left")
     out = gen_fn(
+        bundle.params,
         jnp.asarray(enc["input_ids"]),
         jnp.asarray(enc["attention_mask"]),
         jnp.asarray(enc["pixel_values"]),

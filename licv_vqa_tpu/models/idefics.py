@@ -393,12 +393,15 @@ def idefics_forward(
     return logits_from_hidden(t, params, h), new_cache
 
 
-def make_idefics_forward_fns(cfg: IdeficsConfig, params, eos_token_id: int):
-    """Bind (prefill/step) closures for the decode loop and a train-forward.
+def make_idefics_forward_fns(cfg: IdeficsConfig, eos_token_id: int, params=None):
+    """Build (train_forward, bind_images) closures.
 
-    Returns ``forward_fn(input_ids, attention_mask, positions, cache)`` after
-    pixel binding via ``bind_images``.
+    ``params`` is ALWAYS passed explicitly (first argument of both returned
+    functions) so that jitted callers trace the weights as arguments — a
+    closure would bake multi-GB weights into the program as constants.
+    The optional ``params`` parameter is accepted only for b/c and ignored.
     """
+    del params
 
     def train_forward(model_params, inputs, icv_scaled):
         latents = encode_images(cfg, model_params, inputs["pixel_values"])
@@ -421,8 +424,10 @@ def make_idefics_forward_fns(cfg: IdeficsConfig, params, eos_token_id: int):
         )
         return logits
 
-    def bind_images(pixel_values, pixel_valid, prompt_ids, icv_scaled, max_len):
-        latents = encode_images(cfg, params, pixel_values)
+    def bind_images(
+        model_params, pixel_values, pixel_valid, prompt_ids, icv_scaled, max_len
+    ):
+        latents = encode_images(cfg, model_params, pixel_values)
         n_img = pixel_values.shape[1]
         pv = pixel_valid[:, None, :].astype(jnp.float32)
         prefill_onehot = (
@@ -451,7 +456,7 @@ def make_idefics_forward_fns(cfg: IdeficsConfig, params, eos_token_id: int):
                 )
             return idefics_forward(
                 cfg,
-                params,
+                model_params,
                 input_ids,
                 attention_mask,
                 lat,

@@ -275,8 +275,9 @@ def idefics2_forward(
     return logits_from_hidden(cfg.text, params, h), new_cache
 
 
-def make_idefics2_forward_fns(cfg: Idefics2Config, params, eos_token_id: int):
+def make_idefics2_forward_fns(cfg: Idefics2Config, eos_token_id: int, params=None):
     del eos_token_id  # no EOS-dependent image masking for inline tokens
+    del params  # weights are explicit args (see idefics.make_idefics_forward_fns)
 
     def train_forward(model_params, inputs, icv_scaled):
         latents = encode_images2(cfg, model_params, inputs["pixel_values"])
@@ -294,9 +295,11 @@ def make_idefics2_forward_fns(cfg: Idefics2Config, params, eos_token_id: int):
         )
         return logits
 
-    def bind_images(pixel_values, pixel_valid, prompt_ids, icv_scaled, max_len):
+    def bind_images(
+        model_params, pixel_values, pixel_valid, prompt_ids, icv_scaled, max_len
+    ):
         del prompt_ids
-        latents = encode_images2(cfg, params, pixel_values)
+        latents = encode_images2(cfg, model_params, pixel_values)
         latents = latents * pixel_valid[:, :, None, None].astype(latents.dtype)
 
         def forward_fn(input_ids, attention_mask, positions, cache):
@@ -308,7 +311,7 @@ def make_idefics2_forward_fns(cfg: Idefics2Config, params, eos_token_id: int):
                 lat = None  # image tokens only occur in the prompt
             return idefics2_forward(
                 cfg,
-                params,
+                model_params,
                 input_ids,
                 attention_mask,
                 lat,

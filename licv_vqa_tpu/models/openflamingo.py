@@ -337,7 +337,11 @@ def openflamingo_forward(
     return logits, new_cache
 
 
-def make_openflamingo_forward_fns(cfg: OpenFlamingoConfig, params, eos_token_id: int):
+def make_openflamingo_forward_fns(
+    cfg: OpenFlamingoConfig, eos_token_id: int, params=None
+):
+    del params  # weights are explicit args (see idefics.make_idefics_forward_fns)
+
     def train_forward(model_params, inputs, icv_scaled):
         latents = encode_media(cfg, model_params, inputs["pixel_values"])
         onehot = image_attention_onehot(
@@ -358,8 +362,10 @@ def make_openflamingo_forward_fns(cfg: OpenFlamingoConfig, params, eos_token_id:
         )
         return logits
 
-    def bind_images(pixel_values, pixel_valid, prompt_ids, icv_scaled, max_len):
-        latents = encode_media(cfg, params, pixel_values)
+    def bind_images(
+        model_params, pixel_values, pixel_valid, prompt_ids, icv_scaled, max_len
+    ):
+        latents = encode_media(cfg, model_params, pixel_values)
         n_img = pixel_values.shape[1]
         pv = pixel_valid[:, None, :].astype(jnp.float32)
         prefill_onehot = (
@@ -380,7 +386,7 @@ def make_openflamingo_forward_fns(cfg: OpenFlamingoConfig, params, eos_token_id:
                 onehot = jnp.broadcast_to(so, (b, input_ids.shape[1], so.shape[-1]))
             return openflamingo_forward(
                 cfg,
-                params,
+                model_params,
                 input_ids,
                 attention_mask,
                 lat,

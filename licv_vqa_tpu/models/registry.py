@@ -129,7 +129,7 @@ def _idefics_bundle(cfg, model_cfg: IdeficsConfig, name: str) -> ModelBundle:
         )
 
     train_forward, bind_decode = make_idefics_forward_fns(
-        model_cfg, params, tokenizer.eos_token_id
+        model_cfg, tokenizer.eos_token_id
     )
     return ModelBundle(
         name=name,
@@ -181,7 +181,7 @@ def _idefics2_bundle(cfg, model_cfg, name: str) -> ModelBundle:
             model_cfg = _dc.replace(model_cfg, image_token_id=tok_img)
 
     train_forward, bind_decode = make_idefics2_forward_fns(
-        model_cfg, params, tokenizer.eos_token_id
+        model_cfg, tokenizer.eos_token_id
     )
     return ModelBundle(
         name=name,
@@ -258,7 +258,7 @@ def _openflamingo_bundle(cfg, model_cfg, name: str) -> ModelBundle:
             model_cfg, image_token_id=processor.image_token_id
         )
     train_forward, bind_decode = make_openflamingo_forward_fns(
-        model_cfg, params, tokenizer.eos_token_id
+        model_cfg, tokenizer.eos_token_id
     )
     return ModelBundle(
         name=name,

@@ -167,9 +167,9 @@ def test_idefics2_greedy_decode_matches_hf():
             num_beams=1,
         ).numpy()
 
-    _, bind = make_idefics2_forward_fns(cfg, params, EOS)
+    _, bind = make_idefics2_forward_fns(cfg, EOS)
     fwd = bind(
-        jnp.asarray(pixels), jnp.ones((2, 1), bool), jnp.asarray(ids), None, 32
+        params, jnp.asarray(pixels), jnp.ones((2, 1), bool), jnp.asarray(ids), None, 32
     )
     got = np.asarray(
         greedy_generate(

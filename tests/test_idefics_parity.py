@@ -222,10 +222,10 @@ def test_idefics_greedy_decode_matches_hf_generate():
             num_beams=1,
         ).numpy()
 
-    _, bind_images = make_idefics_forward_fns(cfg, params, EOS)
+    _, bind_images = make_idefics_forward_fns(cfg, EOS)
     pixel_valid = jnp.ones((2, 2), bool)
     fwd = bind_images(
-        jnp.asarray(pixels), pixel_valid, jnp.asarray(ids), None, max_len=32
+        params, jnp.asarray(pixels), pixel_valid, jnp.asarray(ids), None, max_len=32
     )
     got = np.asarray(
         greedy_generate(

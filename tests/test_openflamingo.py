@@ -126,8 +126,8 @@ def test_flamingo_decode_cache_consistency():
     mask = np.ones_like(ids)
     pixels = rng.normal(size=(2, 1, 28, 28, 3)).astype(np.float32)
 
-    _, bind = make_openflamingo_forward_fns(cfg, params, eos_token_id=2)
-    fwd = bind(jnp.asarray(pixels), jnp.ones((2, 1), bool), jnp.asarray(ids), None, 24)
+    _, bind = make_openflamingo_forward_fns(cfg, eos_token_id=2)
+    fwd = bind(params, jnp.asarray(pixels), jnp.ones((2, 1), bool), jnp.asarray(ids), None, 24)
     out = greedy_generate(
         fwd, jnp.asarray(ids), jnp.asarray(mask),
         max_new_tokens=4, eos_token_id=-1, pad_token_id=0,
