@@ -65,23 +65,40 @@ def compute_vqa_accuracy(
     results: Iterable[Mapping],  # [{"answer": str, "question_id": int}, ...]
     question_json_path: str,
     annotation_json_path: str,
+    use_native: bool = True,
 ) -> dict:
     with open(annotation_json_path) as f:
         annotations = {a["question_id"]: a for a in json.load(f)["annotations"]}
     with open(question_json_path) as f:
         json.load(f)  # validated for existence/format parity; ids come from anns
 
+    results = list(results)
+    accs: list[float] | None = None
+    if use_native:
+        from .native import consensus_native
+
+        accs = consensus_native(
+            [str(r["answer"]) for r in results],
+            [
+                [str(a["answer"]) for a in annotations[r["question_id"]]["answers"]]
+                for r in results
+            ],
+        )
+
     overall: list[float] = []
     per_qtype: dict[str, list[float]] = {}
     per_atype: dict[str, list[float]] = {}
     per_question: dict[int, float] = {}
 
-    for res in results:
+    for i, res in enumerate(results):
         qid = res["question_id"]
         ann = annotations[qid]
-        pred = normalize_vqa_answer(str(res["answer"]))
-        gts = [normalize_vqa_answer(a["answer"]) for a in ann["answers"]]
-        acc = _consensus_accuracy(pred, gts)
+        if accs is not None:
+            acc = accs[i]
+        else:
+            pred = normalize_vqa_answer(str(res["answer"]))
+            gts = [normalize_vqa_answer(a["answer"]) for a in ann["answers"]]
+            acc = _consensus_accuracy(pred, gts)
         overall.append(acc)
         per_question[qid] = round(100 * acc, 2)
         per_qtype.setdefault(ann.get("question_type", ""), []).append(acc)

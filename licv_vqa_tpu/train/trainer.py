@@ -29,6 +29,7 @@ from ..icv.module import (
     make_train_step,
 )
 from ..utils.log import get_logger
+from ..utils.profiling import StepTimer, trace
 from .checkpoint import StepCheckpointer, save_icv_checkpoint
 
 logger = get_logger("train")
@@ -70,6 +71,7 @@ class TrainerConfig:
     limit_train_batches: int = -1
     remat: bool = True
     default_root_dir: str = "."
+    profile_steps: int = 0  # >0: jax.profiler trace of steps [2, 2+N)
 
     @classmethod
     def from_config(cls, cfg) -> "TrainerConfig":
@@ -160,6 +162,8 @@ class Trainer:
         micro_step = int(np.asarray(state.step)) * 1  # counts micro-batches
         done = False
         t0 = time.time()
+        timer = StepTimer()
+        profiler_ctx = None
         for epoch in range(cfg.max_epochs):
             if done:
                 break
@@ -169,12 +173,22 @@ class Trainer:
                 if micro_step >= total_micro:
                     done = True
                     break
+                if cfg.profile_steps > 0 and micro_step == 2:
+                    profiler_ctx = trace(run_dir / "profile")
+                    profiler_ctx.__enter__()
                 batch = _pad_batch_to_multiple(batch, self.mesh.shape[AXIS_DP])
                 batch = jax.device_put(batch, self.batch_shard)
                 state, metrics = step_fn(state, self.model_params, batch)
                 micro_step += 1
+                timer.tick()
+                if profiler_ctx is not None and micro_step >= 2 + cfg.profile_steps:
+                    jax.block_until_ready(metrics["loss"])
+                    profiler_ctx.__exit__(None, None, None)
+                    profiler_ctx = None
+                    logger.info("profiler trace written to %s", run_dir / "profile")
                 if micro_step % max(1, cfg.log_every_n_steps) == 0:
                     m = {k: float(v) for k, v in metrics.items()}
+                    m.update(timer.stats)
                     dt = time.time() - t0
                     logger.info(
                         "epoch %d micro %d/%d loss=%.4f kl=%.4f (%.2f it/s)",
@@ -192,6 +206,8 @@ class Trainer:
                     and micro_step % cfg.checkpoint_every_n_steps == 0
                 ):
                     ckpt.save(micro_step, state)
+        if profiler_ctx is not None:
+            profiler_ctx.__exit__(None, None, None)
         ckpt.wait()
 
         # final artifact with the reference's exact key contract

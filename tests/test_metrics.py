@@ -172,3 +172,49 @@ def test_compute_cider_file_contract(tmp_path):
         str(p),
     )
     assert score > 0
+
+
+def test_native_scorer_matches_python(tmp_path):
+    from licv_vqa_tpu.metrics.native import (
+        consensus_native,
+        normalize_answer_native,
+    )
+
+    if normalize_answer_native("x") is None:
+        pytest.skip("native scorer unavailable (no g++?)")
+
+    import random
+
+    random.seed(0)
+    words = ["a", "the", "cat", "two", "2", "don't", "couldnt", "no;", "1,000",
+             "ball.", "(red)", "it's", "dog", "yes!", "maybe?"]
+    for _ in range(200):
+        s = " ".join(random.choices(words, k=random.randint(1, 6)))
+        assert normalize_answer_native(s) == normalize_vqa_answer(s), repr(s)
+
+    preds = [
+        ("cat", ["cat"] * 10),
+        ("Cat.", ["cat"] * 5 + ["dog"] * 5),
+        ("two", ["2"] * 4 + ["three"] * 6),
+        ("a dog", ["dog"] * 10),
+    ]
+    got = consensus_native([p for p, _ in preds], [g for _, g in preds])
+    from licv_vqa_tpu.metrics.vqa_accuracy import _consensus_accuracy
+
+    for (p, gts), acc in zip(preds, got):
+        want = _consensus_accuracy(
+            normalize_vqa_answer(p), [normalize_vqa_answer(g) for g in gts]
+        )
+        assert acc == pytest.approx(want, abs=1e-9)
+
+
+def test_compute_vqa_accuracy_native_equals_python(tmp_path):
+    preds = [
+        ("cat", ["cat"] * 10, None),
+        ("The dog.", ["dog"] * 3 + ["cat"] * 7, None),
+        ("2", ["two"] * 10, None),
+    ]
+    results, qp, ap = _fixture_files(tmp_path, preds)
+    a_native = compute_vqa_accuracy(results, qp, ap, use_native=True)
+    a_python = compute_vqa_accuracy(results, qp, ap, use_native=False)
+    assert a_native == a_python
