@@ -48,7 +48,10 @@ def build(n_layers: int):
         cfg9,
         text=dataclasses.replace(cfg9.text, n_layers=n_layers),
     )
-    params = init_idefics_params(jax.random.PRNGKey(0), cfg)
+    # ONE compiled program for the whole init: per-op eager dispatch through
+    # the remote-compile tunnel costs seconds per op
+    params = jax.jit(lambda: init_idefics_params(jax.random.PRNGKey(0), cfg))()
+    jax.block_until_ready(params["layers"]["attn"]["wq"])
     _, bind_decode = make_idefics_forward_fns(cfg, eos_token_id=2)
     return cfg, params, bind_decode
 

@@ -40,6 +40,7 @@ class ICVModuleConfig:
     min_temperature: float = 1.0
     learnable_t: bool = False
     kl_eps: float = 1e-6
+    log_alpha: bool = True
     alpha_lr: float = 1e-2
     icv_lr: float = 1e-4
     weight_decay: float = 1e-3
@@ -61,6 +62,7 @@ class ICVModuleConfig:
             ),
             learnable_t=bool(cfg.get("learnable_t", False)),
             kl_eps=float(cfg.get("kl_eps", 1e-6)),
+            log_alpha=bool(cfg.get("log_alpha", True)),
             alpha_lr=float(cfg.get("alpha_lr", 1e-2)),
             icv_lr=float(cfg.get("icv_lr", 1e-4)),
             weight_decay=float(cfg.get("weight_decay", 1e-3)),
@@ -272,6 +274,10 @@ def make_train_step(
             params["temperature"] = state.params["temperature"]
         metrics["temperature"] = params["temperature"]
         metrics["grad_norm"] = optax.global_norm(grads)
+        if cfg.log_alpha:  # reference: icv_src/icv_module.py:164-167
+            alpha = encoder.get_alpha(params["encoder"])
+            for i in range(alpha.shape[0]):
+                metrics[f"alpha/alpha-{i}"] = alpha[i]
         return (
             TrainState(params=params, opt_state=opt_state, step=state.step + 1),
             metrics,

@@ -136,6 +136,15 @@ class Trainer:
         total_micro = steps_per_epoch * cfg.max_epochs
         total_steps = max(1, total_micro // cfg.accumulate_grad_batches)
 
+        # fractional decay_per_step = fraction of total steps (reference:
+        # icv_src/icv_module.py:54-68)
+        mcfg = self.module_cfg
+        if 0 < mcfg.decay_per_step < 1:
+            mcfg = dataclasses.replace(
+                mcfg, decay_per_step=max(1, int(total_steps * mcfg.decay_per_step))
+            )
+            self.module_cfg = mcfg
+
         optimizer = make_optimizer(self.module_cfg, total_steps)
         state = init_train_state(
             jax.random.PRNGKey(0), self.encoder, self.module_cfg, optimizer

@@ -154,3 +154,124 @@ def test_icl_inference_with_rice(env):
     assert len(icl_keys) == 2, result
     # RICE cache file written with the reference's contract
     assert list((env / "results" / "cache").glob("*rice_imgemb.pkl"))
+
+
+def test_idefics2_cli_workflow(env):
+    """Same workflow through the idefics2 family (MLP-site injection,
+    inline image tokens, Mistral GQA backbone)."""
+    import train as train_cli
+    import inference as infer_cli
+
+    common = [
+        "lmm=tiny-idefics2",
+        "run_name=e2e2",
+        "data_cfg.task.datasets.few_shot_num=1",
+        "data_cfg.task.datasets.max_train_size=-1",
+    ]
+    save_path = train_cli.main(
+        common
+        + [
+            "trainer=debug",
+            "trainer.log_every_n_steps=1",
+            "data_cfg.bs=2",
+            "data_cfg.num_workers=1",
+        ]
+    )
+    assert (save_path / "icv_cpk.pth").exists()
+    import torch
+
+    state = torch.load(save_path / "icv_cpk.pth", weights_only=False)
+    assert "mlp" in state["lmm_args"]["layer_format"]
+
+    result = infer_cli.main(
+        common
+        + [
+            "test_icv=true",
+            "test_num=2",
+            "bs=2",
+            "generate_kwargs.max_new_tokens=2",
+            "generate_kwargs.num_beams=1",
+        ]
+    )
+    assert any("icv result" in k for k in result)
+
+
+def test_flamingo_cli_inference(env):
+    """ICL inference through the flamingo family (ALiBi MPT backbone)."""
+    import inference as infer_cli
+
+    result = infer_cli.main(
+        [
+            "lmm=tiny-flamingo",
+            "run_name=e2e_fl",
+            "test_icv=false",
+            "test_icl=true",
+            "few_shot_list=[1]",
+            "test_num=2",
+            "train_num=4",
+            "bs=2",
+            "generate_kwargs.max_new_tokens=2",
+            "generate_kwargs.num_beams=1",
+        ]
+    )
+    assert any("ICL shot_num" in k for k in result)
+
+
+def _write_coco2017(tmp_path):
+    root = tmp_path / "coco" / "mscoco2017"
+    (root / "annotations").mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(7)
+    for split in ("train2017", "val2017"):
+        img_dir = root / split
+        img_dir.mkdir(exist_ok=True)
+        images, anns = [], []
+        for i in range(6):
+            img_id = 700 + i + (1000 if split == "val2017" else 0)
+            fname = f"{img_id:012d}.jpg"
+            Image.fromarray(
+                rng.integers(0, 255, size=(28, 28, 3), dtype=np.uint8)
+            ).save(img_dir / fname)
+            images.append({"id": img_id, "file_name": fname})
+            for c in range(2):
+                anns.append(
+                    {"image_id": img_id, "caption": f"a thing {i} doing {c}",
+                     "id": img_id * 10 + c}
+                )
+        (root / "annotations" / f"captions_{split}.json").write_text(
+            json.dumps({"images": images, "annotations": anns})
+        )
+
+
+def test_caption_task_train_and_eval(env):
+    """COCO captioning task end-to-end: CaptionDataset training + CIDEr eval
+    (reference: config/data_cfg/task/caption.yaml, utils.py:101-109)."""
+    import train as train_cli
+    import inference as infer_cli
+
+    _write_coco2017(env)
+    common = [
+        "lmm=tiny-idefics",
+        "data_cfg.task=caption",
+        "prompt=tiny-idefics_caption",
+        "run_name=e2e_cap",
+        "data_cfg.task.datasets.few_shot_num=1",
+        "data_cfg.task.datasets.max_train_size=-1",
+    ]
+    save_path = train_cli.main(
+        common + ["trainer=debug", "data_cfg.bs=2", "data_cfg.num_workers=1"]
+    )
+    assert (save_path / "icv_cpk.pth").exists()
+    assert "coco2017" in str(save_path)
+
+    result = infer_cli.main(
+        common
+        + [
+            "test_icv=true",
+            "test_num=3",
+            "bs=3",
+            "generate_kwargs.max_new_tokens=3",
+            "generate_kwargs.num_beams=1",
+        ]
+    )
+    keys = [k for k in result if "icv result" in k]
+    assert keys and isinstance(result[keys[0]], (int, float))  # CIDEr×100
