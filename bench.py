@@ -89,11 +89,16 @@ def run(n_layers: int) -> dict:
         jnp.asarray(valid),
         icv,
     )
-    out = jax.block_until_ready(gen(*args))  # compile + warmup
+    def sync(x):
+        # through the axon tunnel block_until_ready is unreliable; a host
+        # readback of the last generated column is a hard sync point
+        return np.asarray(x[:, -1])
+
+    sync(gen(*args))  # compile + warmup
     reps = 3
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = jax.block_until_ready(gen(*args))
+        sync(gen(*args))
     dt = (time.perf_counter() - t0) / reps
     tok_per_sec = BS * MAX_NEW / dt
     return {

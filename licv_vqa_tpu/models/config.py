@@ -47,6 +47,9 @@ class DecoderConfig:
     activation: str = "silu_glu"  # "silu_glu" | "gelu"
     qk_layernorm: bool = False
     attn_logit_softcap: Optional[float] = None
+    # "xla" (default) or "flash": Pallas TPU flash-attention for full-sequence
+    # (training/prefill) self-attention; decode steps always use XLA.
+    attention_impl: str = "xla"
 
     @property
     def head_dim(self) -> int:

@@ -115,6 +115,7 @@ def decoder_layer(
     bias: Optional[jax.Array],  # ALiBi etc.
     icv_row: Optional[jax.Array],  # (D,) scaled icv for this layer, or None
     kv_write: Optional[tuple] = None,  # (k_cache_l, v_cache_l, index) for decode
+    flash_valid: Optional[jax.Array] = None,  # (B, S): enables the flash path
 ):
     b, s, d = h.shape
     nh, nkv, dh = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
@@ -142,9 +143,20 @@ def decoder_layer(
 
     k_full = L.repeat_kv(k_full, nh // nkv)
     v_full = L.repeat_kv(v_full, nh // nkv)
-    attn = L.dot_product_attention(
-        q, k_full, v_full, bias=bias, mask=mask, logit_softcap=cfg.attn_logit_softcap
+    use_flash = (
+        flash_valid is not None
+        and kv_write is None
+        and cfg.positional == "rope"
+        and cfg.attn_logit_softcap is None
+        and L.flash_attention_usable(cfg, s, nh, dh)
     )
+    if use_flash:
+        attn = L.flash_attention_tpu(q, k_full, v_full, flash_valid)
+    else:
+        attn = L.dot_product_attention(
+            q, k_full, v_full, bias=bias, mask=mask,
+            logit_softcap=cfg.attn_logit_softcap,
+        )
     attn = jnp.dot(attn.reshape(b, s, nh * dh), p["attn"]["wo"]).astype(h.dtype)
     h = h + attn
 
@@ -225,12 +237,16 @@ def forward_hidden(
         bias = L.alibi_bias(cfg.n_heads, positions, k_pos)
 
     have_icv = icv_scaled is not None
+    flash_valid = attention_mask if cache is None else None
 
     def body(h, xs):
         p, icv_row, kv = xs
         icv_arg = icv_row if have_icv else None
         kv_write = (kv[0], kv[1], index) if cache is not None else None
-        h, new_kv = decoder_layer(cfg, p, h, cos, sin, mask, bias, icv_arg, kv_write)
+        h, new_kv = decoder_layer(
+            cfg, p, h, cos, sin, mask, bias, icv_arg, kv_write,
+            flash_valid=flash_valid,
+        )
         return h, new_kv
 
     if remat:

@@ -351,6 +351,8 @@ def idefics_forward(
             jnp.zeros((n_groups, interval, 0)),
         )
 
+    flash_valid = attention_mask if cache is None else None
+
     def group_body(h, xs):
         xp, lp, icv_g, kv_g = xs
         h = gated_xattn_block(cfg, xp, h, image_latents, xmask, gate)
@@ -360,7 +362,8 @@ def idefics_forward(
             icv_arg = icv_row if have_icv else None
             kv_write = (kv_l[0], kv_l[1], index) if cache is not None else None
             h, new_kv = decoder_layer(
-                cfg.text, p_l, h, cos, sin, mask, None, icv_arg, kv_write
+                cfg.text, p_l, h, cos, sin, mask, None, icv_arg, kv_write,
+                flash_valid=flash_valid,
             )
             return h, new_kv
 

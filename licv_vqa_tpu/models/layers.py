@@ -15,6 +15,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 # ---------------------------------------------------------------------------
@@ -142,6 +143,66 @@ def dot_product_attention(
         "bhqk,bkhd->bqhd", probs.astype(v.dtype), v, preferred_element_type=jnp.float32
     )
     return out.astype(q.dtype)
+
+
+def flash_attention_tpu(
+    q: jax.Array,  # (B, S, H, Dh)
+    k: jax.Array,
+    v: jax.Array,
+    valid: jax.Array,  # (B, S) 1=real token (right padding)
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Causal flash attention via the Pallas TPU kernel (training/prefill).
+
+    Padding is expressed as segment ids (pads form their own segment, so real
+    tokens never attend them); outputs at pad positions are garbage and must
+    be masked by the loss, same contract as the XLA path.
+    """
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        SegmentIds,
+        flash_attention,
+    )
+
+    b, s, h, dh = q.shape
+    scale = float(scale if scale is not None else 1.0 / np.sqrt(dh))
+    seg = valid.astype(jnp.int32) + 1  # pads=1, real=2 (0 is reserved-ish)
+    blk = min(512, s)
+    sizes = BlockSizes(
+        block_q=blk,
+        block_k_major=blk,
+        block_k=blk,
+        block_b=1,
+        block_q_major_dkv=blk,
+        block_k_major_dkv=blk,
+        block_k_dkv=blk,
+        block_q_dkv=blk,
+        block_k_major_dq=blk,
+        block_k_dq=blk,
+        block_q_dq=blk,
+    )
+    out = flash_attention(
+        q.transpose(0, 2, 1, 3),
+        k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3),
+        segment_ids=SegmentIds(q=seg, kv=seg),
+        causal=True,
+        sm_scale=scale,
+        block_sizes=sizes,
+    )
+    return out.transpose(0, 2, 1, 3)
+
+
+def flash_attention_usable(cfg, q_len: int, n_heads: int, head_dim: int) -> bool:
+    """Static predicate: shapes the Pallas kernel tiles cleanly AND we are on
+    a real TPU (the Mosaic kernel does not lower on the CPU test mesh)."""
+    return (
+        getattr(cfg, "attention_impl", "xla") == "flash"
+        and jax.default_backend() == "tpu"
+        and q_len >= 256
+        and q_len % 128 == 0
+        and head_dim % 128 == 0
+    )
 
 
 def causal_mask(
