@@ -61,3 +61,36 @@ class GlobalICVEncoder:
         (reference: icv_src/icv_module.py:89-92, inference.py:310-311)."""
         out = self(params)
         return out.alpha[:, None] * out.in_context_vector
+
+
+def prepare_intervention_layers(
+    intervention_layer, total_layers: int
+) -> list[int]:
+    """Reference semantics (icv_intervention.py:39-42): ``-1`` → all layers,
+    int → that single layer, list → as given."""
+    if intervention_layer == -1 or intervention_layer is None:
+        return list(range(total_layers))
+    if isinstance(intervention_layer, int):
+        return [intervention_layer]
+    return [int(x) for x in intervention_layer]
+
+
+def expand_icv_to_layers(
+    icv_scaled: Optional[jax.Array],  # (K, D) for the K intervened layers
+    layers: list[int],
+    total_layers: int,
+):
+    """(K, D) → ((L, D) rows, (L,) enable flags) for the scan body.  Layers
+    not in ``layers`` carry a zero row and a False flag (the injection is
+    skipped entirely, matching the reference's name-addressed hooks)."""
+    if icv_scaled is None:
+        return None
+    import jax.numpy as jnp
+
+    d = icv_scaled.shape[-1]
+    rows = jnp.zeros((total_layers, d), icv_scaled.dtype)
+    flags = jnp.zeros((total_layers,), bool)
+    idx = jnp.asarray(layers, jnp.int32)
+    rows = rows.at[idx].set(icv_scaled)
+    flags = flags.at[idx].set(True)
+    return rows, flags

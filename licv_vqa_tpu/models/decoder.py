@@ -167,12 +167,22 @@ def decoder_layer(
     if icv_row is not None and cfg.injection_site == MLP_OUTPUT:
         # idefics2 semantics: the hook edits the .mlp sublayer OUTPUT before
         # the residual add (reference: config/lmm/idefics2-8B-base.yaml:8)
-        mlp = icv_inject_reference(mlp, icv_row)
+        mlp = _apply_icv(mlp, icv_row)
     h = h + mlp
 
     if icv_row is not None and cfg.injection_site == BLOCK_OUTPUT:
-        h = icv_inject_reference(h, icv_row)
+        h = _apply_icv(h, icv_row)
     return h, new_kv
+
+
+def _apply_icv(x: jax.Array, icv_row) -> jax.Array:
+    """``icv_row`` is either a (D,) row (inject at every layer) or a
+    ``(row, flag)`` pair for subset-layer intervention (reference:
+    ``intervention_layer`` int/list semantics, icv_intervention.py:39-42)."""
+    if isinstance(icv_row, tuple):
+        row, flag = icv_row
+        return jnp.where(flag, icv_inject_reference(x, row), x)
+    return icv_inject_reference(x, icv_row)
 
 
 # ---------------------------------------------------------------------------

@@ -338,11 +338,16 @@ def idefics_forward(
 
     glayers = jax.tree.map(regroup, params["layers"])
     have_icv = icv_scaled is not None
-    icv_xs = (
-        regroup(icv_scaled.astype(t.dtype))
-        if have_icv
-        else jnp.zeros((n_groups, interval, 1), t.dtype)
-    )
+    if have_icv:
+        icv_cast = jax.tree.map(
+            lambda x: x.astype(t.dtype)
+            if jnp.issubdtype(x.dtype, jnp.floating)
+            else x,
+            icv_scaled,
+        )
+        icv_xs = jax.tree.map(regroup, icv_cast)
+    else:
+        icv_xs = jnp.zeros((n_groups, interval, 1), t.dtype)
     if cache is not None:
         kv_xs = (regroup(cache["k"]), regroup(cache["v"]))
     else:

@@ -59,6 +59,35 @@ class ModelBundle:
         return self.tokenizer.eos_token_id
 
 
+def _wrap_intervention(cfg, n_layers: int, train_forward, bind_decode):
+    """Apply the reference's ``intervention_layer`` semantics (int/list/-1,
+    icv_intervention.py:39-42): the encoder owns K = len(layers) rows; the
+    model receives an (L, D) row tensor plus per-layer enable flags."""
+    from ..icv.encoder import expand_icv_to_layers, prepare_intervention_layers
+
+    intervention = -1
+    if cfg is not None:
+        try:
+            raw = cfg.lmm.get("intervention_layer", -1)
+            intervention = raw if isinstance(raw, (int, list)) else list(raw)
+        except Exception:
+            intervention = -1
+    layers = prepare_intervention_layers(intervention, n_layers)
+    if layers == list(range(n_layers)):
+        return train_forward, bind_decode, n_layers
+
+    def expand(icv):
+        return expand_icv_to_layers(icv, layers, n_layers)
+
+    def tf(model_params, inputs, icv_scaled):
+        return train_forward(model_params, inputs, expand(icv_scaled))
+
+    def bd(model_params, pixels, valid, ids, icv_scaled, max_len):
+        return bind_decode(model_params, pixels, valid, ids, expand(icv_scaled), max_len)
+
+    return tf, bd, len(layers)
+
+
 def _load_hf_weights(model_dir: Path) -> Optional[dict]:
     shards = sorted(model_dir.glob("*.safetensors"))
     if shards:
@@ -131,6 +160,9 @@ def _idefics_bundle(cfg, model_cfg: IdeficsConfig, name: str) -> ModelBundle:
     train_forward, bind_decode = make_idefics_forward_fns(
         model_cfg, tokenizer.eos_token_id
     )
+    train_forward, bind_decode, n_icv_layers = _wrap_intervention(
+        cfg, model_cfg.text.n_layers, train_forward, bind_decode
+    )
     return ModelBundle(
         name=name,
         model_cfg=model_cfg,
@@ -140,7 +172,7 @@ def _idefics_bundle(cfg, model_cfg: IdeficsConfig, name: str) -> ModelBundle:
         train_forward=train_forward,
         bind_decode=bind_decode,
         hidden_size=model_cfg.text.d_model,
-        n_layers=model_cfg.text.n_layers,
+        n_layers=n_icv_layers,
     )
 
 
@@ -183,6 +215,9 @@ def _idefics2_bundle(cfg, model_cfg, name: str) -> ModelBundle:
     train_forward, bind_decode = make_idefics2_forward_fns(
         model_cfg, tokenizer.eos_token_id
     )
+    train_forward, bind_decode, n_icv_layers = _wrap_intervention(
+        cfg, model_cfg.text.n_layers, train_forward, bind_decode
+    )
     return ModelBundle(
         name=name,
         model_cfg=model_cfg,
@@ -192,7 +227,7 @@ def _idefics2_bundle(cfg, model_cfg, name: str) -> ModelBundle:
         train_forward=train_forward,
         bind_decode=bind_decode,
         hidden_size=model_cfg.text.d_model,
-        n_layers=model_cfg.text.n_layers,
+        n_layers=n_icv_layers,
     )
 
 
@@ -260,6 +295,9 @@ def _openflamingo_bundle(cfg, model_cfg, name: str) -> ModelBundle:
     train_forward, bind_decode = make_openflamingo_forward_fns(
         model_cfg, tokenizer.eos_token_id
     )
+    train_forward, bind_decode, n_icv_layers = _wrap_intervention(
+        cfg, model_cfg.text.n_layers, train_forward, bind_decode
+    )
     return ModelBundle(
         name=name,
         model_cfg=model_cfg,
@@ -269,5 +307,5 @@ def _openflamingo_bundle(cfg, model_cfg, name: str) -> ModelBundle:
         train_forward=train_forward,
         bind_decode=bind_decode,
         hidden_size=model_cfg.text.d_model,
-        n_layers=model_cfg.text.n_layers,
+        n_layers=n_icv_layers,
     )

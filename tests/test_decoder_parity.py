@@ -196,3 +196,44 @@ def test_icv_injection_matches_hook_semantics():
         cfg, params, jnp.asarray(ids), jnp.asarray(mask), icv_scaled=jnp.asarray(icv)
     )
     np.testing.assert_allclose(np.asarray(got), want, rtol=5e-4, atol=5e-4)
+
+
+def test_subset_layer_intervention_matches_hooks():
+    """intervention_layer as a list (reference icv_intervention.py:39-42):
+    inject only at layers [1, 3], verified against torch hooks there."""
+    from licv_vqa_tpu.icv.encoder import expand_icv_to_layers
+
+    hf = _tiny_hf_llama()
+    cfg = _our_cfg()
+    from licv_vqa_tpu.models.convert import convert_llama, hf_state_dict
+
+    params = convert_llama(hf_state_dict(hf), cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(5)
+    layers = [1, 3]
+    icv_k = rng.normal(size=(len(layers), D)).astype(np.float32) * 0.2
+    ids = rng.integers(1, V, size=(2, 7)).astype(np.int64)
+    mask = np.ones_like(ids)
+
+    handles = []
+    for k, l in enumerate(layers):
+        shift = torch.tensor(icv_k[k])[None, None, :]
+
+        def hook(_m, _i, output, shift=shift):
+            h = output[0] if isinstance(output, tuple) else output
+            s = h + shift
+            out = s / s.norm(dim=-1, keepdim=True) * h.norm(dim=-1, keepdim=True)
+            return ((out,) + tuple(output[1:])) if isinstance(output, tuple) else out
+
+        handles.append(hf.model.layers[l].register_forward_hook(hook))
+    with torch.no_grad():
+        want = hf(
+            input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask)
+        ).logits.numpy()
+    for h in handles:
+        h.remove()
+
+    expanded = expand_icv_to_layers(jnp.asarray(icv_k), layers, LAYERS)
+    got, _ = causal_lm_forward(
+        cfg, params, jnp.asarray(ids), jnp.asarray(mask), icv_scaled=expanded
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=5e-4, atol=5e-4)
