@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
+from ..core.distributed import PreemptionGuard, is_main_process
 from ..core.mesh import AXIS_DP, AXIS_TP, MeshConfig, create_mesh
 from ..icv.encoder import GlobalICVEncoder
 from ..icv.module import (
@@ -173,6 +174,7 @@ class Trainer:
         t0 = time.time()
         timer = StepTimer()
         profiler_ctx = None
+        guard = PreemptionGuard()
         for epoch in range(cfg.max_epochs):
             if done:
                 break
@@ -180,6 +182,14 @@ class Trainer:
                 if bi >= steps_per_epoch:
                     break
                 if micro_step >= total_micro:
+                    done = True
+                    break
+                if guard.should_stop:
+                    logger.warning(
+                        "preemption requested — checkpointing at micro %d",
+                        micro_step,
+                    )
+                    ckpt.save(micro_step, state)
                     done = True
                     break
                 if cfg.profile_steps > 0 and micro_step == 2:
@@ -213,13 +223,17 @@ class Trainer:
                 if (
                     cfg.checkpoint_every_n_steps > 0
                     and micro_step % cfg.checkpoint_every_n_steps == 0
+                    and is_main_process()
                 ):
                     ckpt.save(micro_step, state)
         if profiler_ctx is not None:
             profiler_ctx.__exit__(None, None, None)
         ckpt.wait()
 
-        # final artifact with the reference's exact key contract
+        # final artifact with the reference's exact key contract (rank 0 only,
+        # like the reference's @rank_zero_only postprocess, train.py:88)
+        if not is_main_process():
+            return state
         icv_np = jax.tree.map(np.asarray, state.params["encoder"])
         save_icv_checkpoint(
             run_dir,

@@ -41,6 +41,9 @@ logger = get_logger("train_cli")
 def main(argv: list[str] | None = None) -> Path | None:
     cfg = compose("config", "train", list(sys.argv[1:] if argv is None else argv))
     _select_platform(cfg)
+    from licv_vqa_tpu.core.distributed import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
     np.random.seed(int(cfg.seed))
 
     model_name = str(cfg.lmm.name).split("/")[-1]
