@@ -332,6 +332,63 @@ def idefics_forward(
     gate = jnp.any(xmask, axis=-1).astype(jnp.float32)  # (B, S)
     xmask = xmask[:, None, :, :]  # (B, 1, S, Nk)
 
+    if cache is not None:
+        # DECODE: one FLAT scan over layers with cond-gated cross-attention.
+        # The nested group-scan costs a full extra KV-cache copy per token
+        # (measured 2.3x slower); a single-level scan matches the text-only
+        # decoder's bandwidth profile.
+        have_icv = icv_scaled is not None
+        icv_xs = (
+            jax.tree.map(
+                lambda x: x.astype(t.dtype)
+                if jnp.issubdtype(x.dtype, jnp.floating)
+                else x,
+                icv_scaled,
+            )
+            if have_icv
+            else jnp.zeros((t.n_layers, 1), t.dtype)
+        )
+
+        def flat_body(h, xs):
+            p_l, icv_row, kv_l, li = xs
+
+            def do_xattn(hh):
+                g = li // interval
+                xp = jax.tree.map(
+                    lambda x: jax.lax.dynamic_index_in_dim(x, g, 0, keepdims=False),
+                    params["xattn"],
+                )
+                return gated_xattn_block(cfg, xp, hh, image_latents, xmask, gate)
+
+            h = jax.lax.cond(li % interval == 0, do_xattn, lambda hh: hh, h)
+            icv_arg = icv_row if have_icv else None
+            h, new_kv = decoder_layer(
+                cfg.text, p_l, h, cos, sin, mask, None, icv_arg,
+                (kv_l[0], kv_l[1], index),
+            )
+            return h, new_kv
+
+        h, kv_out = jax.lax.scan(
+            flat_body,
+            h,
+            (
+                params["layers"],
+                icv_xs,
+                (cache["k"], cache["v"]),
+                jnp.arange(t.n_layers),
+            ),
+        )
+        new_cache = {
+            "k": kv_out[0],
+            "v": kv_out[1],
+            "pos": cache_pos,
+            "valid": cache_valid,
+            "index": index + s,
+        }
+        h = L.rms_norm(params["final_norm"], h, t.norm_eps)
+        return logits_from_hidden(t, params, h), new_cache
+
+    # TRAIN/no-cache: grouped scan (memory-efficient with remat)
     # group-stack the per-layer leaves: (L, ...) → (G, interval, ...)
     def regroup(x):
         return x.reshape((n_groups, interval) + x.shape[1:])

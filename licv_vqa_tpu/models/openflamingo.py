@@ -274,6 +274,62 @@ def openflamingo_forward(
     gate = jnp.any(xmask, axis=-1).astype(jnp.float32)
     xmask = xmask[:, None, :, :]
 
+    if cache is not None:
+        # DECODE: flat layer scan with cond-gated xattn (see idefics.py — the
+        # nested group-scan copies the full KV cache per token)
+        have_icv = icv_scaled is not None
+        icv_xs = (
+            jax.tree.map(
+                lambda x: x.astype(t.dtype)
+                if jnp.issubdtype(x.dtype, jnp.floating)
+                else x,
+                icv_scaled,
+            )
+            if have_icv
+            else jnp.zeros((t.n_layers, 1), t.dtype)
+        )
+
+        def flat_body(h, xs):
+            p_l, icv_row, kv_l, li = xs
+
+            def do_xattn(hh):
+                g = li // every
+                xp = jax.tree.map(
+                    lambda x: jax.lax.dynamic_index_in_dim(x, g, 0, keepdims=False),
+                    params["xattn"],
+                )
+                return flamingo_xattn_block(cfg, xp, hh, media_latents, xmask, gate)
+
+            # flamingo: xattn BEFORE the block that closes each group
+            h = jax.lax.cond(li % every == every - 1, do_xattn, lambda hh: hh, h)
+            icv_arg = icv_row if have_icv else None
+            h, new_kv = decoder_layer(
+                t, p_l, h, None, None, mask, bias, icv_arg,
+                (kv_l[0], kv_l[1], index),
+            )
+            return h, new_kv
+
+        h, kv_out = jax.lax.scan(
+            flat_body,
+            h,
+            (
+                params["layers"],
+                icv_xs,
+                (cache["k"], cache["v"]),
+                jnp.arange(t.n_layers),
+            ),
+        )
+        new_cache = {
+            "k": kv_out[0],
+            "v": kv_out[1],
+            "pos": cache_pos,
+            "valid": cache_valid,
+            "index": index + s,
+        }
+        h = L.layer_norm(params["final_norm"], params["final_norm_b"], h, t.norm_eps)
+        logits = jnp.dot(h, params["embed"].T, preferred_element_type=jnp.float32)
+        return logits, new_cache
+
     def regroup(x):
         return x.reshape((n_groups, every) + x.shape[1:])
 
