@@ -43,13 +43,47 @@ def make_generate_fn(bundle, generate_kwargs: dict) -> Callable:
     min_new = int(generate_kwargs.get("min_new_tokens", 0))
     num_beams = int(generate_kwargs.get("num_beams", 1))
     length_penalty = float(generate_kwargs.get("length_penalty", 0.0))
+    draft_layers = int(generate_kwargs.get("speculative_draft_layers", 0))
+    gamma = int(generate_kwargs.get("speculative_gamma", 4))
     eos, pad = bundle.eos_token_id, bundle.pad_token_id
+
+    draft = None
+    if draft_layers > 0 and num_beams == 1:
+        if bundle.n_layers != bundle.model_cfg.text.n_layers:
+            logger.warning(
+                "speculative decoding is unsupported with subset-layer "
+                "intervention — falling back to plain greedy"
+            )
+        else:
+            from ..models.registry import build_draft_decode
+
+            draft = build_draft_decode(bundle, draft_layers)
 
     def gen(params, input_ids, attention_mask, pixels, pixel_valid, icv_scaled):
         fwd = bundle.bind_decode(
             params, pixels, pixel_valid, input_ids, icv_scaled,
             input_ids.shape[1] + max_new + 1,
         )
+        if draft is not None:
+            from .speculative import speculative_greedy_generate
+
+            draft_params, draft_bind = draft
+            # draft drafts WITH the ICV on its truncated depth (best guess of
+            # the steered target); rows sliced to the draft's layer count
+            draft_icv = (
+                jax.tree.map(lambda x: x[:draft_layers], icv_scaled)
+                if icv_scaled is not None
+                else None
+            )
+            dfwd = draft_bind(
+                draft_params, pixels, pixel_valid, input_ids, draft_icv,
+                input_ids.shape[1] + max_new + 1,
+            )
+            return speculative_greedy_generate(
+                fwd, dfwd, input_ids, attention_mask,
+                max_new_tokens=max_new, eos_token_id=eos, pad_token_id=pad,
+                gamma=gamma,
+            )
         if num_beams > 1:
             return beam_generate(
                 fwd,

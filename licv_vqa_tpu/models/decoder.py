@@ -143,15 +143,20 @@ def decoder_layer(
 
     k_full = L.repeat_kv(k_full, nh // nkv)
     v_full = L.repeat_kv(v_full, nh // nkv)
+    # flash_valid is only passed by callers when attention is self-contained
+    # in this block (training forward, or a prefill into an empty cache), so
+    # the Pallas kernel can ignore the cache mask entirely.
     use_flash = (
         flash_valid is not None
-        and kv_write is None
         and cfg.positional == "rope"
         and cfg.attn_logit_softcap is None
         and L.flash_attention_usable(cfg, s, nh, dh)
     )
     if use_flash:
-        attn = L.flash_attention_tpu(q, k_full, v_full, flash_valid)
+        # local (pre-cache) k/v == the full keys for self-contained blocks
+        attn = L.flash_attention_tpu(
+            q, L.repeat_kv(k, nh // nkv), L.repeat_kv(v, nh // nkv), flash_valid
+        )
     else:
         attn = L.dot_product_attention(
             q, k_full, v_full, bias=bias, mask=mask,
@@ -205,8 +210,12 @@ def forward_hidden(
     cache: Optional[dict] = None,
     positions: Optional[jax.Array] = None,
     remat: bool = False,
+    prefill_flash: Optional[jax.Array] = None,
 ) -> tuple[jax.Array, Optional[dict]]:
-    """Run the stacked decoder; returns (hidden (B,S,D), new cache or None)."""
+    """Run the stacked decoder; returns (hidden (B,S,D), new cache or None).
+
+    ``prefill_flash``: pass the attention_mask when this cached call is a
+    PREFILL into an empty cache — enables the flash kernel for the block."""
     b, s, d = inputs_embeds.shape
     h = inputs_embeds
 
@@ -247,7 +256,7 @@ def forward_hidden(
         bias = L.alibi_bias(cfg.n_heads, positions, k_pos)
 
     have_icv = icv_scaled is not None
-    flash_valid = attention_mask if cache is None else None
+    flash_valid = attention_mask if cache is None else prefill_flash
 
     def body(h, xs):
         p, icv_row, kv = xs
@@ -300,6 +309,7 @@ def causal_lm_forward(
     cache: Optional[dict] = None,
     positions: Optional[jax.Array] = None,
     remat: bool = False,
+    prefill_flash: Optional[jax.Array] = None,
 ):
     """Text-only causal LM: returns (logits f32 (B,S,V), new_cache)."""
     embeds = params["embed"][input_ids].astype(cfg.dtype)
@@ -312,5 +322,6 @@ def causal_lm_forward(
         cache=cache,
         positions=positions,
         remat=remat,
+        prefill_flash=prefill_flash,
     )
     return logits_from_hidden(cfg, params, h), new_cache

@@ -290,6 +290,7 @@ def idefics_forward(
     cache: Optional[dict] = None,
     positions: Optional[jax.Array] = None,
     remat: bool = False,
+    prefill_flash: Optional[jax.Array] = None,
 ):
     """Returns (logits f32 (B,S,V), new_cache)."""
     t = cfg.text
@@ -365,6 +366,7 @@ def idefics_forward(
             h, new_kv = decoder_layer(
                 cfg.text, p_l, h, cos, sin, mask, None, icv_arg,
                 (kv_l[0], kv_l[1], index),
+                flash_valid=prefill_flash,
             )
             return h, new_kv
 
@@ -507,10 +509,12 @@ def make_idefics_forward_fns(cfg: IdeficsConfig, eos_token_id: int, params=None)
 
         def forward_fn(input_ids, attention_mask, positions, cache):
             b = input_ids.shape[0]
+            prefill_flash = None
             if cache is None:
                 cache = init_kv_cache(cfg.text, b, max_len)
                 onehot = prefill_onehot
                 lat = latents
+                prefill_flash = attention_mask
             else:
                 # during beam decode the batch may be beam-expanded
                 rep = b // latents.shape[0]
@@ -529,6 +533,7 @@ def make_idefics_forward_fns(cfg: IdeficsConfig, eos_token_id: int, params=None)
                 icv_scaled=icv_scaled,
                 cache=cache,
                 positions=positions,
+                prefill_flash=prefill_flash,
             )
 
         return forward_fn

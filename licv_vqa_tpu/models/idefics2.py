@@ -256,6 +256,7 @@ def idefics2_forward(
     cache: Optional[dict] = None,
     positions: Optional[jax.Array] = None,
     remat: bool = False,
+    prefill_flash: Optional[jax.Array] = None,
 ):
     embeds = params["embed"][input_ids].astype(cfg.text.dtype)
     if image_latents is not None:
@@ -271,6 +272,7 @@ def idefics2_forward(
         cache=cache,
         positions=positions,
         remat=remat,
+        prefill_flash=prefill_flash,
     )
     return logits_from_hidden(cfg.text, params, h), new_cache
 
@@ -304,9 +306,11 @@ def make_idefics2_forward_fns(cfg: Idefics2Config, eos_token_id: int, params=Non
 
         def forward_fn(input_ids, attention_mask, positions, cache):
             b = input_ids.shape[0]
+            prefill_flash = None
             if cache is None:
                 cache = init_kv_cache(cfg.text, b, max_len)
                 lat = latents
+                prefill_flash = attention_mask
             else:
                 lat = None  # image tokens only occur in the prompt
             return idefics2_forward(
@@ -318,6 +322,7 @@ def make_idefics2_forward_fns(cfg: Idefics2Config, eos_token_id: int, params=Non
                 icv_scaled=icv_scaled,
                 cache=cache,
                 positions=positions,
+                prefill_flash=prefill_flash,
             )
 
         return forward_fn

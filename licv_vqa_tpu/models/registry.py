@@ -231,6 +231,63 @@ def _idefics2_bundle(cfg, model_cfg, name: str) -> ModelBundle:
     )
 
 
+def build_draft_decode(bundle: ModelBundle, draft_layers: int):
+    """A layer-truncated draft ``bind_decode`` for speculative decoding:
+    the same weights, first ``draft_layers`` decoder layers (cross-attention
+    groups truncated accordingly).  Returns ``(draft_params, bind_decode)``."""
+    name = bundle.name
+    mc = bundle.model_cfg
+    k = draft_layers
+
+    def slice_layers(params, extra_keys=()):
+        sub = dict(params)
+        sub["layers"] = jax.tree.map(lambda x: x[:k], params["layers"])
+        for key, rows in extra_keys:
+            sub[key] = jax.tree.map(lambda x: x[:rows], params[key])
+        return sub
+
+    if "idefics2" in name:
+        from .idefics2 import make_idefics2_forward_fns
+
+        new_cfg = dataclasses.replace(
+            mc, text=dataclasses.replace(mc.text, n_layers=k)
+        )
+        params = slice_layers(bundle.params)
+        _, bind = make_idefics2_forward_fns(new_cfg, bundle.eos_token_id)
+        return params, bind
+    if "idefics" in name:
+        from .idefics import make_idefics_forward_fns
+
+        interval = mc.cross_layer_interval
+        if k % interval:
+            raise ValueError(
+                f"draft_layers ({k}) must be a multiple of "
+                f"cross_layer_interval ({interval})"
+            )
+        new_cfg = dataclasses.replace(
+            mc, text=dataclasses.replace(mc.text, n_layers=k)
+        )
+        params = slice_layers(bundle.params, extra_keys=[("xattn", k // interval)])
+        _, bind = make_idefics_forward_fns(new_cfg, bundle.eos_token_id)
+        return params, bind
+    if "flamingo" in name.lower():
+        from .openflamingo import make_openflamingo_forward_fns
+
+        every = mc.cross_attn_every_n_layers
+        if k % every:
+            raise ValueError(
+                f"draft_layers ({k}) must be a multiple of "
+                f"cross_attn_every_n_layers ({every})"
+            )
+        new_cfg = dataclasses.replace(
+            mc, text=dataclasses.replace(mc.text, n_layers=k)
+        )
+        params = slice_layers(bundle.params, extra_keys=[("xattn", k // every)])
+        _, bind = make_openflamingo_forward_fns(new_cfg, bundle.eos_token_id)
+        return params, bind
+    raise ValueError(f"no draft builder for {name}")
+
+
 def build_model(cfg) -> ModelBundle:
     """``cfg`` is the composed top-level config (needs ``cfg.lmm``)."""
     name = str(cfg.lmm.name)

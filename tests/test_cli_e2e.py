@@ -275,3 +275,34 @@ def test_caption_task_train_and_eval(env):
     )
     keys = [k for k in result if "icv result" in k]
     assert keys and isinstance(result[keys[0]], (int, float))  # CIDEr×100
+
+
+def test_speculative_decoding_cli(env):
+    """Opt-in self-speculative decoding via generate_kwargs; results must be
+    identical to plain greedy (exact verification)."""
+    import inference as infer_cli
+
+    common = [
+        "lmm=tiny-idefics",
+        "run_name=e2e_spec",
+        "test_icv=false",
+        "test_icl=true",
+        "few_shot_list=[1]",
+        "test_num=2",
+        "train_num=4",
+        "bs=2",
+        "generate_kwargs.max_new_tokens=4",
+        "generate_kwargs.num_beams=1",
+    ]
+    plain = infer_cli.main(common)
+    spec = infer_cli.main(
+        [a.replace("e2e_spec", "e2e_spec2") for a in common]
+        + [
+            "generate_kwargs.speculative_draft_layers=2",
+            "generate_kwargs.speculative_gamma=2",
+        ]
+    )
+    # same predictions → same accuracy values
+    p = [v for k, v in plain.items() if "ICL" in k][0]
+    s = [v for k, v in spec.items() if "ICL" in k][0]
+    assert p["overall"] == s["overall"]
