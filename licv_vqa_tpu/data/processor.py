@@ -116,8 +116,44 @@ class PromptProcessor:
         self.image_token_id = tokenizer.token_id(IMAGE_TOKEN)
         self.fake_token_id = tokenizer.token_id(FAKE_IMAGE_TOKEN)
 
+    def _image_markup(self) -> str:
+        if self.family == "idefics":
+            return FAKE_IMAGE_TOKEN + IMAGE_TOKEN + FAKE_IMAGE_TOKEN
+        if self.family == "idefics2":
+            return (
+                FAKE_IMAGE_TOKEN
+                + IMAGE_TOKEN * self.image_seq_len
+                + FAKE_IMAGE_TOKEN
+            )
+        return IMAGE_TOKEN  # flamingo
+
+    def _encode_prompt_textual(self, prompt: Sequence[Any], add_eos_token: bool):
+        """HF-tokenizer path: build ONE string with literal image-token markup
+        and tokenize once — segment-wise tokenization differs at SentencePiece
+        boundaries, and HF's Idefics processors tokenize the joined string
+        (adjacent images share a fake token, like HF)."""
+        parts: list[str] = []
+        images: list[np.ndarray] = []
+        for part in prompt:
+            if _is_image(part):
+                images.append(self.image_transform(part))
+                parts.append(self._image_markup())
+            else:
+                parts.append(str(part))
+        text = "".join(parts).replace(
+            FAKE_IMAGE_TOKEN + FAKE_IMAGE_TOKEN, FAKE_IMAGE_TOKEN
+        )
+        ids = ([self.tokenizer.bos_token_id] if self.add_bos else []) + list(
+            self.tokenizer.encode(text)
+        )
+        if add_eos_token:
+            ids.append(self.tokenizer.eos_token_id)
+        return ids[: self.max_length], images
+
     # -- single prompt → (ids, images) ------------------------------------
     def _encode_prompt(self, prompt: Sequence[Any], add_eos_token: bool):
+        if hasattr(self.tokenizer, "tok"):  # HF-backed tokenizer
+            return self._encode_prompt_textual(prompt, add_eos_token)
         ids: list[int] = []
         if self.add_bos:
             ids.append(self.tokenizer.bos_token_id)

@@ -97,3 +97,30 @@ def test_collator_with_hf_tokenizer(hf_tok):
     assert stu_len - int(batch["query_x_length"][0]) == tea_len - int(
         batch["in_context_length"][0]
     )
+
+
+def test_hf_path_single_string_tokenization(hf_tok):
+    """With an HF tokenizer the prompt is joined and tokenized ONCE with
+    literal image markup (HF IdeficsProcessor semantics)."""
+    from licv_vqa_tpu.data.processor import (
+        FAKE_IMAGE_TOKEN,
+        IMAGE_TOKEN,
+        ImageTransform,
+        PromptProcessor,
+    )
+    from licv_vqa_tpu.data.tokenizer import HFTokenizer
+
+    adapter = HFTokenizer(hf_tok)
+    proc = PromptProcessor(adapter, ImageTransform(16), family="idefics",
+                           pad_to_multiple=8)
+    img = np.zeros((16, 16, 3), np.uint8)
+    out = proc.prepare_input([["What", img, img, "blue"]])
+    ids = [int(i) for i in out["input_ids"][0] if i != adapter.pad_token_id]
+    # expected: bos + tokenize("What<fake><image><fake><image><fake>blue")
+    want = [adapter.bos_token_id] + adapter.encode(
+        "What" + FAKE_IMAGE_TOKEN + IMAGE_TOKEN + FAKE_IMAGE_TOKEN
+        + IMAGE_TOKEN + FAKE_IMAGE_TOKEN + "blue"
+    )
+    assert ids == want
+    assert ids.count(proc.image_token_id) == 2
+    assert ids.count(proc.fake_token_id) == 3  # adjacent images merged
