@@ -92,6 +92,20 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def bucket_length(n: int, base: int = 64) -> int:
+    """Geometric-ish bucketing: fine granularity for short prompts, coarser
+    for long ICL prompts, so each (batch, bucket) shape — and its XLA
+    compilation — is reused across the whole eval.
+
+    ≤512 → multiples of ``base``; ≤2048 → multiples of 256; above → 512.
+    """
+    if n <= 512:
+        return _round_up(n, base)
+    if n <= 2048:
+        return _round_up(n, 256)
+    return _round_up(n, 512)
+
+
 class PromptProcessor:
     def __init__(
         self,
@@ -200,7 +214,7 @@ class PromptProcessor:
         b = len(encoded)
         pad_id = self.tokenizer.pad_token_id
         max_len = max(len(ids) for ids, _ in encoded) if padding else self.max_length
-        max_len = min(_round_up(max_len, self.pad_to_multiple), self.max_length)
+        max_len = min(bucket_length(max_len, self.pad_to_multiple), self.max_length)
         n_img = max((len(imgs) for _, imgs in encoded), default=0)
         n_img = max(n_img, 1)
         hw = self.image_transform.image_size

@@ -276,3 +276,14 @@ def test_caption_dataset(tmp_path):
     )
     item = ds[0]
     assert item["query_x"][1] == "Caption:"
+
+
+def test_bucket_length_schedule():
+    from licv_vqa_tpu.data.processor import bucket_length
+
+    assert bucket_length(1) == 64
+    assert bucket_length(64) == 64
+    assert bucket_length(65) == 128
+    assert bucket_length(512) == 512
+    assert bucket_length(513) == 768
+    assert bucket_length(2049) == 2560
