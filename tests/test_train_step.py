@@ -141,3 +141,40 @@ def test_sigmoid_alpha():
     np.testing.assert_allclose(
         np.asarray(out.alpha), 1 / (1 + np.exp(-np.asarray(p["alpha"]))), rtol=1e-6
     )
+
+
+def test_temperature_decay_schedule():
+    """decay_ratio/decay_per_step semantics (reference icv_module.py:150-158):
+    at steps k·decay_per_step (k>0), T ← max(T·ratio, min_temperature)."""
+    cfg, params, encoder, mcfg, state, step = _setup(warm_steps=0)
+    import dataclasses
+    from licv_vqa_tpu.icv.module import make_train_step, make_optimizer
+
+    mcfg2 = dataclasses.replace(
+        mcfg, decay_ratio=0.5, decay_per_step=2, min_temperature=0.3,
+        init_temperature=1.0,
+    )
+    tx = make_optimizer(mcfg2, total_steps=100)
+    from licv_vqa_tpu.icv.module import init_train_state
+
+    state = init_train_state(jax.random.PRNGKey(1), encoder, mcfg2, tx)
+    step2 = jax.jit(make_train_step(lambda p, i, icv: _fwd_logits(cfg, p, i, icv),
+                                    encoder, mcfg2, tx, PAD))
+    rng = np.random.default_rng(5)
+    temps = []
+    for _ in range(7):
+        state, metrics = step2(state, params, _batch(rng))
+        temps.append(round(float(metrics["temperature"]), 4))
+    # decay fires when global_step % 2 == 0 and != 0 (checked BEFORE the step
+    # increments): steps 0..6 → T = 1, 1, .5, .5, .25 → clipped at .3
+    assert temps == [1.0, 1.0, 0.5, 0.5, 0.3, 0.3, 0.3], temps
+
+
+def _fwd_logits(cfg, model_params, inputs, icv_scaled):
+    from licv_vqa_tpu.models import causal_lm_forward
+
+    logits, _ = causal_lm_forward(
+        cfg, model_params, inputs["input_ids"], inputs["attention_mask"],
+        icv_scaled=icv_scaled,
+    )
+    return logits
