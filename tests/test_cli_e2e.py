@@ -306,3 +306,32 @@ def test_speculative_decoding_cli(env):
     p = [v for k, v in plain.items() if "ICL" in k][0]
     s = [v for k, v in spec.items() if "ICL" in k][0]
     assert p["overall"] == s["overall"]
+
+
+def test_okvqa_cli_inference(env):
+    """OK-VQA dataset group end-to-end: loader file scheme, answers[0] rule,
+    stemmer postprocess in the eval path (reference: utils.py:93-100,129-133)."""
+    import inference as infer_cli
+
+    ok_root = env / "okvqa"
+    coco = env / "coco" / "mscoco2014"
+    _write_vqa_split(ok_root, coco / "train2014", "train2014", 6, prefix="")
+    _write_vqa_split(ok_root, coco / "val2014", "val2014", 4, prefix="")
+
+    result = infer_cli.main(
+        [
+            "lmm=tiny-idefics",
+            "data_cfg.task.datasets=ok_vqa",
+            "run_name=e2e_ok",
+            "test_icv=false",
+            "test_icl=true",
+            "few_shot_list=[1]",
+            "test_num=2",
+            "train_num=4",
+            "bs=2",
+            "generate_kwargs.max_new_tokens=2",
+            "generate_kwargs.num_beams=1",
+        ]
+    )
+    keys = [k for k in result if "ICL shot_num" in k]
+    assert keys and "overall" in result[keys[0]]
