@@ -207,6 +207,12 @@ class Trainer:
                     logger.info("profiler trace written to %s", run_dir / "profile")
                 if micro_step % max(1, cfg.log_every_n_steps) == 0:
                     m = {k: float(v) for k, v in metrics.items()}
+                    if not np.isfinite(m.get("loss", 0.0)):
+                        logger.error(
+                            "non-finite loss at micro %d: %s — check data/lr",
+                            micro_step,
+                            {k: v for k, v in m.items() if "loss" in k},
+                        )
                     m.update(timer.stats)
                     dt = time.time() - t0
                     logger.info(
