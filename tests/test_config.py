@@ -107,3 +107,56 @@ def test_to_dict_roundtrip():
     d = cfg.to_dict()
     assert d["lmm"]["name"] == "idefics-9b"
     assert isinstance(d["data_cfg"]["task"]["datasets"]["val_ques_path"], str)
+
+
+REFERENCE_RECIPE = [
+    # the reference README's VQAv2/Idefics-9B recipe, verbatim token-for-token
+    # (reference: README.md:126-139)
+    'run_name=vqav2_idefics_icv',
+    'icv_module.icv_encoder.use_sigmoid=False',
+    'icv_module.icv_encoder.alpha_init_value=0.1',
+    'data_cfg.task.datasets.max_train_size=8000',
+    'data_cfg.task.datasets.few_shot_num=32',
+    'data_cfg.bs=8',
+    'data_cfg.num_workers=10',
+    'trainer.accumulate_grad_batches=2',
+    'trainer.devices=4',
+    'icv_module.icv_lr=1e-3',
+    'icv_module.hard_loss_weight=0.5',
+    'data_cfg/task/datasets=vqav2',
+    'lmm=idefics-9B',
+    'trainer.precision=16-mixed',
+]
+
+
+def test_reference_readme_recipe_composes_verbatim():
+    cfg = compose(CONFIG_DIR, "train", overrides=REFERENCE_RECIPE)
+    assert cfg.run_name == "vqav2_idefics_icv"
+    assert cfg.icv_module.icv_encoder.use_sigmoid is False
+    assert cfg.icv_module.icv_encoder.alpha_init_value == 0.1
+    assert cfg.data_cfg.task.datasets.max_train_size == 8000
+    assert cfg.data_cfg.task.datasets.few_shot_num == 32
+    assert cfg.data_cfg.bs == 8
+    assert cfg.trainer.accumulate_grad_batches == 2
+    assert cfg.icv_module.icv_lr == 1e-3
+    assert cfg.icv_module.hard_loss_weight == 0.5
+    assert cfg.data_cfg.task.datasets.name == "vqav2"
+    assert cfg.lmm.name == "idefics-9b"
+    assert cfg.trainer.precision == "16-mixed"
+
+
+def test_reference_idefics2_recipe_composes():
+    overrides = [o for o in REFERENCE_RECIPE if not o.startswith("lmm=")] + [
+        "lmm=idefics2-8B-base",
+        "data_cfg.task.datasets.few_shot_num=1",
+        "data_cfg/task/datasets=ok_vqa",
+        "icv_module.icv_lr=5e-3",
+    ]
+    cfg = compose(CONFIG_DIR, "train", overrides=overrides)
+    assert cfg.lmm.name == "idefics2-8b-base"
+    assert cfg.data_cfg.task.datasets.name == "okvqa"
+    assert cfg.data_cfg.task.datasets.few_shot_num == 1
+    assert cfg.icv_module.icv_lr == 5e-3
+    assert "mlp" in cfg.lmm.layer_format
+    # prompt group follows the lmm choice
+    assert cfg.prompt.prompt_template == "Question:<Q> Short answer:<A>."
