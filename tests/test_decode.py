@@ -156,3 +156,34 @@ def test_beam_with_icv_runs_and_differs():
     )
     assert base.shape == steered.shape
     assert not np.array_equal(base, steered)
+
+
+@pytest.mark.parametrize("lp", [1.0, -0.5])
+def test_beam_nonzero_length_penalty_matches_hf(lp):
+    """Beam search with a nonzero length penalty (HF divides by the FULL
+    padded sequence length for decoder-only models)."""
+    hf, cfg, params = _setup()
+    rng = np.random.default_rng(21)
+    ids, mask = _prompts(rng, 2, 8)
+    want = hf.generate(
+        input_ids=torch.tensor(ids),
+        attention_mask=torch.tensor(mask),
+        max_new_tokens=5,
+        do_sample=False,
+        num_beams=3,
+        length_penalty=lp,
+    ).numpy()
+    got = np.asarray(
+        beam_generate(
+            _forward_fn(cfg, params),
+            jnp.asarray(ids), jnp.asarray(mask),
+            max_new_tokens=5, eos_token_id=EOS, pad_token_id=PAD,
+            num_beams=3, length_penalty=lp,
+        )
+    )
+    s = ids.shape[1]
+    for b in range(2):
+        w, g = want[b, s:], got[b, s:]
+        w = w[: (np.nonzero(w != PAD)[0].max() + 1)] if np.any(w != PAD) else w[:0]
+        g = g[: (np.nonzero(g != PAD)[0].max() + 1)] if np.any(g != PAD) else g[:0]
+        np.testing.assert_array_equal(g, w)
