@@ -1,0 +1,98 @@
+"""Optional Grain-backed input pipeline (SURVEY.md §2.5 suggested
+Grain/tf.data for multi-process loading).
+
+Advantages over the built-in threaded ``DataLoader``:
+
+- true multi-PROCESS workers (PIL decode + tokenization off the GIL);
+- a deterministic, CHECKPOINTABLE iterator (``PyGrainCheckpointHandler``) so
+  mid-epoch resume replays the exact remaining sample order;
+- per-host sharding options for multi-host training.
+
+Same interface as ``train.loader.DataLoader`` (``__len__`` + ``__iter__``
+yielding collated batches), so the Trainer takes either.  Select with
+``data_cfg.loader=grain``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from ..utils.log import get_logger
+
+logger = get_logger("grain")
+
+
+class _BatchOfDicts:
+    """Batch transform: list of sample dicts → collated arrays."""
+
+    def __init__(self, collate_fn: Callable):
+        self.collate_fn = collate_fn
+
+    def __call__(self, items: list) -> dict:
+        return self.collate_fn(items)
+
+
+class GrainDataLoader:
+    def __init__(
+        self,
+        dataset,  # len + __getitem__ (a RandomAccessDataSource)
+        batch_size: int,
+        collate_fn: Callable,
+        shuffle: bool = True,
+        seed: int = 0,
+        num_workers: int = 4,
+        num_epochs: int | None = None,
+        drop_last: bool = True,
+    ):
+        import grain.python as gp
+
+        self._gp = gp
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.drop_last = drop_last
+        self.num_epochs = num_epochs
+
+        self._ds = (
+            gp.MapDataset.source(dataset)
+            .seed(seed)
+        )
+        if shuffle:
+            self._ds = self._ds.shuffle()
+        if num_epochs is not None:
+            self._ds = self._ds.repeat(num_epochs)
+        self._batched = self._ds.batch(
+            batch_size, drop_remainder=drop_last, batch_fn=_BatchOfDicts(collate_fn)
+        )
+        self._iter_ds = self._batched.to_iter_dataset()
+        if num_workers and num_workers > 1:
+            self._iter_ds = self._iter_ds.mp_prefetch(
+                gp.MultiprocessingOptions(num_workers=num_workers)
+            )
+        self._it = None
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        per_epoch = n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+        return per_epoch * (self.num_epochs or 1)
+
+    def __iter__(self):
+        self._it = iter(self._iter_ds)
+        return self._it
+
+    # -- checkpointable iteration ------------------------------------------
+    def iterator(self):
+        """A persistent iterator whose state can be saved/restored."""
+        if self._it is None:
+            self._it = iter(self._iter_ds)
+        return self._it
+
+    def get_state(self) -> bytes | None:
+        it = self._it
+        if it is not None and hasattr(it, "get_state"):
+            return it.get_state()
+        return None
+
+    def set_state(self, state) -> None:
+        it = self.iterator()
+        if hasattr(it, "set_state"):
+            it.set_state(state)

@@ -335,3 +335,21 @@ def test_okvqa_cli_inference(env):
     )
     keys = [k for k in result if "ICL shot_num" in k]
     assert keys and "overall" in result[keys[0]]
+
+
+def test_train_with_grain_loader(env):
+    import train as train_cli
+
+    save_path = train_cli.main(
+        [
+            "lmm=tiny-idefics",
+            "run_name=e2e_grain",
+            "data_cfg.loader=grain",
+            "data_cfg.task.datasets.few_shot_num=1",
+            "data_cfg.task.datasets.max_train_size=-1",
+            "trainer=debug",
+            "data_cfg.bs=2",
+            "data_cfg.num_workers=0",
+        ]
+    )
+    assert (save_path / "icv_cpk.pth").exists()

@@ -1,0 +1,79 @@
+"""Grain-backed loader: interface parity with the threaded DataLoader and
+checkpointable iteration (mid-epoch resume)."""
+
+import numpy as np
+import pytest
+
+gp = pytest.importorskip("grain.python")
+
+from licv_vqa_tpu.train.grain_loader import GrainDataLoader
+
+
+class DS:
+    def __len__(self):
+        return 11
+
+    def __getitem__(self, i):
+        return {"x": int(i)}
+
+
+def collate(items):
+    return np.asarray([d["x"] for d in items])
+
+
+def test_len_and_batches():
+    dl = GrainDataLoader(DS(), batch_size=3, collate_fn=collate, shuffle=False,
+                         num_workers=0, num_epochs=1)
+    assert len(dl) == 3  # drop_last
+    batches = list(dl)
+    assert len(batches) == 3
+    flat = np.concatenate(batches)
+    assert sorted(flat.tolist()) == list(range(9))
+
+
+def test_shuffle_determinism():
+    a = list(GrainDataLoader(DS(), 3, collate, shuffle=True, seed=5,
+                             num_workers=0, num_epochs=1))
+    b = list(GrainDataLoader(DS(), 3, collate, shuffle=True, seed=5,
+                             num_workers=0, num_epochs=1))
+    np.testing.assert_array_equal(np.concatenate(a), np.concatenate(b))
+
+
+def test_checkpointable_iterator_resume():
+    dl = GrainDataLoader(DS(), 3, collate, shuffle=True, seed=7,
+                         num_workers=0, num_epochs=2)
+    it = dl.iterator()
+    first = next(it)
+    state = dl.get_state()
+    second = next(it)
+
+    dl2 = GrainDataLoader(DS(), 3, collate, shuffle=True, seed=7,
+                          num_workers=0, num_epochs=2)
+    dl2.iterator()
+    dl2.set_state(state)
+    resumed = next(dl2.iterator())
+    np.testing.assert_array_equal(resumed, second)
+
+
+def test_trainer_accepts_grain_loader(tmp_path):
+    """The Trainer runs unchanged on the Grain loader."""
+    from tests.test_trainer_resume import SyntheticICVDataset, _trainer
+    import functools
+    from licv_vqa_tpu.data.collator import collate_icv_batch
+    from licv_vqa_tpu.data.processor import ImageTransform, PromptProcessor
+    from licv_vqa_tpu.data.tokenizer import WhitespaceTokenizer
+
+    trainer, _ = _trainer(tmp_path, max_epochs=1)
+    proc = PromptProcessor(
+        WhitespaceTokenizer(), ImageTransform(28), family="idefics",
+        pad_to_multiple=8,
+    )
+    loader = GrainDataLoader(
+        SyntheticICVDataset(),
+        batch_size=2,
+        collate_fn=functools.partial(collate_icv_batch, processor=proc),
+        num_workers=0,
+        num_epochs=1,
+    )
+    state = trainer.fit(loader, tmp_path / "run", lmm_args={"total_layers": 4})
+    assert int(np.asarray(state.step)) == 2

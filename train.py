@@ -65,14 +65,28 @@ def main(argv: list[str] | None = None) -> Path | None:
     train_ds = init_train_dataset(cfg, prompt_manager, seed=int(cfg.seed))
 
     bundle.processor.padding_side = "right"  # reference: icv_datamodule.py:22
-    loader = DataLoader(
-        train_ds,
-        batch_size=int(cfg.data_cfg.bs),
-        collate_fn=functools.partial(collate_icv_batch, processor=bundle.processor),
-        shuffle=True,
-        seed=int(cfg.seed),
-        num_workers=int(cfg.data_cfg.num_workers),
-    )
+    collate = functools.partial(collate_icv_batch, processor=bundle.processor)
+    if str(cfg.data_cfg.get("loader", "threads")) == "grain":
+        from licv_vqa_tpu.train.grain_loader import GrainDataLoader
+
+        loader = GrainDataLoader(
+            train_ds,
+            batch_size=int(cfg.data_cfg.bs),
+            collate_fn=collate,
+            shuffle=True,
+            seed=int(cfg.seed),
+            num_workers=int(cfg.data_cfg.num_workers),
+            num_epochs=1,  # the Trainer drives epochs by re-iterating
+        )
+    else:
+        loader = DataLoader(
+            train_ds,
+            batch_size=int(cfg.data_cfg.bs),
+            collate_fn=collate,
+            shuffle=True,
+            seed=int(cfg.seed),
+            num_workers=int(cfg.data_cfg.num_workers),
+        )
 
     enc_cfg = cfg.icv_module.icv_encoder
     encoder = GlobalICVEncoder(
