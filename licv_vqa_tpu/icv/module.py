@@ -40,6 +40,7 @@ class ICVModuleConfig:
     min_temperature: float = 1.0
     learnable_t: bool = False
     kl_eps: float = 1e-6
+    kl_impl: str = "xla"  # "xla" | "pallas" (fused kernel; TPU-validated only)
     log_alpha: bool = True
     alpha_lr: float = 1e-2
     icv_lr: float = 1e-4
@@ -62,6 +63,7 @@ class ICVModuleConfig:
             ),
             learnable_t=bool(cfg.get("learnable_t", False)),
             kl_eps=float(cfg.get("kl_eps", 1e-6)),
+            kl_impl=str(cfg.get("kl_impl", "xla")),
             log_alpha=bool(cfg.get("log_alpha", True)),
             alpha_lr=float(cfg.get("alpha_lr", 1e-2)),
             icv_lr=float(cfg.get("icv_lr", 1e-4)),
@@ -132,7 +134,12 @@ def icv_loss_fn(
         stu_logits.shape[1],
     )
     kl = masked_kl_divergence(
-        stu_logits, tea_aligned, stu_mask, trainable["temperature"], cfg.kl_eps
+        stu_logits,
+        tea_aligned,
+        stu_mask,
+        trainable["temperature"],
+        cfg.kl_eps,
+        impl=cfg.kl_impl,
     )
     metrics["kl_loss"] = kl
     loss = loss + kl

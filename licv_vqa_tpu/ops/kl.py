@@ -55,15 +55,24 @@ def masked_kl_divergence(
     mask: jax.Array,  # (B, S) bool — student answer-region mask
     temperature: jax.Array | float,
     eps: float = 1e-6,
+    impl: str = "xla",  # "xla" | "pallas" | "pallas_interpret"
 ) -> jax.Array:
     """``mean_masked[ Σ_V p_tea (log(p_tea+ε) − log(p_stu+ε)) ] · T²``.
 
     Float32 math regardless of input dtype (reference computes in the model's
     autocast dtype; we lift to f32, which only tightens numerics).
+    ``impl="pallas"`` uses the fused kernel (ops/masked_kl_kernel.py).
     """
     t = jnp.asarray(temperature, jnp.float32)
     stu = student_logits.astype(jnp.float32) / t
     tea = teacher_logits.astype(jnp.float32) / t
+    if impl.startswith("pallas"):
+        from .masked_kl_kernel import masked_kl_pallas
+
+        kl = masked_kl_pallas(
+            stu, tea, mask, eps=eps, interpret=impl == "pallas_interpret"
+        )
+        return kl * (t * t)
     p_stu = jax.nn.softmax(stu, axis=-1)
     p_tea = jax.nn.softmax(tea, axis=-1)
     per_pos = jnp.sum(

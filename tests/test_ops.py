@@ -176,3 +176,51 @@ def test_pallas_kernel_interpret_mode():
     want = icv_inject_reference(h, v[:, None, :])
     got = _icv_inject_pallas(h, v, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+class TestFusedKLKernel:
+    """Pallas masked-KL kernel (interpret mode on CPU): value and BOTH input
+    gradients must match the XLA formulation, including learnable-temperature
+    chains through student AND teacher."""
+
+    def _data(self, bs=2, s=8, v=384, seed=11):
+        rng = np.random.default_rng(seed)
+        stu = jnp.asarray(rng.normal(size=(bs, s, v)).astype(np.float32))
+        tea = jnp.asarray(rng.normal(size=(bs, s, v)).astype(np.float32))
+        mask = jnp.asarray(rng.integers(0, 2, size=(bs, s)).astype(bool))
+        return stu, tea, mask
+
+    def test_value_matches_xla(self):
+        stu, tea, mask = self._data()
+        for temp in (1.0, 2.5):
+            a = float(masked_kl_divergence(stu, tea, mask, temp, impl="xla"))
+            b = float(
+                masked_kl_divergence(stu, tea, mask, temp, impl="pallas_interpret")
+            )
+            assert b == pytest.approx(a, rel=1e-5)
+
+    def test_grads_match_xla(self):
+        stu, tea, mask = self._data()
+
+        def loss(impl, stu, tea, t):
+            return masked_kl_divergence(stu, tea, mask, t, impl=impl)
+
+        t0 = jnp.float32(1.7)
+        gx = jax.grad(lambda s_, t_, tt: loss("xla", s_, t_, tt), argnums=(0, 1, 2))(
+            stu, tea, t0
+        )
+        gp = jax.grad(
+            lambda s_, t_, tt: loss("pallas_interpret", s_, t_, tt),
+            argnums=(0, 1, 2),
+        )(stu, tea, t0)
+        for a, b, name in zip(gx, gp, ("dstu", "dtea", "dT")):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=2e-4, atol=1e-6, err_msg=name
+            )
+
+    def test_unpadded_row_counts(self):
+        # N not a multiple of 8 exercises the zero-weight padding path
+        stu, tea, mask = self._data(bs=1, s=5)
+        a = float(masked_kl_divergence(stu, tea, mask, 1.0, impl="xla"))
+        b = float(masked_kl_divergence(stu, tea, mask, 1.0, impl="pallas_interpret"))
+        assert b == pytest.approx(a, rel=1e-5)
