@@ -239,3 +239,9 @@ def test_idefics_greedy_decode_matches_hf_generate():
         w = want[b, s:]
         g = got[b, s : s + n]
         np.testing.assert_array_equal(g[: len(w)], w)
+
+
+# NOTE: a combined ICV+beam-3 parity test against HF is not possible here:
+# transformers' own Idefics beam path crashes expanding image_attention_mask
+# (RuntimeError reshape in generation/utils.py). The composition is covered
+# by greedy==HF (multimodal), beam-3==HF (text machinery), ICV==hooks (logits).
