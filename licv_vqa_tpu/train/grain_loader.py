@@ -51,24 +51,32 @@ class GrainDataLoader:
         self.batch_size = batch_size
         self.drop_last = drop_last
         self.num_epochs = num_epochs
-
-        self._ds = (
-            gp.MapDataset.source(dataset)
-            .seed(seed)
-        )
-        if shuffle:
-            self._ds = self._ds.shuffle()
-        if num_epochs is not None:
-            self._ds = self._ds.repeat(num_epochs)
-        self._batched = self._ds.batch(
-            batch_size, drop_remainder=drop_last, batch_fn=_BatchOfDicts(collate_fn)
-        )
-        self._iter_ds = self._batched.to_iter_dataset()
-        if num_workers and num_workers > 1:
-            self._iter_ds = self._iter_ds.mp_prefetch(
-                gp.MultiprocessingOptions(num_workers=num_workers)
-            )
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_workers = num_workers
+        self.collate_fn = collate_fn
+        self.epoch = 0
+        self._iter_ds = self._build(seed)
         self._it = None
+
+    def _build(self, seed: int):
+        gp = self._gp
+        ds = gp.MapDataset.source(self.dataset).seed(seed)
+        if self.shuffle:
+            ds = ds.shuffle()
+        if self.num_epochs is not None:
+            ds = ds.repeat(self.num_epochs)
+        batched = ds.batch(
+            self.batch_size,
+            drop_remainder=self.drop_last,
+            batch_fn=_BatchOfDicts(self.collate_fn),
+        )
+        iter_ds = batched.to_iter_dataset()
+        if self.num_workers and self.num_workers > 1:
+            iter_ds = iter_ds.mp_prefetch(
+                gp.MultiprocessingOptions(num_workers=self.num_workers)
+            )
+        return iter_ds
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -76,6 +84,9 @@ class GrainDataLoader:
         return per_epoch * (self.num_epochs or 1)
 
     def __iter__(self):
+        # fresh shuffle order per epoch (matches the threaded loader)
+        self._iter_ds = self._build(self.seed + self.epoch)
+        self.epoch += 1
         self._it = iter(self._iter_ds)
         return self._it
 

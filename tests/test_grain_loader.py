@@ -77,3 +77,12 @@ def test_trainer_accepts_grain_loader(tmp_path):
     )
     state = trainer.fit(loader, tmp_path / "run", lmm_args={"total_layers": 4})
     assert int(np.asarray(state.step)) == 2
+
+
+def test_epoch_reshuffle():
+    dl = GrainDataLoader(DS(), 3, collate, shuffle=True, seed=5,
+                         num_workers=0, num_epochs=1)
+    e1 = np.concatenate(list(dl))
+    e2 = np.concatenate(list(dl))
+    assert sorted(e1.tolist()) == sorted(e2.tolist())
+    assert not np.array_equal(e1, e2)  # different order per epoch
