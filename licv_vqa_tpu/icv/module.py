@@ -42,6 +42,10 @@ class ICVModuleConfig:
     kl_eps: float = 1e-6
     kl_impl: str = "xla"  # "xla" | "pallas" (fused kernel; TPU-validated only)
     log_alpha: bool = True
+    # True (default): pad positions excluded from the hard CE.  False
+    # reproduces the reference EXACTLY (labels = raw input_ids incl. pads,
+    # reference: icv_src/icv_module.py:94-98 — see SURVEY.md §2.2).
+    mask_ce_padding: bool = True
     alpha_lr: float = 1e-2
     icv_lr: float = 1e-4
     weight_decay: float = 1e-3
@@ -65,6 +69,7 @@ class ICVModuleConfig:
             kl_eps=float(cfg.get("kl_eps", 1e-6)),
             kl_impl=str(cfg.get("kl_impl", "xla")),
             log_alpha=bool(cfg.get("log_alpha", True)),
+            mask_ce_padding=bool(cfg.get("mask_ce_padding", True)),
             alpha_lr=float(cfg.get("alpha_lr", 1e-2)),
             icv_lr=float(cfg.get("icv_lr", 1e-4)),
             weight_decay=float(cfg.get("weight_decay", 1e-3)),
@@ -103,15 +108,16 @@ def icv_loss_fn(
     loss = jnp.float32(0.0)
 
     if cfg.hard_loss_weight or cfg.only_hard_loss:
-        labels = jnp.where(
-            query_inputs["attention_mask"].astype(bool),
-            query_inputs["input_ids"],
-            -100,
-        )
-        # NOTE the reference feeds labels=input_ids with right padding intact;
-        # HF models still mask nothing, but pads there are real pad ids whose
-        # loss the frozen model dominates. We mask pads (strictly better
-        # training signal; answer-region CE is what the objective intends).
+        if cfg.mask_ce_padding:
+            # pads excluded — strictly better signal than the reference's raw
+            # labels (quirk per SURVEY.md §2.2)
+            labels = jnp.where(
+                query_inputs["attention_mask"].astype(bool),
+                query_inputs["input_ids"],
+                -100,
+            )
+        else:  # reference-exact: labels = input_ids verbatim, pads included
+            labels = query_inputs["input_ids"]
         ce = shifted_cross_entropy(stu_logits, labels)
         metrics["ce_loss"] = ce
         if cfg.only_hard_loss:

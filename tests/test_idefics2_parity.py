@@ -181,3 +181,29 @@ def test_idefics2_greedy_decode_matches_hf():
     n = want.shape[1] - s
     for b in range(2):
         np.testing.assert_array_equal(got[b, s : s + n][: n], want[b, s:])
+
+
+def test_idefics2_multi_image_splicing_parity():
+    """Two images per prompt: latents must splice in document order."""
+    hf = _tiny_hf_idefics2()
+    cfg = Idefics2Config.tiny()
+    params = convert_idefics2(hf_state_dict(hf), cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(42)
+    bs, s, n_img = 2, 20, 2
+    ids = rng.integers(3, 110, size=(bs, s)).astype(np.int64)
+    ids[:, 1 : 1 + IMG_SEQ] = cfg.image_token_id
+    ids[:, 9 : 9 + IMG_SEQ] = cfg.image_token_id
+    mask = np.ones_like(ids)
+    pixels = rng.normal(size=(bs, n_img, 28, 28, 3)).astype(np.float32)
+
+    with torch.no_grad():
+        want = hf(
+            input_ids=torch.tensor(ids),
+            attention_mask=torch.tensor(mask),
+            pixel_values=torch.tensor(pixels).permute(0, 1, 4, 2, 3),
+        ).logits.numpy()
+    latents = encode_images2(cfg, params, jnp.asarray(pixels))
+    got, _ = idefics2_forward(
+        cfg, params, jnp.asarray(ids), jnp.asarray(mask), latents
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=5e-4, atol=5e-4)
