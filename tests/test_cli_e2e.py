@@ -353,3 +353,33 @@ def test_train_with_grain_loader(env):
         ]
     )
     assert (save_path / "icv_cpk.pth").exists()
+
+
+def test_combined_icv_and_icl_single_invocation(env):
+    """Reference supports test_icv=true AND test_icl=true in one run
+    (inference.py:132-243): both result entries land in one result.json."""
+    import train as train_cli
+    import inference as infer_cli
+
+    train_cli.main(
+        COMMON + ["trainer=debug", "data_cfg.bs=2", "data_cfg.num_workers=1",
+                  "run_name=e2e_both"]
+    )
+    result = infer_cli.main(
+        [
+            "lmm=tiny-idefics",
+            "run_name=e2e_both",
+            "data_cfg.task.datasets.few_shot_num=2",
+            "data_cfg.task.datasets.max_train_size=-1",
+            "test_icv=true",
+            "test_icl=true",
+            "few_shot_list=[1]",
+            "test_num=2",
+            "train_num=4",
+            "bs=2",
+            "generate_kwargs.max_new_tokens=2",
+            "generate_kwargs.num_beams=1",
+        ]
+    )
+    assert any("icv result" in k for k in result)
+    assert any("ICL shot_num" in k for k in result)
