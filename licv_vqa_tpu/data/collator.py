@@ -32,10 +32,14 @@ def collate_icv_batch(data_list: list[dict], processor) -> dict:
     query_inputs = processor.prepare_input(
         query_prompt, padding=True, add_eos_token=True, padding_side="right"
     )
+    # these two views are consumed only for their token LENGTHS — never
+    # materialize their pixels (ice alone is 32 images/sample)
     query_x_enc = processor.prepare_input(
-        query_x, padding=True, padding_side="right"
+        query_x, padding=True, padding_side="right", with_pixels=False
     )
-    ice_enc = processor.prepare_input(ice_prompt, padding=True, padding_side="right")
+    ice_enc = processor.prepare_input(
+        ice_prompt, padding=True, padding_side="right", with_pixels=False
+    )
     inputs = processor.prepare_input(
         [list(i) + list(q) for i, q in zip(ice_prompt, query_prompt)],
         padding=True,

@@ -36,10 +36,12 @@ class Table:
             return row
         img = row.get("image")
         if isinstance(img, (str, Path)):
-            from PIL import Image
+            from .processor import ImageRef
 
             row = dict(row)
-            row["image"] = Image.open(img).convert("RGB")
+            # lazy handle: decoded+resized exactly once by the processor's
+            # LRU, no matter how many prompt views reference the image
+            row["image"] = ImageRef(str(img))
         return row
 
     def __getitem__(self, idx):

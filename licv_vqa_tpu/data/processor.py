@@ -34,35 +34,103 @@ SIGLIP_MEAN = (0.5, 0.5, 0.5)
 SIGLIP_STD = (0.5, 0.5, 0.5)
 
 
+class ImageRef:
+    """Lazy image handle: a path that decodes on demand.
+
+    Datasets/tables hand these to the processor instead of eagerly-decoded
+    PIL objects, so each image is JPEG-decoded + resized exactly once (LRU in
+    ``ImageTransform``) no matter how many prompt views reference it — the
+    32-shot collator touches each image in up to 4 views, and few-shot
+    sampling re-draws the same shots across samples."""
+
+    __slots__ = ("path",)
+
+    def __init__(self, path: str):
+        self.path = str(path)
+
+    @property
+    def pil(self):
+        from PIL import Image as PILImage
+
+        return PILImage.open(self.path)
+
+    @property
+    def size(self):
+        return self.pil.size  # PIL reads only the header
+
+    def convert(self, mode: str):
+        return self.pil.convert(mode)
+
+    def __repr__(self):
+        return f"ImageRef({self.path!r})"
+
+
 @dataclasses.dataclass
 class ImageTransform:
-    """Resize (bicubic) + rescale + normalize → (H, W, 3) float32."""
+    """Resize (bicubic) + rescale + normalize → (H, W, 3) float32.
+
+    ``ImageRef`` inputs go through an LRU decode+resize cache (uint8, so a
+    4096-entry cache of 224² images is ~600MB)."""
 
     image_size: int = 224
     mean: tuple = CLIP_MEAN
     std: tuple = CLIP_STD
+    cache_entries: int = 4096
+
+    def __post_init__(self):
+        self._mean32 = np.asarray(self.mean, np.float32)
+        self._std_inv32 = (1.0 / np.asarray(self.std)).astype(np.float32)
+        from collections import OrderedDict
+
+        self._cache: "OrderedDict[str, np.ndarray]" = OrderedDict()
 
     def __call__(self, image: Any) -> np.ndarray:
-        arr = self._to_array(image)
-        arr = (arr / 255.0 - np.asarray(self.mean)) / np.asarray(self.std)
-        return arr.astype(np.float32)
+        """Decode+resize → uint8 (H, W, 3).  Normalization happens ONCE per
+        batch in ``normalize`` — per-view normalization was the host
+        pipeline's hottest loop (each image appears in up to 4 collator
+        views)."""
+        return self._to_array(image)
+
+    def normalize(self, batch: np.ndarray) -> np.ndarray:
+        """Vectorized rescale+normalize of a whole (..., H, W, 3) batch."""
+        return (
+            batch.astype(np.float32) * np.float32(1.0 / 255.0) - self._mean32
+        ) * self._std_inv32
+
+    def _decode_resized(self, path: str) -> np.ndarray:
+        hit = self._cache.get(path)
+        if hit is not None:
+            self._cache.move_to_end(path)
+            return hit
+        from PIL import Image as PILImage
+
+        img = PILImage.open(path).convert("RGB").resize(
+            (self.image_size, self.image_size), PILImage.BICUBIC
+        )
+        arr = np.asarray(img, np.uint8)
+        self._cache[path] = arr
+        if len(self._cache) > self.cache_entries:
+            self._cache.popitem(last=False)
+        return arr
 
     def _to_array(self, image: Any) -> np.ndarray:
+        if isinstance(image, ImageRef):
+            return self._decode_resized(image.path)
+        if isinstance(image, str):
+            return self._decode_resized(image)
         if isinstance(image, np.ndarray):
             a = image
             if a.shape[:2] != (self.image_size, self.image_size):
                 a = self._resize_np(a)
-            return a.astype(np.float32)
-        try:  # PIL image or path
+            return a
+        try:  # PIL image
             from PIL import Image as PILImage
 
-            if isinstance(image, (str,)):
-                image = PILImage.open(image)
             if isinstance(image, PILImage.Image):
                 img = image.convert("RGB").resize(
                     (self.image_size, self.image_size), PILImage.BICUBIC
                 )
-                return np.asarray(img, dtype=np.float32)
+                return np.asarray(img, dtype=np.uint8)
         except ImportError:
             pass
         raise TypeError(f"unsupported image type: {type(image)}")
@@ -72,13 +140,13 @@ class ImageTransform:
 
         img = PILImage.fromarray(a.astype(np.uint8))
         img = img.resize((self.image_size, self.image_size), PILImage.BICUBIC)
-        return np.asarray(img, dtype=np.float32)
+        return np.asarray(img, dtype=np.uint8)
 
 
 def _is_image(x: Any) -> bool:
     if isinstance(x, str):
         return False
-    if isinstance(x, np.ndarray):
+    if isinstance(x, (np.ndarray, ImageRef)):
         return True
     try:
         from PIL import Image as PILImage
@@ -141,7 +209,9 @@ class PromptProcessor:
             )
         return IMAGE_TOKEN  # flamingo
 
-    def _encode_prompt_textual(self, prompt: Sequence[Any], add_eos_token: bool):
+    def _encode_prompt_textual(
+        self, prompt: Sequence[Any], add_eos_token: bool, with_pixels: bool = True
+    ):
         """HF-tokenizer path: build ONE string with literal image-token markup
         and tokenize once — segment-wise tokenization differs at SentencePiece
         boundaries, and HF's Idefics processors tokenize the joined string
@@ -150,7 +220,8 @@ class PromptProcessor:
         images: list[np.ndarray] = []
         for part in prompt:
             if _is_image(part):
-                images.append(self.image_transform(part))
+                if with_pixels:
+                    images.append(self.image_transform(part))
                 parts.append(self._image_markup())
             else:
                 parts.append(str(part))
@@ -165,9 +236,11 @@ class PromptProcessor:
         return ids[: self.max_length], images
 
     # -- single prompt → (ids, images) ------------------------------------
-    def _encode_prompt(self, prompt: Sequence[Any], add_eos_token: bool):
+    def _encode_prompt(
+        self, prompt: Sequence[Any], add_eos_token: bool, with_pixels: bool = True
+    ):
         if hasattr(self.tokenizer, "tok"):  # HF-backed tokenizer
-            return self._encode_prompt_textual(prompt, add_eos_token)
+            return self._encode_prompt_textual(prompt, add_eos_token, with_pixels)
         ids: list[int] = []
         if self.add_bos:
             ids.append(self.tokenizer.bos_token_id)
@@ -175,7 +248,8 @@ class PromptProcessor:
         last_was_image = False
         for part in prompt:
             if _is_image(part):
-                images.append(self.image_transform(part))
+                if with_pixels:
+                    images.append(self.image_transform(part))
                 if self.family == "idefics":
                     if last_was_image:
                         ids.pop()  # adjacent images share one fake token
@@ -207,10 +281,17 @@ class PromptProcessor:
         add_eos_token: bool = False,
         return_tensors: str = "np",
         padding_side: Optional[str] = None,
+        with_pixels: bool = True,
     ) -> dict:
+        """``with_pixels=False`` skips image decode/normalize entirely (image
+        tokens still land in input_ids) — for views consumed only for their
+        token lengths, e.g. the collator's ice/query_x views."""
         del truncation, return_tensors  # always truncates at max_length; numpy out
         side = padding_side or self.padding_side
-        encoded = [self._encode_prompt(p, add_eos_token) for p in prompts]
+        encoded = [
+            self._encode_prompt(p, add_eos_token, with_pixels=with_pixels)
+            for p in prompts
+        ]
         b = len(encoded)
         pad_id = self.tokenizer.pad_token_id
         max_len = max(len(ids) for ids, _ in encoded) if padding else self.max_length
@@ -221,7 +302,7 @@ class PromptProcessor:
 
         input_ids = np.full((b, max_len), pad_id, np.int32)
         attn = np.zeros((b, max_len), np.int32)
-        pixels = np.zeros((b, n_img, hw, hw, 3), np.float32)
+        pixels_u8 = np.zeros((b, n_img, hw, hw, 3), np.uint8)
         img_valid = np.zeros((b, n_img), bool)
         for i, (ids, imgs) in enumerate(encoded):
             ids = ids[:max_len]
@@ -232,11 +313,14 @@ class PromptProcessor:
                 input_ids[i, max_len - len(ids) :] = ids
                 attn[i, max_len - len(ids) :] = 1
             for j, img in enumerate(imgs):
-                pixels[i, j] = img
+                pixels_u8[i, j] = img
                 img_valid[i, j] = True
         return {
             "input_ids": input_ids,
             "attention_mask": attn,
-            "pixel_values": pixels,
+            # RAW uint8: normalization runs ON DEVICE in the model bundles
+            # (XLA fuses it into the patch-embed matmul; host normalize was
+            # the pipeline's hottest op and quadrupled transfer bytes)
+            "pixel_values": pixels_u8,
             "pixel_valid": img_valid,
         }

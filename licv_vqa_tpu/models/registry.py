@@ -59,6 +59,26 @@ class ModelBundle:
         return self.tokenizer.eos_token_id
 
 
+def _wrap_pixel_normalize(train_forward, bind_decode, mean, std):
+    """Normalize RAW uint8 pixels on device (processor emits uint8)."""
+    mean = jnp.asarray(mean, jnp.float32)
+    inv_std = 1.0 / jnp.asarray(std, jnp.float32)
+
+    def norm(pixels):
+        if pixels.dtype == jnp.uint8:
+            return (pixels.astype(jnp.float32) * (1.0 / 255.0) - mean) * inv_std
+        return pixels  # already normalized floats (direct-API callers)
+
+    def tf(model_params, inputs, icv_scaled):
+        inputs = dict(inputs, pixel_values=norm(inputs["pixel_values"]))
+        return train_forward(model_params, inputs, icv_scaled)
+
+    def bd(model_params, pixels, valid, ids, icv_scaled, max_len):
+        return bind_decode(model_params, norm(pixels), valid, ids, icv_scaled, max_len)
+
+    return tf, bd
+
+
 def _wrap_intervention(cfg, n_layers: int, train_forward, bind_decode):
     """Apply the reference's ``intervention_layer`` semantics (int/list/-1,
     icv_intervention.py:39-42): the encoder owns K = len(layers) rows; the
@@ -160,6 +180,9 @@ def _idefics_bundle(cfg, model_cfg: IdeficsConfig, name: str) -> ModelBundle:
     train_forward, bind_decode = make_idefics_forward_fns(
         model_cfg, tokenizer.eos_token_id
     )
+    train_forward, bind_decode = _wrap_pixel_normalize(
+        train_forward, bind_decode, CLIP_MEAN, CLIP_STD
+    )
     train_forward, bind_decode, n_icv_layers = _wrap_intervention(
         cfg, model_cfg.text.n_layers, train_forward, bind_decode
     )
@@ -214,6 +237,9 @@ def _idefics2_bundle(cfg, model_cfg, name: str) -> ModelBundle:
 
     train_forward, bind_decode = make_idefics2_forward_fns(
         model_cfg, tokenizer.eos_token_id
+    )
+    train_forward, bind_decode = _wrap_pixel_normalize(
+        train_forward, bind_decode, SIGLIP_MEAN, SIGLIP_STD
     )
     train_forward, bind_decode, n_icv_layers = _wrap_intervention(
         cfg, model_cfg.text.n_layers, train_forward, bind_decode
@@ -351,6 +377,9 @@ def _openflamingo_bundle(cfg, model_cfg, name: str) -> ModelBundle:
         )
     train_forward, bind_decode = make_openflamingo_forward_fns(
         model_cfg, tokenizer.eos_token_id
+    )
+    train_forward, bind_decode = _wrap_pixel_normalize(
+        train_forward, bind_decode, CLIP_MEAN, CLIP_STD
     )
     train_forward, bind_decode, n_icv_layers = _wrap_intervention(
         cfg, model_cfg.text.n_layers, train_forward, bind_decode
