@@ -119,6 +119,7 @@ def decoder_layer(
 ):
     b, s, d = h.shape
     nh, nkv, dh = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    p = _dequant(p, h.dtype)  # no-op unless int8-quantized weights
 
     x = _norm(cfg, p["ln1"], p.get("ln1_b"), h)
     q = jnp.dot(x, p["attn"]["wq"]).reshape(b, s, nh, dh)
@@ -178,6 +179,12 @@ def decoder_layer(
     if icv_row is not None and cfg.injection_site == BLOCK_OUTPUT:
         h = _apply_icv(h, icv_row)
     return h, new_kv
+
+
+def _dequant(p, dtype):
+    from ..ops.quantize import dequantize_tree
+
+    return dequantize_tree(p, dtype)
 
 
 def _apply_icv(x: jax.Array, icv_row) -> jax.Array:

@@ -257,6 +257,9 @@ def gated_xattn_block(
     t = cfg.text
     b, s, d = h.shape
     nh, dh = t.n_heads, t.head_dim
+    from .decoder import _dequant
+
+    p = _dequant(p, h.dtype)
     x = L.rms_norm(p["ln1"], h, t.norm_eps)
     q = jnp.dot(x, p["attn"]["wq"]).reshape(b, s, nh, dh)
     k = jnp.dot(image_latents, p["attn"]["wk"]).reshape(b, -1, nh, dh)

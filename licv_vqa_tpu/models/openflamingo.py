@@ -211,6 +211,9 @@ def flamingo_xattn_block(
 ):
     b, s, d = h.shape
     nh, dh = cfg.xattn_heads, cfg.xattn_head_dim
+    from .decoder import _dequant
+
+    p = _dequant(p, h.dtype)
     x = L.layer_norm(p["ln_attn"]["w"], p["ln_attn"]["b"], h, cfg.text.norm_eps)
     q = jnp.dot(x, p["wq"]).reshape(b, s, nh, dh)
     kv = jnp.dot(media, p["wkv"]).reshape(b, -1, 2, nh, dh)

@@ -314,22 +314,41 @@ def build_draft_decode(bundle: ModelBundle, draft_layers: int):
     raise ValueError(f"no draft builder for {name}")
 
 
+def _maybe_quantize(cfg, bundle: ModelBundle) -> ModelBundle:
+    """``lmm.quantize=int8``: weight-only int8 on the decoder (+xattn) stacks
+    — halves decode HBM traffic; NOT bit-identical to bf16 (opt-in)."""
+    q = "none"
+    if cfg is not None:
+        try:
+            q = str(cfg.lmm.get("quantize", "none"))
+        except Exception:
+            q = "none"
+    if q == "int8":
+        from ..ops.quantize import quantize_layer_stack
+
+        bundle.params["layers"] = quantize_layer_stack(bundle.params["layers"])
+        if "xattn" in bundle.params:
+            bundle.params["xattn"] = quantize_layer_stack(bundle.params["xattn"])
+        logger.info("int8 weight-only quantization applied to decoder stacks")
+    return bundle
+
+
 def build_model(cfg) -> ModelBundle:
     """``cfg`` is the composed top-level config (needs ``cfg.lmm``)."""
     name = str(cfg.lmm.name)
     if name == "idefics-9b":
-        return _idefics_bundle(cfg, IdeficsConfig.idefics_9b(), name)
-    if name == "tiny-idefics":
-        return _idefics_bundle(cfg, IdeficsConfig.tiny(dtype=jnp.float32), name)
-    if name == "idefics2-8b-base":
+        bundle = _idefics_bundle(cfg, IdeficsConfig.idefics_9b(), name)
+    elif name == "tiny-idefics":
+        bundle = _idefics_bundle(cfg, IdeficsConfig.tiny(dtype=jnp.float32), name)
+    elif name == "idefics2-8b-base":
         from .idefics2 import Idefics2Config
 
-        return _idefics2_bundle(cfg, Idefics2Config.idefics2_8b(), name)
-    if name == "tiny-idefics2":
+        bundle = _idefics2_bundle(cfg, Idefics2Config.idefics2_8b(), name)
+    elif name == "tiny-idefics2":
         from .idefics2 import Idefics2Config
 
-        return _idefics2_bundle(cfg, Idefics2Config.tiny(dtype=jnp.float32), name)
-    if "openflamingo" in name.lower() or name == "tiny-flamingo":
+        bundle = _idefics2_bundle(cfg, Idefics2Config.tiny(dtype=jnp.float32), name)
+    elif "openflamingo" in name.lower() or name == "tiny-flamingo":
         from .openflamingo import OpenFlamingoConfig
 
         model_cfg = (
@@ -337,8 +356,10 @@ def build_model(cfg) -> ModelBundle:
             if name == "tiny-flamingo"
             else OpenFlamingoConfig.openflamingo_9b()
         )
-        return _openflamingo_bundle(cfg, model_cfg, name)
-    raise ValueError(f"unknown lmm name: {name}")
+        bundle = _openflamingo_bundle(cfg, model_cfg, name)
+    else:
+        raise ValueError(f"unknown lmm name: {name}")
+    return _maybe_quantize(cfg, bundle)
 
 
 def _openflamingo_bundle(cfg, model_cfg, name: str) -> ModelBundle:

@@ -1,0 +1,107 @@
+"""Int8 weight-only quantization: round-trip error, logits fidelity, and the
+quantized decode path end-to-end."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from licv_vqa_tpu.models import DecoderConfig, causal_lm_forward
+from licv_vqa_tpu.models.convert import convert_llama, hf_state_dict
+from licv_vqa_tpu.ops.quantize import (
+    dequantize_tree,
+    is_quantized_leaf,
+    quantization_error,
+    quantize_array,
+    quantize_layer_stack,
+)
+from tests.test_decoder_parity import V, D, LAYERS, _our_cfg, _tiny_hf_llama
+
+
+def test_roundtrip_error_small():
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.normal(size=(4, 256, 512)).astype(np.float32)) * 0.02
+    assert quantization_error(w) < 0.01
+
+
+def test_quantize_selects_projections_only():
+    cfg = _our_cfg()
+    from licv_vqa_tpu.models import init_decoder_params
+
+    params = init_decoder_params(jax.random.PRNGKey(0), cfg)
+    q = quantize_layer_stack(params["layers"])
+    assert is_quantized_leaf(q["attn"]["wq"])
+    assert is_quantized_leaf(q["mlp"]["w_down"])
+    assert not is_quantized_leaf(q["ln1"])  # norms untouched
+    assert q["attn"]["wq"]["q"].dtype == jnp.int8
+    # dequantize restores shapes/dtype
+    back = dequantize_tree(q, jnp.float32)
+    assert back["attn"]["wq"].shape == params["layers"]["attn"]["wq"].shape
+
+
+def test_quantized_logits_fidelity_and_decode():
+    hf = _tiny_hf_llama()
+    cfg = _our_cfg()
+    params = convert_llama(hf_state_dict(hf), cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(1)
+    ids = jnp.asarray(rng.integers(1, V, size=(2, 10)))
+    mask = jnp.ones_like(ids)
+    full, _ = causal_lm_forward(cfg, params, ids, mask)
+
+    qparams = dict(params)
+    qparams["layers"] = quantize_layer_stack(params["layers"])
+    qlogits, _ = causal_lm_forward(cfg, qparams, ids, mask)
+
+    a = np.asarray(full).reshape(-1, V)
+    b = np.asarray(qlogits).reshape(-1, V)
+    cos = np.sum(a * b, -1) / (np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1))
+    assert cos.min() > 0.999, cos.min()
+
+    # decode path with cache runs and produces mostly the same greedy tokens
+    from licv_vqa_tpu.infer import greedy_generate
+    from tests.test_decode import _forward_fn, PAD, EOS
+
+    g_full = np.asarray(
+        greedy_generate(_forward_fn(cfg, params), ids, mask, 6, EOS, PAD)
+    )
+    g_q = np.asarray(
+        greedy_generate(_forward_fn(cfg, qparams), ids, mask, 6, EOS, PAD)
+    )
+    agree = (g_full[:, 10:] == g_q[:, 10:]).mean()
+    assert agree >= 0.5, agree  # tiny random models amplify quantization noise
+
+
+def test_cli_quantized_inference(tmp_path, monkeypatch):
+    from tests.test_cli_e2e import _write_vqa_split
+    import sys
+    from pathlib import Path
+
+    REPO = Path(__file__).resolve().parent.parent
+    monkeypatch.chdir(REPO)
+    vqa_root = tmp_path / "vqav2"
+    coco = tmp_path / "coco" / "mscoco2014"
+    _write_vqa_split(vqa_root, coco / "train2014", "train2014", 4)
+    _write_vqa_split(vqa_root, coco / "val2014", "val2014", 3)
+    monkeypatch.setenv("VQAV2_PATH", str(vqa_root))
+    monkeypatch.setenv("COCO_PATH", str(tmp_path / "coco"))
+    monkeypatch.setenv("RESULT_DIR", str(tmp_path / "results"))
+    monkeypatch.setenv("MODEL_CPK_DIR", str(tmp_path / "cpk"))
+
+    import inference as infer_cli
+
+    result = infer_cli.main(
+        [
+            "lmm=tiny-idefics",
+            "lmm.quantize=int8",
+            "run_name=e2e_q8",
+            "test_icv=false",
+            "test_icl=true",
+            "few_shot_list=[1]",
+            "test_num=2",
+            "train_num=3",
+            "bs=2",
+            "data_cfg.task.datasets.max_train_size=-1",
+            "generate_kwargs.max_new_tokens=2",
+            "generate_kwargs.num_beams=1",
+        ]
+    )
+    assert any("ICL shot_num" in k for k in result)
