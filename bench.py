@@ -33,7 +33,7 @@ PROMPT_LEN = 64
 MAX_NEW = 32
 
 
-def build(n_layers: int):
+def build(n_layers: int, quantize: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -48,21 +48,31 @@ def build(n_layers: int):
         cfg9,
         text=dataclasses.replace(cfg9.text, n_layers=n_layers),
     )
-    # ONE compiled program for the whole init: per-op eager dispatch through
-    # the remote-compile tunnel costs seconds per op
-    params = jax.jit(lambda: init_idefics_params(jax.random.PRNGKey(0), cfg))()
-    jax.block_until_ready(params["layers"]["attn"]["wq"])
+
+    # ONE compiled program for the whole init (+ on-device quantization):
+    # per-op eager dispatch through the remote-compile tunnel costs seconds
+    def init():
+        p = init_idefics_params(jax.random.PRNGKey(0), cfg)
+        if quantize:
+            from licv_vqa_tpu.ops.quantize import quantize_layer_stack
+
+            p["layers"] = quantize_layer_stack(p["layers"])
+            p["xattn"] = quantize_layer_stack(p["xattn"])
+        return p
+
+    params = jax.jit(init)()
+    jax.block_until_ready(params["final_norm"])
     _, bind_decode = make_idefics_forward_fns(cfg, eos_token_id=2)
     return cfg, params, bind_decode
 
 
-def run(n_layers: int) -> dict:
+def run(n_layers: int, quantize: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
 
     from licv_vqa_tpu.infer.decode import greedy_generate
 
-    cfg, params, bind_decode = build(n_layers)
+    cfg, params, bind_decode = build(n_layers, quantize=quantize)
     rng = np.random.default_rng(0)
     ids = rng.integers(3, 32000, size=(BS, PROMPT_LEN)).astype(np.int32)
     ids[:, 1] = cfg.image_token_id
@@ -101,9 +111,10 @@ def run(n_layers: int) -> dict:
         sync(gen(*args))
     dt = (time.perf_counter() - t0) / reps
     tok_per_sec = BS * MAX_NEW / dt
+    variant = "int8w" if quantize else "bf16"
     return {
         "metric": f"icv_steered_greedy_decode_tokens_per_sec_per_chip"
-        f"_idefics{n_layers}L4096d_bf16_bs{BS}",
+        f"_idefics{n_layers}L4096d_{variant}_bs{BS}",
         "value": round(tok_per_sec, 2),
         "unit": "tokens/s/chip",
         "vs_baseline": round(tok_per_sec / BASELINE_TOKENS_PER_SEC, 2),
@@ -111,16 +122,18 @@ def run(n_layers: int) -> dict:
 
 
 def main():
-    # 24+ layers exceed a single v5e's 15.75G HBM (measured); the depth loop
-    # exists for bigger chips / future tp slices.
-    for n_layers in (16, 8, 4):
+    # Primary: the FULL 32-layer flagship depth via int8 weight-only
+    # quantization (~10G — fits one v5e; bf16 at 24+ layers exceeds its
+    # 15.75G HBM, measured).  Fallbacks shrink depth in bf16.
+    for n_layers, quantize in ((32, True), (16, False), (8, False)):
         try:
-            result = run(n_layers)
+            result = run(n_layers, quantize=quantize)
             print(json.dumps(result))
             return
-        except Exception as e:  # OOM on smaller chips → shrink depth
-            print(f"bench: {n_layers} layers failed ({type(e).__name__}); "
-                  "retrying smaller", file=sys.stderr)
+        except Exception as e:  # OOM / backend errors → smaller variant
+            print(
+                f"bench: {n_layers}L quantize={quantize} failed "
+                f"({type(e).__name__}); retrying smaller", file=sys.stderr)
     raise SystemExit("bench failed at all depths")
 
 
