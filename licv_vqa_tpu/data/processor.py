@@ -80,9 +80,13 @@ class ImageTransform:
     def __post_init__(self):
         self._mean32 = np.asarray(self.mean, np.float32)
         self._std_inv32 = (1.0 / np.asarray(self.std)).astype(np.float32)
+        import threading
         from collections import OrderedDict
 
         self._cache: "OrderedDict[str, np.ndarray]" = OrderedDict()
+        # the DataLoader decodes from worker THREADS; OrderedDict get +
+        # move_to_end + popitem interleavings are not safe without a lock
+        self._lock = threading.Lock()
 
     def __call__(self, image: Any) -> np.ndarray:
         """Decode+resize → uint8 (H, W, 3).  Normalization happens ONCE per
@@ -98,19 +102,22 @@ class ImageTransform:
         ) * self._std_inv32
 
     def _decode_resized(self, path: str) -> np.ndarray:
-        hit = self._cache.get(path)
-        if hit is not None:
-            self._cache.move_to_end(path)
-            return hit
+        with self._lock:
+            hit = self._cache.get(path)
+            if hit is not None:
+                self._cache.move_to_end(path)
+                return hit
         from PIL import Image as PILImage
 
+        # decode OUTSIDE the lock (PIL releases the GIL for the heavy parts)
         img = PILImage.open(path).convert("RGB").resize(
             (self.image_size, self.image_size), PILImage.BICUBIC
         )
         arr = np.asarray(img, np.uint8)
-        self._cache[path] = arr
-        if len(self._cache) > self.cache_entries:
-            self._cache.popitem(last=False)
+        with self._lock:
+            self._cache[path] = arr
+            if len(self._cache) > self.cache_entries:
+                self._cache.popitem(last=False)
         return arr
 
     def _to_array(self, image: Any) -> np.ndarray:

@@ -287,3 +287,30 @@ def test_bucket_length_schedule():
     assert bucket_length(512) == 512
     assert bucket_length(513) == 768
     assert bucket_length(2049) == 2560
+
+
+def test_image_cache_thread_safety(tmp_path):
+    """Hammer the decode LRU from many threads with a tiny capacity (forces
+    constant eviction + re-decode interleavings)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from licv_vqa_tpu.data.processor import ImageRef
+
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(12):
+        p = tmp_path / f"t{i}.png"
+        Image.fromarray(rng.integers(0, 255, size=(20, 20, 3), dtype=np.uint8)).save(p)
+        paths.append(str(p))
+    tr = ImageTransform(image_size=16, cache_entries=3)
+
+    def work(k):
+        out = None
+        for i in range(100):
+            out = tr(ImageRef(paths[(k * 7 + i) % len(paths)]))
+        return out.shape
+
+    with ThreadPoolExecutor(8) as pool:
+        shapes = list(pool.map(work, range(8)))
+    assert all(s == (16, 16, 3) for s in shapes)
+    assert len(tr._cache) <= 3
