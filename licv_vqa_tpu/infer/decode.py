@@ -27,7 +27,8 @@ from typing import Any, Callable, Optional
 import jax
 import jax.numpy as jnp
 
-NEG_INF = jnp.float32(-1.0e7)
+NEG_INF = -1.0e7  # plain float: a module-level jnp constant would
+# initialize the default backend at import time (before device selection)
 
 
 def _positions_from_mask(attention_mask: jax.Array) -> jax.Array:
