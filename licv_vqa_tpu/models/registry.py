@@ -260,10 +260,19 @@ def _idefics2_bundle(cfg, model_cfg, name: str) -> ModelBundle:
 def build_draft_decode(bundle: ModelBundle, draft_layers: int):
     """A layer-truncated draft ``bind_decode`` for speculative decoding:
     the same weights, first ``draft_layers`` decoder layers (cross-attention
-    groups truncated accordingly).  Returns ``(draft_params, bind_decode)``."""
+    groups truncated accordingly).  Returns ``(draft_params, bind_decode)``;
+    the bind is pixel-normalize-wrapped like the bundle's own (the processor
+    emits raw uint8)."""
     name = bundle.name
     mc = bundle.model_cfg
     k = draft_layers
+    mean, std = (
+        (SIGLIP_MEAN, SIGLIP_STD) if "idefics2" in name else (CLIP_MEAN, CLIP_STD)
+    )
+
+    def finish(params, bind):
+        _, bind = _wrap_pixel_normalize(lambda *a: None, bind, mean, std)
+        return params, bind
 
     def slice_layers(params, extra_keys=()):
         sub = dict(params)
@@ -280,7 +289,7 @@ def build_draft_decode(bundle: ModelBundle, draft_layers: int):
         )
         params = slice_layers(bundle.params)
         _, bind = make_idefics2_forward_fns(new_cfg, bundle.eos_token_id)
-        return params, bind
+        return finish(params, bind)
     if "idefics" in name:
         from .idefics import make_idefics_forward_fns
 
@@ -295,7 +304,7 @@ def build_draft_decode(bundle: ModelBundle, draft_layers: int):
         )
         params = slice_layers(bundle.params, extra_keys=[("xattn", k // interval)])
         _, bind = make_idefics_forward_fns(new_cfg, bundle.eos_token_id)
-        return params, bind
+        return finish(params, bind)
     if "flamingo" in name.lower():
         from .openflamingo import make_openflamingo_forward_fns
 
@@ -310,7 +319,7 @@ def build_draft_decode(bundle: ModelBundle, draft_layers: int):
         )
         params = slice_layers(bundle.params, extra_keys=[("xattn", k // every)])
         _, bind = make_openflamingo_forward_fns(new_cfg, bundle.eos_token_id)
-        return params, bind
+        return finish(params, bind)
     raise ValueError(f"no draft builder for {name}")
 
 
