@@ -105,3 +105,43 @@ def test_cli_quantized_inference(tmp_path, monkeypatch):
         ]
     )
     assert any("ICL shot_num" in k for k in result)
+
+
+def test_quantized_speculative_cli(tmp_path, monkeypatch):
+    """int8 weights + speculative decoding compose (draft slices quantized
+    leaves; both binds normalize pixels)."""
+    from tests.test_cli_e2e import _write_vqa_split
+    from pathlib import Path
+
+    REPO = Path(__file__).resolve().parent.parent
+    monkeypatch.chdir(REPO)
+    vqa_root = tmp_path / "vqav2"
+    coco = tmp_path / "coco" / "mscoco2014"
+    _write_vqa_split(vqa_root, coco / "train2014", "train2014", 4)
+    _write_vqa_split(vqa_root, coco / "val2014", "val2014", 3)
+    monkeypatch.setenv("VQAV2_PATH", str(vqa_root))
+    monkeypatch.setenv("COCO_PATH", str(tmp_path / "coco"))
+    monkeypatch.setenv("RESULT_DIR", str(tmp_path / "results"))
+    monkeypatch.setenv("MODEL_CPK_DIR", str(tmp_path / "cpk"))
+
+    import inference as infer_cli
+
+    result = infer_cli.main(
+        [
+            "lmm=tiny-idefics",
+            "lmm.quantize=int8",
+            "run_name=e2e_q8spec",
+            "test_icv=false",
+            "test_icl=true",
+            "few_shot_list=[1]",
+            "test_num=2",
+            "train_num=3",
+            "bs=2",
+            "data_cfg.task.datasets.max_train_size=-1",
+            "generate_kwargs.max_new_tokens=2",
+            "generate_kwargs.num_beams=1",
+            "generate_kwargs.speculative_draft_layers=2",
+            "generate_kwargs.speculative_gamma=2",
+        ]
+    )
+    assert any("ICL shot_num" in k for k in result)
