@@ -383,3 +383,38 @@ def test_combined_icv_and_icl_single_invocation(env):
     )
     assert any("icv result" in k for k in result)
     assert any("ICL shot_num" in k for k in result)
+
+
+def test_subset_intervention_cli_roundtrip(env):
+    """intervention_layer as a LIST through the full CLI cycle: the encoder
+    owns K rows, the checkpoint stores (1,K,D), inference expands to flagged
+    layers (reference icv_intervention.py:39-42 semantics)."""
+    import train as train_cli
+    import inference as infer_cli
+    import torch
+
+    common = [
+        "lmm=tiny-idefics",
+        "lmm.intervention_layer=[1,3]",
+        "run_name=e2e_subset",
+        "data_cfg.task.datasets.few_shot_num=1",
+        "data_cfg.task.datasets.max_train_size=-1",
+    ]
+    save_path = train_cli.main(
+        common + ["trainer=debug", "data_cfg.bs=2", "data_cfg.num_workers=1"]
+    )
+    state = torch.load(save_path / "icv_cpk.pth", weights_only=False)
+    assert state["icv_encoder.icv"].shape == (1, 2, 64)  # K=2 rows
+    assert state["lmm_args"]["intervention_layer"] == [1, 3]
+
+    result = infer_cli.main(
+        common
+        + [
+            "test_icv=true",
+            "test_num=2",
+            "bs=2",
+            "generate_kwargs.max_new_tokens=2",
+            "generate_kwargs.num_beams=1",
+        ]
+    )
+    assert any("icv result" in k for k in result)
