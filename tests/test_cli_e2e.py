@@ -418,3 +418,28 @@ def test_subset_intervention_cli_roundtrip(env):
         ]
     )
     assert any("icv result" in k for k in result)
+
+
+def test_re_eval_appends_results(env):
+    """re_eval=true re-runs and appends a new timestamped entry
+    (reference: inference.py:76-83)."""
+    import json
+    import inference as infer_cli
+
+    args = COMMON + [
+        "test_icv=false",
+        "test_icl=true",
+        "few_shot_list=[1]",
+        "test_num=2",
+        "train_num=3",
+        "bs=2",
+        "run_name=e2e_reeval",
+        "generate_kwargs.max_new_tokens=2",
+        "generate_kwargs.num_beams=1",
+    ]
+    r1 = infer_cli.main(args)
+    assert len(r1) == 1
+    r2 = infer_cli.main(args)  # exits early, same content
+    assert r2 == r1
+    r3 = infer_cli.main(args + ["re_eval=true"])
+    assert len(r3) == 2  # appended a second timestamped entry
