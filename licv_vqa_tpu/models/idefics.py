@@ -393,7 +393,8 @@ def idefics_forward(
         h = L.rms_norm(params["final_norm"], h, t.norm_eps)
         return logits_from_hidden(t, params, h), new_cache
 
-    # TRAIN/no-cache: grouped scan (memory-efficient with remat)
+    # TRAIN/no-cache: grouped scan (memory-efficient with remat) — the
+    # cached/decode path returned above.
     # group-stack the per-layer leaves: (L, ...) → (G, interval, ...)
     def regroup(x):
         return x.reshape((n_groups, interval) + x.shape[1:])
@@ -410,57 +411,31 @@ def idefics_forward(
         icv_xs = jax.tree.map(regroup, icv_cast)
     else:
         icv_xs = jnp.zeros((n_groups, interval, 1), t.dtype)
-    if cache is not None:
-        kv_xs = (regroup(cache["k"]), regroup(cache["v"]))
-    else:
-        kv_xs = (
-            jnp.zeros((n_groups, interval, 0)),
-            jnp.zeros((n_groups, interval, 0)),
-        )
-
-    flash_valid = attention_mask if cache is None else None
 
     def group_body(h, xs):
-        xp, lp, icv_g, kv_g = xs
+        xp, lp, icv_g = xs
         h = gated_xattn_block(cfg, xp, h, image_latents, xmask, gate)
 
         def layer_body(h, xs_l):
-            p_l, icv_row, kv_l = xs_l
+            p_l, icv_row = xs_l
             icv_arg = icv_row if have_icv else None
-            kv_write = (kv_l[0], kv_l[1], index) if cache is not None else None
-            h, new_kv = decoder_layer(
-                cfg.text, p_l, h, cos, sin, mask, None, icv_arg, kv_write,
-                flash_valid=flash_valid,
+            h, _ = decoder_layer(
+                cfg.text, p_l, h, cos, sin, mask, None, icv_arg, None,
+                flash_valid=attention_mask,
             )
-            return h, new_kv
+            return h, None
 
         if remat:
             layer_body = jax.checkpoint(layer_body)
-        h, new_kv_g = jax.lax.scan(layer_body, h, (lp, icv_g, kv_g))
-        return h, new_kv_g
+        h, _ = jax.lax.scan(layer_body, h, (lp, icv_g))
+        return h, None
 
     if remat:
         group_body = jax.checkpoint(group_body)
-    h, kv_out = jax.lax.scan(
-        group_body, h, (params["xattn"], glayers, icv_xs, kv_xs)
-    )
-
-    new_cache = None
-    if cache is not None:
-
-        def degroup(x):
-            return x.reshape((t.n_layers,) + x.shape[2:])
-
-        new_cache = {
-            "k": degroup(kv_out[0]),
-            "v": degroup(kv_out[1]),
-            "pos": cache_pos,
-            "valid": cache_valid,
-            "index": index + s,
-        }
+    h, _ = jax.lax.scan(group_body, h, (params["xattn"], glayers, icv_xs))
 
     h = L.rms_norm(params["final_norm"], h, t.norm_eps)
-    return logits_from_hidden(t, params, h), new_cache
+    return logits_from_hidden(t, params, h), None
 
 
 def make_idefics_forward_fns(cfg: IdeficsConfig, eos_token_id: int, params=None):

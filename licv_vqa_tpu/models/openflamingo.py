@@ -333,6 +333,7 @@ def openflamingo_forward(
         logits = jnp.dot(h, params["embed"].T, preferred_element_type=jnp.float32)
         return logits, new_cache
 
+    # TRAIN/no-cache grouped scan — the cached/decode path returned above.
     def regroup(x):
         return x.reshape((n_groups, every) + x.shape[1:])
 
@@ -348,57 +349,33 @@ def openflamingo_forward(
         icv_xs = jax.tree.map(regroup, icv_cast)
     else:
         icv_xs = jnp.zeros((n_groups, every, 1), t.dtype)
-    kv_xs = (
-        (regroup(cache["k"]), regroup(cache["v"]))
-        if cache is not None
-        else (jnp.zeros((n_groups, every, 0)), jnp.zeros((n_groups, every, 0)))
-    )
 
     def one_layer(h, xs_l):
-        p_l, icv_row, kv_l = xs_l
+        p_l, icv_row = xs_l
         icv_arg = icv_row if have_icv else None
-        kv_write = (kv_l[0], kv_l[1], index) if cache is not None else None
-        return decoder_layer(t, p_l, h, None, None, mask, bias, icv_arg, kv_write)
+        h, _ = decoder_layer(t, p_l, h, None, None, mask, bias, icv_arg, None)
+        return h, None
 
     def group_body(h, xs):
-        xp, lp, icv_g, kv_g = xs
-        first = jax.tree.map(lambda x: x[: every - 1], (lp, icv_g, kv_g))
-        last = jax.tree.map(lambda x: x[every - 1], (lp, icv_g, kv_g))
+        xp, lp, icv_g = xs
+        first = jax.tree.map(lambda x: x[: every - 1], (lp, icv_g))
+        last = jax.tree.map(lambda x: x[every - 1], (lp, icv_g))
 
-        def inner(h, xs_l):
-            return one_layer(h, xs_l)
-
-        if remat:
-            inner = jax.checkpoint(inner)
-        h, kv_first = jax.lax.scan(inner, h, first)
+        inner = jax.checkpoint(one_layer) if remat else one_layer
+        h, _ = jax.lax.scan(inner, h, first)
         # flamingo runs gated cross-attention BEFORE the block closing a group
         h = flamingo_xattn_block(cfg, xp, h, media_latents, xmask, gate)
-        h, kv_last = one_layer(h, last)
-        if cache is not None:
-            kv_g_out = jax.tree.map(
-                lambda f, l: jnp.concatenate([f, l[None]], axis=0), kv_first, kv_last
-            )
-        else:
-            kv_g_out = None
-        return h, kv_g_out
+        h, _ = one_layer(h, last)
+        return h, None
 
     if remat:
         group_body = jax.checkpoint(group_body)
-    h, kv_out = jax.lax.scan(group_body, h, (params["xattn"], glayers, icv_xs, kv_xs))
+    h, _ = jax.lax.scan(group_body, h, (params["xattn"], glayers, icv_xs))
 
-    new_cache = None
-    if cache is not None:
-        new_cache = {
-            "k": kv_out[0].reshape((t.n_layers,) + kv_out[0].shape[2:]),
-            "v": kv_out[1].reshape((t.n_layers,) + kv_out[1].shape[2:]),
-            "pos": cache_pos,
-            "valid": cache_valid,
-            "index": index + s,
-        }
     h = L.layer_norm(params["final_norm"], params["final_norm_b"], h, t.norm_eps)
     # MPT ties the LM head to the embedding table
     logits = jnp.dot(h, params["embed"].T, preferred_element_type=jnp.float32)
-    return logits, new_cache
+    return logits, None
 
 
 def make_openflamingo_forward_fns(
