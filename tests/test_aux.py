@@ -92,3 +92,31 @@ def test_config_additive_override():
     cfg = compose("config", "train", ["+brand_new_key=7", "seed=1"])
     assert cfg.brand_new_key == 7
     assert cfg.seed == 1
+
+
+def test_load_reference_formatted_checkpoint(tmp_path):
+    """A checkpoint written the way the REFERENCE's postprocess writes it
+    (torch tensors, extra lightning keys) loads cleanly, sigmoid applied."""
+    import torch
+    from licv_vqa_tpu.train.checkpoint import load_icv_checkpoint
+
+    state = {
+        "icv_encoder.icv": torch.randn(1, 32, 64),
+        "icv_encoder.alpha": torch.randn(1, 32),
+        "temperature": torch.tensor(1.0),  # reference keeps this key too
+        "use_sigmoid": True,
+        "lmm_args": {"total_layers": 32, "layer_format": "model.model.layers.<LAYER_NUM>"},
+    }
+    torch.save(state, tmp_path / "icv_cpk.pth")
+    loaded = load_icv_checkpoint(tmp_path)
+    assert loaded["icv"].shape == (32, 64)
+    a = np.asarray(loaded["alpha"])
+    assert np.all((a > 0) & (a < 1))  # sigmoid applied
+    assert loaded["lmm_args"]["total_layers"] == 32
+
+
+def test_config_missing_group_clear_error():
+    from licv_vqa_tpu.utils.config import compose
+
+    with pytest.raises(FileNotFoundError):
+        compose("config", "train", ["lmm=does-not-exist"])
