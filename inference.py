@@ -88,11 +88,6 @@ def main(argv: list[str] | None = None):
         logger.info("%s exists — exiting", metric_file_path)
         return json.load(open(metric_file_path))
 
-    bundle = build_model(cfg)
-    prompt_manager = init_prompt_manager(cfg)
-    task_name = str(cfg.data_cfg.task.task_name)
-    base_info = f"{datetime.datetime.now()}-cfg.test_num={cfg.test_num}-"
-
     icv_scaled = None
     if cfg.test_icv:
         cpk_dir = get_icv_cpk_path(
@@ -103,7 +98,19 @@ def main(argv: list[str] | None = None):
         )
         loaded = load_icv_checkpoint(cpk_dir)
         icv_scaled = loaded["alpha"][:, None] * loaded["icv"]
+        # The CHECKPOINT's lmm_args drive the intervention setup (reference:
+        # inference.py:102-108 builds the wrapper from the loaded lmm_args):
+        # a K-row ICV trained on a subset-layer list must inject into those
+        # same layers regardless of the current cfg.lmm override.
+        ckpt_layers = loaded.get("lmm_args", {}).get("intervention_layer")
+        if ckpt_layers is not None:
+            cfg.lmm["intervention_layer"] = ckpt_layers
         logger.info("ICV loaded from %s", cpk_dir)
+
+    bundle = build_model(cfg)
+    prompt_manager = init_prompt_manager(cfg)
+    task_name = str(cfg.data_cfg.task.task_name)
+    base_info = f"{datetime.datetime.now()}-cfg.test_num={cfg.test_num}-"
 
     split = None if cfg.test_icl else "validation"
     ds, post_fn = init_dataset(cfg, split)
@@ -197,7 +204,11 @@ def main(argv: list[str] | None = None):
                 generate_kwargs=gen_kwargs,
                 instruction=str(cfg.prompt.instruction),
             )
-            evaluate_and_store(results, f"ICL shot_num: {shot_num} result")
+            # reference key wording includes the metric (inference.py:226,236)
+            metric_word = "ACC" if task_name == "vqa" else "CIDEr"
+            evaluate_and_store(
+                results, f"ICL shot_num: {shot_num} {metric_word} result"
+            )
             with open(meta_info_dir / f"icl_shot{shot_num}.json", "w") as f:
                 json.dump(results, f, indent=4)
 

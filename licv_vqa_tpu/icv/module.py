@@ -177,31 +177,51 @@ def cosine_schedule_with_warmup(peak_lr: float, warmup_steps: int, total_steps: 
     return schedule
 
 
-def make_optimizer(cfg: ICVModuleConfig, total_steps: int) -> optax.GradientTransformation:
+def make_lr_schedules(cfg: ICVModuleConfig, total_steps: int) -> dict:
+    """Per-group cosine-with-warmup schedules, keyed like the optimizer
+    groups.  Exposed separately so the trainer can log the CURRENT LR
+    (reference: ``LearningRateMonitor``, train.py:55-58)."""
     warmup = (
         int(cfg.warm_steps * total_steps)
         if isinstance(cfg.warm_steps, float) and cfg.warm_steps < 1
         else int(cfg.warm_steps)
     )
+    return {
+        "icv": cosine_schedule_with_warmup(cfg.icv_lr, warmup, total_steps),
+        "alpha": cosine_schedule_with_warmup(cfg.alpha_lr, warmup, total_steps),
+    }
 
-    def adamw(lr):
+
+def make_optimizer(cfg: ICVModuleConfig, total_steps: int) -> optax.GradientTransformation:
+    schedules = make_lr_schedules(cfg, total_steps)
+
+    def adamw(schedule, weight_decay):
         return optax.chain(
             optax.clip_by_global_norm(cfg.gradient_clip_val),
-            optax.adamw(
-                learning_rate=cosine_schedule_with_warmup(lr, warmup, total_steps),
-                weight_decay=cfg.weight_decay,
-            ),
+            optax.adamw(learning_rate=schedule, weight_decay=weight_decay),
         )
 
     def label_fn(tree):
         # reference groups: any param named *alpha* at alpha_lr, rest at icv_lr
         return {
             "encoder": {"icv": "icv", "alpha": "alpha"},
-            "temperature": "icv",
+            "temperature": "temp",
         }
 
     tx = optax.multi_transform(
-        {"icv": adamw(cfg.icv_lr), "alpha": adamw(cfg.alpha_lr)}, label_fn
+        {
+            "icv": adamw(schedules["icv"], cfg.weight_decay),
+            "alpha": adamw(schedules["alpha"], cfg.weight_decay),
+            # DELIBERATE DEVIATION: with learnable_t the reference registers
+            # temperature as a Parameter but never adds it to any optimizer
+            # group (configure_optimizers iterates icv_encoder params only,
+            # reference: icv_src/icv_module.py:171-209), so T silently never
+            # trains there.  Here learnable_t actually updates T (at icv_lr,
+            # NO weight decay — decay toward 0 would be meaningless for a
+            # softmax temperature).
+            "temp": adamw(schedules["icv"], 0.0),
+        },
+        label_fn,
     )
     if cfg.accumulate_grad_batches > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=cfg.accumulate_grad_batches)
@@ -242,11 +262,20 @@ def init_train_state(
 def decay_temperature(state: TrainState, cfg: ICVModuleConfig) -> TrainState:
     """Step decay (reference: icv_src/icv_module.py:150-158; the reference
     silently de-registers the Parameter on first decay — here temperature is
-    simply a value that decays when enabled)."""
+    simply a value that decays when enabled).
+
+    ``decay_per_step`` counts OPTIMIZER steps (the reference's
+    ``global_step``), while ``state.step`` counts micro-batches — with
+    gradient accumulation the decay fires once per optimizer-step boundary,
+    not once per micro-batch."""
     if cfg.decay_ratio < 0:
         return state
+    accum = max(int(cfg.accumulate_grad_batches), 1)
+    opt_step = state.step // accum
     dps = jnp.int32(max(int(cfg.decay_per_step), 1))
-    should = (state.step % dps == 0) & (state.step != 0)
+    should = (
+        (opt_step % dps == 0) & (opt_step != 0) & (state.step % accum == 0)
+    )
     t = jnp.where(
         should,
         jnp.maximum(state.params["temperature"] * cfg.decay_ratio, cfg.min_temperature),
@@ -263,6 +292,7 @@ def make_train_step(
     cfg: ICVModuleConfig,
     optimizer,
     pad_token_id: int,
+    lr_schedules: Optional[dict] = None,  # from make_lr_schedules (for logging)
 ):
     """Build the jittable train step: grads w.r.t. the tiny trainable pytree
     only; the frozen LMM params are a non-differentiated argument."""
@@ -281,12 +311,24 @@ def make_train_step(
         )
         if not cfg.learnable_t:
             grads["temperature"] = jnp.zeros_like(grads["temperature"])
+        if not encoder.alpha_learnable:
+            # reference freezes alpha via requires_grad=alpha_learnable
+            # (global_icv_encoder.py:26-29): no grad AND no weight decay
+            grads["encoder"]["alpha"] = jnp.zeros_like(grads["encoder"]["alpha"])
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         if cfg.decay_ratio >= 0 or not cfg.learnable_t:
             params["temperature"] = state.params["temperature"]
+        if not encoder.alpha_learnable:
+            params["encoder"]["alpha"] = state.params["encoder"]["alpha"]
         metrics["temperature"] = params["temperature"]
         metrics["grad_norm"] = optax.global_norm(grads)
+        if lr_schedules is not None:
+            # reference logs per-group LR via LearningRateMonitor
+            # (train.py:55-58); the schedule counter is OPTIMIZER steps
+            opt_step = state.step // max(int(cfg.accumulate_grad_batches), 1)
+            for name, sched in lr_schedules.items():
+                metrics[f"lr-{name}"] = sched(opt_step)
         if cfg.log_alpha:  # reference: icv_src/icv_module.py:164-167
             alpha = encoder.get_alpha(params["encoder"])
             for i in range(alpha.shape[0]):

@@ -253,6 +253,7 @@ def gated_xattn_block(
     image_latents: jax.Array,  # (B, N_img*n_lat, De)
     img_mask: jax.Array,  # (B, 1, S, N_img*n_lat) bool
     gate: jax.Array,  # (B, S) 1.0 where the token attends ≥1 image
+    kv: Optional[tuple] = None,  # precomputed (k, v) each (B, Nk, nh, dh)
 ) -> jax.Array:
     t = cfg.text
     b, s, d = h.shape
@@ -262,11 +263,17 @@ def gated_xattn_block(
     p = _dequant(p, h.dtype)
     x = L.rms_norm(p["ln1"], h, t.norm_eps)
     q = jnp.dot(x, p["attn"]["wq"]).reshape(b, s, nh, dh)
-    k = jnp.dot(image_latents, p["attn"]["wk"]).reshape(b, -1, nh, dh)
-    v = jnp.dot(image_latents, p["attn"]["wv"]).reshape(b, -1, nh, dh)
     if "q_norm" in p["attn"]:
         q = L.rms_norm(p["attn"]["q_norm"], q, t.norm_eps)
-        k = L.rms_norm(p["attn"]["k_norm"], k, t.norm_eps)
+    if kv is not None:
+        # image K/V are decode-invariant: precomputed once at bind time
+        # (k_norm already applied) — the per-step wk/wv matmuls vanish.
+        k, v = kv
+    else:
+        k = jnp.dot(image_latents, p["attn"]["wk"]).reshape(b, -1, nh, dh)
+        v = jnp.dot(image_latents, p["attn"]["wv"]).reshape(b, -1, nh, dh)
+        if "k_norm" in p["attn"]:
+            k = L.rms_norm(p["attn"]["k_norm"], k, t.norm_eps)
     attn = L.dot_product_attention(q, k, v, mask=img_mask)
     attn = jnp.dot(attn.reshape(b, s, nh * dh), p["attn"]["wo"]).astype(h.dtype)
     attn = attn * gate[:, :, None].astype(attn.dtype)
@@ -275,6 +282,32 @@ def gated_xattn_block(
     x2 = L.rms_norm(p["ln2"], h, t.norm_eps)
     mlp = L.swiglu_mlp(p["mlp"], x2)
     return h + jnp.tanh(p["alpha_dense"]).astype(h.dtype) * mlp
+
+
+def precompute_xattn_kv(
+    cfg: IdeficsConfig, params: dict, image_latents: jax.Array
+) -> tuple:
+    """K/V projections of the image latents for EVERY gated-xattn block,
+    (G, B, Nk, nh, dh) each, with k_norm applied.
+
+    The image latents never change during decode, so these matmuls — which
+    otherwise nearly double the per-step decode FLOPs (Nk=64 latent rows per
+    image vs 1 new token) — run exactly once at bind time."""
+    t = cfg.text
+    b, n_k = image_latents.shape[:2]
+    nh, dh = t.n_heads, t.head_dim
+    from .decoder import _dequant
+
+    xp = _dequant(params["xattn"], t.dtype)
+
+    def one_group(attn_p):
+        k = jnp.dot(image_latents, attn_p["wk"]).reshape(b, n_k, nh, dh)
+        v = jnp.dot(image_latents, attn_p["wv"]).reshape(b, n_k, nh, dh)
+        if "k_norm" in attn_p:
+            k = L.rms_norm(attn_p["k_norm"], k, t.norm_eps)
+        return k, v
+
+    return jax.vmap(one_group)(xp["attn"])
 
 
 # ---------------------------------------------------------------------------
@@ -294,6 +327,7 @@ def idefics_forward(
     positions: Optional[jax.Array] = None,
     remat: bool = False,
     prefill_flash: Optional[jax.Array] = None,
+    xattn_kv: Optional[tuple] = None,  # precomputed (G,B,Nk,nh,dh) k/v
 ):
     """Returns (logits f32 (B,S,V), new_cache)."""
     t = cfg.text
@@ -362,7 +396,19 @@ def idefics_forward(
                     lambda x: jax.lax.dynamic_index_in_dim(x, g, 0, keepdims=False),
                     params["xattn"],
                 )
-                return gated_xattn_block(cfg, xp, hh, image_latents, xmask, gate)
+                kv_g = (
+                    jax.tree.map(
+                        lambda x: jax.lax.dynamic_index_in_dim(
+                            x, g, 0, keepdims=False
+                        ),
+                        xattn_kv,
+                    )
+                    if xattn_kv is not None
+                    else None
+                )
+                return gated_xattn_block(
+                    cfg, xp, hh, image_latents, xmask, gate, kv=kv_g
+                )
 
             h = jax.lax.cond(li % interval == 0, do_xattn, lambda hh: hh, h)
             icv_arg = icv_row if have_icv else None
@@ -484,6 +530,7 @@ def make_idefics_forward_fns(cfg: IdeficsConfig, eos_token_id: int, params=None)
         step_onehot = (
             last_image_onehot(prompt_ids, cfg.image_token_id, n_img) * pv
         )
+        xattn_kv = precompute_xattn_kv(cfg, model_params, latents)
 
         def forward_fn(input_ids, attention_mask, positions, cache):
             b = input_ids.shape[0]
@@ -492,11 +539,15 @@ def make_idefics_forward_fns(cfg: IdeficsConfig, eos_token_id: int, params=None)
                 cache = init_kv_cache(cfg.text, b, max_len)
                 onehot = prefill_onehot
                 lat = latents
+                xkv = xattn_kv
                 prefill_flash = attention_mask
             else:
                 # during beam decode the batch may be beam-expanded
                 rep = b // latents.shape[0]
                 lat = jnp.repeat(latents, rep, axis=0)
+                xkv = jax.tree.map(
+                    lambda x: jnp.repeat(x, rep, axis=1), xattn_kv
+                )
                 so = jnp.repeat(step_onehot, rep, axis=0)
                 onehot = jnp.broadcast_to(
                     so, (b, input_ids.shape[1], so.shape[-1])
@@ -512,6 +563,7 @@ def make_idefics_forward_fns(cfg: IdeficsConfig, eos_token_id: int, params=None)
                 cache=cache,
                 positions=positions,
                 prefill_flash=prefill_flash,
+                xattn_kv=xkv,
             )
 
         return forward_fn

@@ -208,6 +208,7 @@ def flamingo_xattn_block(
     media: jax.Array,  # (B, Nk, De)
     media_mask: jax.Array,  # (B, 1, S, Nk) bool
     gate: jax.Array,  # (B, S)
+    kv_pre: Optional[tuple] = None,  # precomputed (k, v) each (B, Nk, nh, dh)
 ):
     b, s, d = h.shape
     nh, dh = cfg.xattn_heads, cfg.xattn_head_dim
@@ -216,8 +217,12 @@ def flamingo_xattn_block(
     p = _dequant(p, h.dtype)
     x = L.layer_norm(p["ln_attn"]["w"], p["ln_attn"]["b"], h, cfg.text.norm_eps)
     q = jnp.dot(x, p["wq"]).reshape(b, s, nh, dh)
-    kv = jnp.dot(media, p["wkv"]).reshape(b, -1, 2, nh, dh)
-    k, v = kv[:, :, 0], kv[:, :, 1]
+    if kv_pre is not None:
+        # media K/V are decode-invariant: precomputed once at bind time
+        k, v = kv_pre
+    else:
+        kv = jnp.dot(media, p["wkv"]).reshape(b, -1, 2, nh, dh)
+        k, v = kv[:, :, 0], kv[:, :, 1]
     attn = L.dot_product_attention(q, k, v, mask=media_mask)
     attn = jnp.dot(attn.reshape(b, s, nh * dh), p["wo"]).astype(h.dtype)
     attn = attn * gate[:, :, None].astype(attn.dtype)
@@ -227,6 +232,25 @@ def flamingo_xattn_block(
     z = jax.nn.gelu(jnp.dot(x2, p["ff_up"]).astype(jnp.float32)).astype(h.dtype)
     ff = jnp.dot(z, p["ff_down"]).astype(h.dtype)
     return h + jnp.tanh(p["ff_gate"]).astype(h.dtype) * ff
+
+
+def precompute_xattn_kv(
+    cfg: OpenFlamingoConfig, params: dict, media_latents: jax.Array
+) -> tuple:
+    """K/V of the media latents for every gated-xattn block, (G,B,Nk,nh,dh)
+    each — decode-invariant, computed once at bind time (see idefics.py)."""
+    t = cfg.text
+    b, n_k = media_latents.shape[:2]
+    nh, dh = cfg.xattn_heads, cfg.xattn_head_dim
+    from .decoder import _dequant
+
+    wkv = _dequant(params["xattn"]["wkv"], t.dtype)
+
+    def one_group(w):
+        kv = jnp.dot(media_latents, w).reshape(b, n_k, 2, nh, dh)
+        return kv[:, :, 0], kv[:, :, 1]
+
+    return jax.vmap(one_group)(wkv)
 
 
 def openflamingo_forward(
@@ -240,6 +264,7 @@ def openflamingo_forward(
     cache: Optional[dict] = None,
     positions: Optional[jax.Array] = None,
     remat: bool = False,
+    xattn_kv: Optional[tuple] = None,  # precomputed (G,B,Nk,nh,dh) k/v
 ):
     t = cfg.text
     every = cfg.cross_attn_every_n_layers
@@ -301,7 +326,19 @@ def openflamingo_forward(
                     lambda x: jax.lax.dynamic_index_in_dim(x, g, 0, keepdims=False),
                     params["xattn"],
                 )
-                return flamingo_xattn_block(cfg, xp, hh, media_latents, xmask, gate)
+                kv_g = (
+                    jax.tree.map(
+                        lambda x: jax.lax.dynamic_index_in_dim(
+                            x, g, 0, keepdims=False
+                        ),
+                        xattn_kv,
+                    )
+                    if xattn_kv is not None
+                    else None
+                )
+                return flamingo_xattn_block(
+                    cfg, xp, hh, media_latents, xmask, gate, kv_pre=kv_g
+                )
 
             # flamingo: xattn BEFORE the block that closes each group
             h = jax.lax.cond(li % every == every - 1, do_xattn, lambda hh: hh, h)
@@ -414,15 +451,17 @@ def make_openflamingo_forward_fns(
             * pv
         )
         step_onehot = last_image_onehot(prompt_ids, cfg.image_token_id, n_img) * pv
+        xattn_kv = precompute_xattn_kv(cfg, model_params, latents)
 
         def forward_fn(input_ids, attention_mask, positions, cache):
             b = input_ids.shape[0]
             if cache is None:
                 cache = init_kv_cache(cfg.text, b, max_len)
-                onehot, lat = prefill_onehot, latents
+                onehot, lat, xkv = prefill_onehot, latents, xattn_kv
             else:
                 rep = b // latents.shape[0]
                 lat = jnp.repeat(latents, rep, axis=0)
+                xkv = jax.tree.map(lambda x: jnp.repeat(x, rep, axis=1), xattn_kv)
                 so = jnp.repeat(step_onehot, rep, axis=0)
                 onehot = jnp.broadcast_to(so, (b, input_ids.shape[1], so.shape[-1]))
             return openflamingo_forward(
@@ -435,6 +474,7 @@ def make_openflamingo_forward_fns(
                 icv_scaled=icv_scaled,
                 cache=cache,
                 positions=positions,
+                xattn_kv=xkv,
             )
 
         return forward_fn

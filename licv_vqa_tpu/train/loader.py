@@ -65,19 +65,49 @@ class DataLoader:
             items = [self.dataset[i] for i in batch_idx]
             return self.collate_fn(items)
 
-        def producer():
-            try:
-                from concurrent.futures import ThreadPoolExecutor
+        def put(item) -> bool:
+            # never block forever: the consumer may have gone away mid-epoch
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
-                with ThreadPoolExecutor(self.num_workers) as pool:
-                    for fut in [pool.submit(make, b) for b in batches]:
-                        if stop.is_set():
-                            return
-                        out_q.put(fut.result())
+        def producer():
+            # Submission runs in a BOUNDED window: at most num_workers +
+            # prefetch futures outstanding, the next submitted only after a
+            # result is consumed.  Submitting the whole epoch upfront lets
+            # completed-but-unconsumed collated batches (each ~40MB+ with
+            # 33-image teacher views) pile up without bound whenever the TPU
+            # step is slower than the decode threads — host OOM.
+            from collections import deque
+            from concurrent.futures import ThreadPoolExecutor
+
+            window = self.num_workers + max(self.prefetch, 1)
+            pool = ThreadPoolExecutor(self.num_workers)
+            pending: "deque" = deque()
+            try:
+                it = iter(batches)
+                for b in it:
+                    pending.append(pool.submit(make, b))
+                    if len(pending) < window:
+                        continue
+                    if not put(pending.popleft().result()):
+                        return
+                while pending:
+                    if not put(pending.popleft().result()):
+                        return
             except Exception as e:  # surface worker errors to the consumer
-                out_q.put(e)
+                put(e)
             finally:
-                out_q.put(None)
+                # early exit (limit_train_batches, preemption, error): drop
+                # everything not yet running instead of decoding the epoch out
+                for f in pending:
+                    f.cancel()
+                pool.shutdown(wait=False, cancel_futures=True)
+                put(None)  # stop-aware: returns once delivered or consumer left
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -91,3 +121,9 @@ class DataLoader:
                 yield item
         finally:
             stop.set()
+            # unblock a producer stuck in put() and let it run its cleanup
+            while not out_q.empty():
+                try:
+                    out_q.get_nowait()
+                except queue.Empty:
+                    break

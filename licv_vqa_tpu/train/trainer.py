@@ -26,6 +26,7 @@ from ..icv.module import (
     ICVModuleConfig,
     TrainState,
     init_train_state,
+    make_lr_schedules,
     make_optimizer,
     make_train_step,
 )
@@ -119,8 +120,21 @@ class Trainer:
         self.mesh = mesh
         self.repl = NamedSharding(mesh, P())
         self.batch_shard = NamedSharding(mesh, P(AXIS_DP))
-        # frozen weights: replicated under dp; (future) tp rules hook in here
-        self.model_params = jax.device_put(model_params, self.repl)
+        # frozen weights: replicated under plain dp; Megatron column/row
+        # tp-sharded under strategy=dp_tp (parallel/sharding.py rules) — the
+        # 32-layer 9B flagship exceeds one v5e's HBM in bf16, so tp is a
+        # load-bearing capability, not an option.
+        if trainer_cfg.strategy == "dp_tp" and mesh.shape.get(AXIS_TP, 1) > 1:
+            from ..parallel.sharding import param_specs
+
+            shardings = jax.tree.map(
+                lambda s: NamedSharding(mesh, s),
+                param_specs(model_params),
+                is_leaf=lambda x: isinstance(x, P),
+            )
+            self.model_params = jax.device_put(model_params, shardings)
+        else:
+            self.model_params = jax.device_put(model_params, self.repl)
 
     # ------------------------------------------------------------------
     def fit(
@@ -165,6 +179,7 @@ class Trainer:
                 self.module_cfg,
                 optimizer,
                 self.pad_token_id,
+                lr_schedules=make_lr_schedules(self.module_cfg, total_steps),
             ),
             donate_argnums=(0,),
         )
@@ -229,8 +244,11 @@ class Trainer:
                 if (
                     cfg.checkpoint_every_n_steps > 0
                     and micro_step % cfg.checkpoint_every_n_steps == 0
-                    and is_main_process()
                 ):
+                    # Orbax saves are COLLECTIVE: every host must call save
+                    # (the manager coordinates who writes), matching restore
+                    # above and the preemption save — a rank gate here would
+                    # desynchronize hosts after resume on non-shared storage.
                     ckpt.save(micro_step, state)
         if profiler_ctx is not None:
             profiler_ctx.__exit__(None, None, None)

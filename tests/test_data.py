@@ -314,3 +314,46 @@ def test_image_cache_thread_safety(tmp_path):
         shapes = list(pool.map(work, range(8)))
     assert all(s == (16, 16, 3) for s in shapes)
     assert len(tr._cache) <= 3
+
+
+def test_loader_bounded_window_and_early_exit_cancel():
+    """The prefetch DataLoader must (a) never have more than
+    num_workers+prefetch collated batches in flight (host-OOM guard with
+    ~40MB teacher-view batches) and (b) cancel undone work on early exit
+    instead of decoding out the epoch (ADVICE r1)."""
+    import threading
+    import time
+
+    from licv_vqa_tpu.train.loader import DataLoader
+
+    calls = []
+    lock = threading.Lock()
+
+    class CountingDataset:
+        def __len__(self):
+            return 200
+
+        def __getitem__(self, i):
+            with lock:
+                calls.append(i)
+            return i
+
+    loader = DataLoader(
+        CountingDataset(),
+        batch_size=4,
+        collate_fn=lambda items: list(items),
+        shuffle=False,
+        num_workers=2,
+        prefetch=2,
+    )
+    it = iter(loader)
+    got = [next(it) for _ in range(3)]
+    assert got == [[0, 1, 2, 3], [4, 5, 6, 7], [8, 9, 10, 11]]
+    it.close()  # early exit after 3 of 50 batches
+    time.sleep(0.5)  # let the producer thread run its cancel path
+    n_after_close = len(calls)
+    # window = num_workers + prefetch = 4 outstanding + 3 consumed + queue
+    # slack; the 200-item epoch must NOT have been decoded out
+    assert n_after_close <= 60, n_after_close
+    time.sleep(0.5)
+    assert len(calls) == n_after_close  # production actually stopped

@@ -19,14 +19,22 @@ PAD = 0
 V, D, LAYERS = 64, 32, 3
 
 
-def _setup(hard_loss_weight=0.0, accum=1, learnable_t=False, warm_steps=2):
+def _setup(
+    hard_loss_weight=0.0,
+    accum=1,
+    learnable_t=False,
+    warm_steps=2,
+    alpha_learnable=True,
+    lr_schedules=None,
+):
     cfg = DecoderConfig(
         vocab_size=V, d_model=D, n_layers=LAYERS, n_heads=4, n_kv_heads=4,
         d_ff=64, dtype=jnp.float32,
     )
     params = init_decoder_params(jax.random.PRNGKey(0), cfg)
     encoder = GlobalICVEncoder(
-        lmm_hidden_dim=D, lmm_layers=LAYERS, alpha_init_value=0.1, use_sigmoid=False
+        lmm_hidden_dim=D, lmm_layers=LAYERS, alpha_init_value=0.1,
+        use_sigmoid=False, alpha_learnable=alpha_learnable,
     )
     mcfg = ICVModuleConfig(
         hard_loss_weight=hard_loss_weight,
@@ -46,7 +54,9 @@ def _setup(hard_loss_weight=0.0, accum=1, learnable_t=False, warm_steps=2):
         )
         return logits
 
-    step = jax.jit(make_train_step(forward_fn, encoder, mcfg, tx, PAD))
+    step = jax.jit(
+        make_train_step(forward_fn, encoder, mcfg, tx, PAD, lr_schedules)
+    )
     return cfg, params, encoder, mcfg, state, step
 
 
@@ -178,3 +188,70 @@ def _fwd_logits(cfg, model_params, inputs, icv_scaled):
         icv_scaled=icv_scaled,
     )
     return logits
+
+
+def test_alpha_frozen_when_not_learnable():
+    """alpha_learnable=False freezes alpha exactly like the reference's
+    requires_grad gate (global_icv_encoder.py:26-29): no grad updates AND no
+    weight decay, while icv keeps training."""
+    cfg, params, encoder, mcfg, state, step = _setup(alpha_learnable=False)
+    rng = np.random.default_rng(7)
+    icv0 = np.asarray(state.params["encoder"]["icv"]).copy()
+    for _ in range(5):
+        state, _ = step(state, params, _batch(rng))
+    np.testing.assert_array_equal(
+        np.asarray(state.params["encoder"]["alpha"]), np.full(LAYERS, 0.1, np.float32)
+    )
+    assert not np.array_equal(np.asarray(state.params["encoder"]["icv"]), icv0)
+
+
+def test_lr_logged_per_group():
+    """Current LR appears in step metrics (reference LearningRateMonitor,
+    train.py:55-58), following the cosine-with-warmup curve."""
+    from licv_vqa_tpu.icv.module import make_lr_schedules
+
+    mcfg_probe = ICVModuleConfig(icv_lr=5e-2, alpha_lr=1e-1, warm_steps=10)
+    schedules = make_lr_schedules(mcfg_probe, total_steps=100)
+    cfg, params, encoder, mcfg, state, step = _setup(
+        warm_steps=10, lr_schedules=schedules
+    )
+    rng = np.random.default_rng(8)
+    for i in range(3):
+        state, metrics = step(state, params, _batch(rng))
+        assert float(metrics["lr-icv"]) == pytest.approx(
+            float(schedules["icv"](i)), rel=1e-6
+        )
+        assert float(metrics["lr-alpha"]) == pytest.approx(
+            float(schedules["alpha"](i)), rel=1e-6
+        )
+    # warmup really ramps
+    assert float(schedules["icv"](1)) < float(schedules["icv"](9))
+
+
+def test_temperature_decay_counts_optimizer_steps_under_accumulation():
+    """With gradient accumulation, decay_per_step counts OPTIMIZER steps (the
+    reference's global_step), not micro-batches — and fires once per
+    boundary, not once per micro-batch."""
+    import dataclasses
+
+    cfg, params, encoder, mcfg, state, step = _setup(warm_steps=0)
+    mcfg2 = dataclasses.replace(
+        mcfg, decay_ratio=0.5, decay_per_step=2, min_temperature=0.1,
+        init_temperature=1.0, accumulate_grad_batches=2,
+    )
+    tx = make_optimizer(mcfg2, total_steps=100)
+    state = init_train_state(jax.random.PRNGKey(1), encoder, mcfg2, tx)
+    step2 = jax.jit(
+        make_train_step(
+            lambda p, i, icv: _fwd_logits(cfg, p, i, icv), encoder, mcfg2, tx, PAD
+        )
+    )
+    rng = np.random.default_rng(9)
+    temps = []
+    for _ in range(12):  # 12 micro-batches = 6 optimizer steps
+        state, metrics = step2(state, params, _batch(rng))
+        temps.append(round(float(metrics["temperature"]), 4))
+    # optimizer steps 0..5; decay at opt steps 2 and 4 (checked BEFORE the
+    # micro-step increments, on the first micro-batch of the boundary):
+    # micro 0-3 → T=1.0; micro 4 (opt step 2) → 0.5; micro 8 (opt step 4) → 0.25
+    assert temps == [1.0] * 4 + [0.5] * 4 + [0.25] * 4, temps
