@@ -128,12 +128,36 @@ def run(n_layers: int, quantize: bool = False) -> dict:
     dt = (time.perf_counter() - t0) / reps
     tok_per_sec = BS * MAX_NEW / dt
     variant = "int8w" if quantize else "bf16"
+
+    # Roofline: greedy decode is HBM-bandwidth bound — every decoder/xattn
+    # weight byte is read once per STEP (amortized over the batch), plus the
+    # KV cache.  v5e: 819 GB/s HBM.  (VERDICT r1: report the gap to
+    # weight-bandwidth theory alongside tokens/s.)
+    def leaf_bytes(x):
+        if isinstance(x, dict) and "q" in x and "s" in x:
+            return x["q"].size + x["s"].size * x["s"].dtype.itemsize
+        return x.size * x.dtype.itemsize
+
+    from licv_vqa_tpu.ops.quantize import is_quantized_leaf
+
+    stream_bytes = sum(
+        leaf_bytes(l)
+        for key in ("layers", "xattn", "final_norm", "lm_head")
+        for l in jax.tree.leaves(params[key], is_leaf=is_quantized_leaf)
+    )
+    cache_len = PROMPT_LEN + MAX_NEW + 1
+    kv_bytes = n_layers * BS * cache_len * 32 * 128 * 2 * 2  # k+v bf16
+    hbm_gbps = 819.0
+    ceiling = BS * hbm_gbps * 1e9 / (stream_bytes + kv_bytes)
     return {
         "metric": f"icv_steered_greedy_decode_tokens_per_sec_per_chip"
         f"_idefics{n_layers}L4096d_{variant}_bs{BS}",
         "value": round(tok_per_sec, 2),
         "unit": "tokens/s/chip",
         "vs_baseline": round(tok_per_sec / BASELINE_TOKENS_PER_SEC, 2),
+        "roofline_tokens_per_sec": round(ceiling, 1),
+        "pct_of_hbm_roofline": round(100.0 * tok_per_sec / ceiling, 1),
+        "weight_stream_gb_per_step": round((stream_bytes + kv_bytes) / 1e9, 3),
     }
 
 

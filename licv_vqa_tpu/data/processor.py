@@ -70,12 +70,33 @@ class ImageTransform:
     """Resize (bicubic) + rescale + normalize → (H, W, 3) float32.
 
     ``ImageRef`` inputs go through an LRU decode+resize cache (uint8, so a
-    4096-entry cache of 224² images is ~600MB)."""
+    4096-entry cache of 224² images is ~600MB).
+
+    ``variable_resolution`` (Idefics2/NaViT): instead of a fixed square,
+    aspect-preserving resize with the HF Idefics2ImageProcessor rule —
+    downscale so the longest edge ≤ ``max_edge``, then clamp both dims to
+    ≥ ``min_edge``; the batch is padded (+ pixel_attention_mask) in
+    ``PromptProcessor.prepare_input``."""
 
     image_size: int = 224
     mean: tuple = CLIP_MEAN
     std: tuple = CLIP_STD
     cache_entries: int = 4096
+    variable_resolution: bool = False
+    min_edge: int = 378
+    max_edge: int = 980
+
+    def target_size(self, width: int, height: int) -> tuple[int, int]:
+        """(W, H) after the HF idefics2 resize rule (image_processing_idefics2
+        get_resize_output_image_size semantics)."""
+        aspect = width / height
+        if width >= height and width > self.max_edge:
+            width = self.max_edge
+            height = int(width / aspect)
+        elif height > width and height > self.max_edge:
+            height = self.max_edge
+            width = int(height * aspect)
+        return max(width, self.min_edge), max(height, self.min_edge)
 
     def __post_init__(self):
         self._mean32 = np.asarray(self.mean, np.float32)
@@ -101,6 +122,16 @@ class ImageTransform:
             batch.astype(np.float32) * np.float32(1.0 / 255.0) - self._mean32
         ) * self._std_inv32
 
+    def _resize_pil(self, img) -> np.ndarray:
+        from PIL import Image as PILImage
+
+        img = img.convert("RGB")
+        if self.variable_resolution:
+            img = img.resize(self.target_size(*img.size), PILImage.BICUBIC)
+        else:
+            img = img.resize((self.image_size, self.image_size), PILImage.BICUBIC)
+        return np.asarray(img, np.uint8)
+
     def _decode_resized(self, path: str) -> np.ndarray:
         with self._lock:
             hit = self._cache.get(path)
@@ -110,10 +141,7 @@ class ImageTransform:
         from PIL import Image as PILImage
 
         # decode OUTSIDE the lock (PIL releases the GIL for the heavy parts)
-        img = PILImage.open(path).convert("RGB").resize(
-            (self.image_size, self.image_size), PILImage.BICUBIC
-        )
-        arr = np.asarray(img, np.uint8)
+        arr = self._resize_pil(PILImage.open(path))
         with self._lock:
             self._cache[path] = arr
             if len(self._cache) > self.cache_entries:
@@ -127,17 +155,18 @@ class ImageTransform:
             return self._decode_resized(image)
         if isinstance(image, np.ndarray):
             a = image
-            if a.shape[:2] != (self.image_size, self.image_size):
+            if self.variable_resolution:
+                w, h = a.shape[1], a.shape[0]
+                if (w, h) != self.target_size(w, h):
+                    a = self._resize_np(a)
+            elif a.shape[:2] != (self.image_size, self.image_size):
                 a = self._resize_np(a)
-            return a
+            return a.astype(np.uint8, copy=False)
         try:  # PIL image
             from PIL import Image as PILImage
 
             if isinstance(image, PILImage.Image):
-                img = image.convert("RGB").resize(
-                    (self.image_size, self.image_size), PILImage.BICUBIC
-                )
-                return np.asarray(img, dtype=np.uint8)
+                return self._resize_pil(image)
         except ImportError:
             pass
         raise TypeError(f"unsupported image type: {type(image)}")
@@ -145,9 +174,7 @@ class ImageTransform:
     def _resize_np(self, a: np.ndarray) -> np.ndarray:
         from PIL import Image as PILImage
 
-        img = PILImage.fromarray(a.astype(np.uint8))
-        img = img.resize((self.image_size, self.image_size), PILImage.BICUBIC)
-        return np.asarray(img, dtype=np.uint8)
+        return self._resize_pil(PILImage.fromarray(a.astype(np.uint8)))
 
 
 def _is_image(x: Any) -> bool:
@@ -305,13 +332,10 @@ class PromptProcessor:
         max_len = min(bucket_length(max_len, self.pad_to_multiple), self.max_length)
         n_img = max((len(imgs) for _, imgs in encoded), default=0)
         n_img = max(n_img, 1)
-        hw = self.image_transform.image_size
 
         input_ids = np.full((b, max_len), pad_id, np.int32)
         attn = np.zeros((b, max_len), np.int32)
-        pixels_u8 = np.zeros((b, n_img, hw, hw, 3), np.uint8)
-        img_valid = np.zeros((b, n_img), bool)
-        for i, (ids, imgs) in enumerate(encoded):
+        for i, (ids, _) in enumerate(encoded):
             ids = ids[:max_len]
             if side == "right":
                 input_ids[i, : len(ids)] = ids
@@ -319,15 +343,43 @@ class PromptProcessor:
             else:
                 input_ids[i, max_len - len(ids) :] = ids
                 attn[i, max_len - len(ids) :] = 1
+
+        out = {"input_ids": input_ids, "attention_mask": attn}
+        variable = self.image_transform.variable_resolution
+        if variable:
+            # NaViT: pad to the batch max H/W, ROUNDED UP to a coarse bucket
+            # (8-patch multiples) so a whole eval reuses a handful of XLA
+            # compilations; pixel_attention_mask marks real pixels.
+            bucket = 8 * 14
+            max_h = max(
+                (im.shape[0] for _, imgs in encoded for im in imgs), default=bucket
+            )
+            max_w = max(
+                (im.shape[1] for _, imgs in encoded for im in imgs), default=bucket
+            )
+            hh, ww = _round_up(max_h, bucket), _round_up(max_w, bucket)
+        else:
+            hh = ww = self.image_transform.image_size
+        pixels_u8 = np.zeros((b, n_img, hh, ww, 3), np.uint8)
+        img_valid = np.zeros((b, n_img), bool)
+        # padding images keep an all-ones mask: an all-masked ViT row would
+        # attend uniformly to garbage; their latents are gated by pixel_valid
+        pmask = np.ones((b, n_img, hh, ww), np.uint8) if variable else None
+        for i, (_, imgs) in enumerate(encoded):
             for j, img in enumerate(imgs):
-                pixels_u8[i, j] = img
+                if variable:
+                    ih, iw = img.shape[:2]
+                    pixels_u8[i, j, :ih, :iw] = img
+                    pmask[i, j] = 0
+                    pmask[i, j, :ih, :iw] = 1
+                else:
+                    pixels_u8[i, j] = img
                 img_valid[i, j] = True
-        return {
-            "input_ids": input_ids,
-            "attention_mask": attn,
-            # RAW uint8: normalization runs ON DEVICE in the model bundles
-            # (XLA fuses it into the patch-embed matmul; host normalize was
-            # the pipeline's hottest op and quadrupled transfer bytes)
-            "pixel_values": pixels_u8,
-            "pixel_valid": img_valid,
-        }
+        # RAW uint8: normalization runs ON DEVICE in the model bundles
+        # (XLA fuses it into the patch-embed matmul; host normalize was
+        # the pipeline's hottest op and quadrupled transfer bytes)
+        out["pixel_values"] = pixels_u8
+        out["pixel_valid"] = img_valid
+        if variable:
+            out["pixel_attention_mask"] = pmask
+        return out

@@ -59,10 +59,18 @@ def make_generate_fn(bundle, generate_kwargs: dict) -> Callable:
 
             draft = build_draft_decode(bundle, draft_layers)
 
-    def gen(params, input_ids, attention_mask, pixels, pixel_valid, icv_scaled):
+    def gen(
+        params, input_ids, attention_mask, pixels, pixel_valid, icv_scaled,
+        pixel_attention_mask=None,
+    ):
+        bind_kw = (
+            {"pixel_attention_mask": pixel_attention_mask}
+            if pixel_attention_mask is not None
+            else {}
+        )
         fwd = bundle.bind_decode(
             params, pixels, pixel_valid, input_ids, icv_scaled,
-            input_ids.shape[1] + max_new + 1,
+            input_ids.shape[1] + max_new + 1, **bind_kw,
         )
         if draft is not None:
             from .speculative import speculative_greedy_generate
@@ -77,7 +85,7 @@ def make_generate_fn(bundle, generate_kwargs: dict) -> Callable:
             )
             dfwd = draft_bind(
                 draft_params, pixels, pixel_valid, input_ids, draft_icv,
-                input_ids.shape[1] + max_new + 1,
+                input_ids.shape[1] + max_new + 1, **bind_kw,
             )
             return speculative_greedy_generate(
                 fwd, dfwd, input_ids, attention_mask,
@@ -119,6 +127,9 @@ def generate_answers(
     (reference: inference.py:300-321)."""
     proc = bundle.processor
     enc = proc.prepare_input(prompts, padding=True, padding_side="left")
+    extra = ()
+    if "pixel_attention_mask" in enc:  # NaViT variable resolution
+        extra = (jnp.asarray(enc["pixel_attention_mask"]),)
     out = gen_fn(
         bundle.params,
         jnp.asarray(enc["input_ids"]),
@@ -126,6 +137,7 @@ def generate_answers(
         jnp.asarray(enc["pixel_values"]),
         jnp.asarray(enc["pixel_valid"]),
         icv_scaled,
+        *extra,
     )
     out = np.asarray(out)
     prompt_len = enc["input_ids"].shape[1]

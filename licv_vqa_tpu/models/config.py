@@ -92,6 +92,9 @@ class PerceiverConfig:
     d_ff: int = 16384
     norm_eps: float = 1e-6
     concat_kv_latents: bool = True  # idefics concatenates latents to keys/values
+    # HF IdeficsPerceiverResampler MLP uses ReLU; open_flamingo's
+    # PerceiverResampler FeedForward uses GELU.
+    activation: str = "relu"  # "relu" | "gelu"
     dtype: jnp.dtype = jnp.bfloat16
 
 

@@ -367,6 +367,161 @@ def convert_mpt(sd: Mapping, cfg: DecoderConfig, prefix: str = "transformer.", d
     return _cast_tree(params, dtype)
 
 
+def convert_openclip_vision(sd: Mapping, cfg: VisionConfig, prefix: str = "visual.") -> dict:
+    """open_clip ``VisionTransformer`` (CLIP ViT-L/14, OpenFlamingo's frozen
+    tower — reference: utils.py:51-67 loads it via open_clip) → our vision
+    params.  open_clip fuses q/k/v into ``attn.in_proj_weight`` (3D, D)."""
+    n = cfg.n_layers
+    d = cfg.d_model
+    lp = prefix + "transformer.resblocks.{i}."
+    conv = _np(sd[prefix + "conv1.weight"])  # (D, 3, P, P), no bias
+    in_w = _stack(sd, lp + "attn.in_proj_weight", n)  # (L, 3D, D)
+    in_b = _stack(sd, lp + "attn.in_proj_bias", n)  # (L, 3D)
+    return {
+        "patch_embed": conv.transpose(2, 3, 1, 0).reshape(-1, conv.shape[0]),
+        "class_embed": _np(sd[prefix + "class_embedding"]).reshape(-1),
+        "pos_embed": _np(sd[prefix + "positional_embedding"]),
+        "pre_ln": _ln(sd, prefix + "ln_pre."),
+        "post_ln": _ln(sd, prefix + "ln_post."),
+        "layers": {
+            "ln1": {
+                "w": _stack(sd, lp + "ln_1.weight", n),
+                "b": _stack(sd, lp + "ln_1.bias", n),
+            },
+            "ln2": {
+                "w": _stack(sd, lp + "ln_2.weight", n),
+                "b": _stack(sd, lp + "ln_2.bias", n),
+            },
+            "attn": {
+                "wq": in_w[:, :d, :].transpose(0, 2, 1),
+                "bq": in_b[:, :d],
+                "wk": in_w[:, d : 2 * d, :].transpose(0, 2, 1),
+                "bk": in_b[:, d : 2 * d],
+                "wv": in_w[:, 2 * d :, :].transpose(0, 2, 1),
+                "bv": in_b[:, 2 * d :],
+                "wo": _stack(sd, lp + "attn.out_proj.weight", n, True),
+                "bo": _stack(sd, lp + "attn.out_proj.bias", n),
+            },
+            "mlp": {
+                "w1": _stack(sd, lp + "mlp.c_fc.weight", n, True),
+                "b1": _stack(sd, lp + "mlp.c_fc.bias", n),
+                "w2": _stack(sd, lp + "mlp.c_proj.weight", n, True),
+                "b2": _stack(sd, lp + "mlp.c_proj.bias", n),
+            },
+        },
+    }
+
+
+def convert_flamingo_perceiver(sd: Mapping, n_layers: int, prefix: str = "perceiver.") -> dict:
+    """open_flamingo ``PerceiverResampler`` naming → our perceiver params.
+    Blocks are ``layers.{i}.0`` (PerceiverAttention: norm_media/norm_latents,
+    fused to_kv) and ``layers.{i}.1`` (FeedForward: LN, Linear, GELU, Linear,
+    all bias-free linears)."""
+    n = n_layers
+    ap = prefix + "layers.{i}.0."
+    fp = prefix + "layers.{i}.1."
+    to_kv = _stack(sd, ap + "to_kv.weight", n, True)  # (L, De, 2·inner)
+    inner = to_kv.shape[-1] // 2
+    return {
+        "latents": _np(sd[prefix + "latents"]),
+        "blocks": {
+            "ctx_ln": {
+                "w": _stack(sd, ap + "norm_media.weight", n),
+                "b": _stack(sd, ap + "norm_media.bias", n),
+            },
+            "lat_ln": {
+                "w": _stack(sd, ap + "norm_latents.weight", n),
+                "b": _stack(sd, ap + "norm_latents.bias", n),
+            },
+            "wq": _stack(sd, ap + "to_q.weight", n, True),
+            "wk": to_kv[:, :, :inner],  # chunk(2, dim=-1) order: k first
+            "wv": to_kv[:, :, inner:],
+            "wo": _stack(sd, ap + "to_out.weight", n, True),
+            "mlp_ln": {
+                "w": _stack(sd, fp + "0.weight", n),
+                "b": _stack(sd, fp + "0.bias", n),
+            },
+            "fc": _stack(sd, fp + "1.weight", n, True),
+            "c_proj": _stack(sd, fp + "3.weight", n, True),
+        },
+        "final_ln": _ln(sd, prefix + "norm."),
+    }
+
+
+def convert_flamingo_xattn(sd: Mapping, n_xattn: int, prefix: str = "lang_encoder.gated_cross_attn_layers.") -> dict:
+    """open_flamingo ``GatedCrossAttentionBlock`` naming → our xattn stack
+    (see init_flamingo_xattn_params in openflamingo.py)."""
+    n = n_xattn
+    xp = prefix + "{i}."
+    return {
+        "ln_attn": {
+            "w": _stack(sd, xp + "attn.norm.weight", n),
+            "b": _stack(sd, xp + "attn.norm.bias", n),
+        },
+        "wq": _stack(sd, xp + "attn.to_q.weight", n, True),
+        # fused to_kv stays fused: our block reshapes (…, 2, nh, dh) with k
+        # first, matching torch's chunk(2, dim=-1)
+        "wkv": _stack(sd, xp + "attn.to_kv.weight", n, True),
+        "wo": _stack(sd, xp + "attn.to_out.weight", n, True),
+        "attn_gate": np.stack(
+            [_np(sd[xp.format(i=i) + "attn_gate"]).reshape(-1)[0] for i in range(n)]
+        ),
+        "ln_ff": {
+            "w": _stack(sd, xp + "ff.0.weight", n),
+            "b": _stack(sd, xp + "ff.0.bias", n),
+        },
+        "ff_up": _stack(sd, xp + "ff.1.weight", n, True),
+        "ff_down": _stack(sd, xp + "ff.3.weight", n, True),
+        "ff_gate": np.stack(
+            [_np(sd[xp.format(i=i) + "ff_gate"]).reshape(-1)[0] for i in range(n)]
+        ),
+    }
+
+
+def convert_openflamingo_checkpoint(sd: Mapping, cfg, params: dict, dtype=None) -> dict:
+    """Merge an open_flamingo ``checkpoint.pt`` state dict into ``params``.
+
+    The released OpenFlamingo checkpoints (reference: utils.py:51-67,
+    ``flamingo_checkpoint_dir``) carry ONLY the trained deltas — the
+    perceiver, the gated cross-attn layers, and the resized input embedding
+    (``lang_encoder.transformer.wte.weight``).  The MPT base and the CLIP
+    ViT-L tower load separately.  Keys may be ``module.``-prefixed (DDP).
+    ``cfg`` is an ``OpenFlamingoConfig``; ``params`` an existing pytree
+    (random or MPT-initialized).  Returns ``(new_params, updated_keys)``.
+    """
+    t = cfg.text
+    dtype = dtype or t.dtype
+    sd = {k[len("module."):] if k.startswith("module.") else k: v for k, v in sd.items()}
+    out = dict(params)
+    updated = []
+    if "perceiver.latents" in sd:
+        out["perceiver"] = _cast_tree(
+            convert_flamingo_perceiver(sd, cfg.perceiver.n_layers), dtype
+        )
+        updated.append("perceiver")
+    n_xattn = t.n_layers // cfg.cross_attn_every_n_layers
+    if "lang_encoder.gated_cross_attn_layers.0.attn_gate" in sd:
+        out["xattn"] = _cast_tree(convert_flamingo_xattn(sd, n_xattn), dtype)
+        updated.append("xattn")
+    if "lang_encoder.transformer.wte.weight" in sd:
+        # embeddings resized for <image>/<|endofchunk|>; MPT ties the head
+        out["embed"] = _cast_tree(_np(sd["lang_encoder.transformer.wte.weight"]), dtype)
+        updated.append("embed")
+    if "lang_encoder.transformer.blocks.0.attn.Wqkv.weight" in sd:
+        # full-model dump: the MPT base rides along
+        mpt = convert_mpt(sd, t, prefix="lang_encoder.transformer.", dtype=dtype)
+        out["layers"], out["final_norm"] = mpt["layers"], mpt["final_norm"]
+        if "embed" not in updated:
+            out["embed"] = mpt["embed"]
+        updated.append("layers")
+    if "vision_encoder.visual.conv1.weight" in sd:
+        out["vision"] = _cast_tree(
+            convert_openclip_vision(sd, cfg.vision, "vision_encoder.visual."), dtype
+        )
+        updated.append("vision")
+    return out, updated
+
+
 def hf_state_dict(model) -> dict:
     """Grab a torch module's state dict as plain numpy arrays."""
     return {k: _np(v) for k, v in model.state_dict().items()}

@@ -16,7 +16,10 @@ checkpoints are numerically comparable:
 - each text token cross-attends ONLY to the most recent preceding image
   (one-hot mask computed from ``<image>`` token positions), output gated by
   ``tanh(alpha)`` and zeroed for tokens with no preceding image;
-- optional per-head-dim RMSNorm on q/k after RoPE (``qk_layer_norms``).
+- optional per-head-dim RMSNorm on q/k (``qk_layer_norms``) — in the gated
+  CROSS-attention only: HF's decoder self-attention never receives the flag,
+  and the real Idefics-9B checkpoint carries no self-attn q/k norms
+  (verified at full scale by tools/fullscale_convert_check.py).
 """
 
 from __future__ import annotations
@@ -66,7 +69,6 @@ class IdeficsConfig:
                 n_heads=32,
                 n_kv_heads=32,
                 d_ff=11008,
-                qk_layernorm=True,
                 injection_site=BLOCK_OUTPUT,
                 dtype=dtype,
             ),
@@ -107,7 +109,6 @@ class IdeficsConfig:
                 n_heads=4,
                 n_kv_heads=4,
                 d_ff=128,
-                qk_layernorm=True,
                 dtype=dtype,
             ),
             vision=VisionConfig(
@@ -181,10 +182,12 @@ def init_xattn_params(key, cfg: IdeficsConfig, n_xattn: int) -> dict:
 def init_idefics_params(key, cfg: IdeficsConfig) -> dict:
     t = cfg.text
     ks = jax.random.split(key, 6)
+    # NOTE: cfg.qk_layer_norms applies ONLY to the gated cross-attention
+    # blocks (HF IdeficsDecoderLayer never passes it to its self-attention);
+    # the real Idefics-9B checkpoint has no self_attn q/k layernorms —
+    # verified against the full-scale meta state dict
+    # (tools/fullscale_convert_check.py).
     layers = init_layer_params(ks[0], t, t.n_layers)
-    if cfg.qk_layer_norms:
-        layers["attn"]["q_norm"] = jnp.ones((t.n_layers, t.head_dim), t.dtype)
-        layers["attn"]["k_norm"] = jnp.ones((t.n_layers, t.head_dim), t.dtype)
     n_xattn = t.n_layers // cfg.cross_layer_interval
     return {
         "embed": L.dense_init(ks[1], (t.vocab_size, t.d_model), t.dtype),

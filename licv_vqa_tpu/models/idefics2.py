@@ -75,7 +75,10 @@ class Idefics2Config:
                 dtype=dtype,
             ),
             vision=VisionConfig(
-                image_size=378,
+                # 980 = the POSITION-TABLE reference size (70×70 buckets);
+                # actual inputs are variable-resolution (longest edge ≤ 980,
+                # shortest ≥ 378 — HF Idefics2ImageProcessor defaults)
+                image_size=980,
                 patch_size=14,
                 d_model=1152,
                 n_layers=27,
@@ -185,7 +188,7 @@ def init_idefics2_params(key, cfg: Idefics2Config) -> dict:
 # ---------------------------------------------------------------------------
 
 
-def _perceiver_layer(cfg: Idefics2PerceiverCfg, p, latents, context):
+def _perceiver_layer(cfg: Idefics2PerceiverCfg, p, latents, context, kv_mask=None):
     b, nl, d = latents.shape
     nh, nkv, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
     lat = L.rms_norm(p["lat_norm"], latents, cfg.norm_eps)
@@ -196,7 +199,7 @@ def _perceiver_layer(cfg: Idefics2PerceiverCfg, p, latents, context):
     v = jnp.dot(kv_in, p["wv"]).reshape(b, -1, nkv, hd)
     k = L.repeat_kv(k, nh // nkv)
     v = L.repeat_kv(v, nh // nkv)
-    attn = L.dot_product_attention(q, k, v)
+    attn = L.dot_product_attention(q, k, v, mask=kv_mask)
     latents = latents + jnp.dot(attn.reshape(b, nl, nh * hd), p["wo"]).astype(
         latents.dtype
     )
@@ -204,20 +207,50 @@ def _perceiver_layer(cfg: Idefics2PerceiverCfg, p, latents, context):
     return latents + L.swiglu_mlp(p["mlp"], x)
 
 
-def encode_images2(cfg: Idefics2Config, params: dict, pixel_values: jax.Array):
-    """(B, N_img, H, W, 3) → per-image latents (B, N_img, image_seq_len, D)."""
+def patch_mask_from_pixel_mask(pixel_mask: jax.Array, patch: int) -> jax.Array:
+    """(B*, H, W) pixel validity → (B*, gh, gw) patch validity: a patch is
+    valid iff ALL its pixels are (HF Idefics2Model.get_image_features)."""
+    b = pixel_mask.shape[0]
+    gh, gw = pixel_mask.shape[1] // patch, pixel_mask.shape[2] // patch
+    sub = pixel_mask.reshape(b, gh, patch, gw, patch).astype(jnp.int32)
+    return sub.sum(axis=(2, 4)) == patch * patch
+
+
+def encode_images2(
+    cfg: Idefics2Config,
+    params: dict,
+    pixel_values: jax.Array,
+    pixel_attention_mask: Optional[jax.Array] = None,  # (B, N_img, H, W)
+):
+    """(B, N_img, H, W, 3) → per-image latents (B, N_img, image_seq_len, D).
+
+    NaViT variable resolution: images are aspect-preserving-resized and
+    batch-padded on the host; ``pixel_attention_mask`` marks real pixels.
+    Padded patches are masked out of the ViT self-attention AND the
+    perceiver's context keys (HF Idefics2 semantics)."""
     b, n_img = pixel_values.shape[:2]
     flat = pixel_values.reshape((b * n_img,) + pixel_values.shape[2:])
-    feats = vision_forward(cfg.vision, params["vision"], flat)
+    patch_mask = None
+    if pixel_attention_mask is not None:
+        pm = pixel_attention_mask.reshape(
+            (b * n_img,) + pixel_attention_mask.shape[2:]
+        )
+        patch_mask = patch_mask_from_pixel_mask(pm, cfg.vision.patch_size)
+    feats = vision_forward(cfg.vision, params["vision"], flat, patch_mask=patch_mask)
     feats = L.swiglu_mlp(params["connector"], feats)  # modality projection
     pcfg = cfg.perceiver
     latents = jnp.broadcast_to(
         params["perceiver"]["latents"][None],
         (feats.shape[0], pcfg.n_latents, pcfg.d_model),
     ).astype(feats.dtype)
+    kv_mask = None
+    if patch_mask is not None:
+        ctx_valid = patch_mask.reshape(b * n_img, -1)
+        lat_valid = jnp.ones((b * n_img, pcfg.n_latents), bool)
+        kv_mask = jnp.concatenate([ctx_valid, lat_valid], axis=1)[:, None, None, :]
 
     def body(latents, p):
-        return _perceiver_layer(pcfg, p, latents, feats), None
+        return _perceiver_layer(pcfg, p, latents, feats, kv_mask=kv_mask), None
 
     latents, _ = jax.lax.scan(body, latents, params["perceiver"]["layers"])
     latents = L.rms_norm(params["perceiver"]["final_norm"], latents, pcfg.norm_eps)
@@ -282,7 +315,12 @@ def make_idefics2_forward_fns(cfg: Idefics2Config, eos_token_id: int, params=Non
     del params  # weights are explicit args (see idefics.make_idefics_forward_fns)
 
     def train_forward(model_params, inputs, icv_scaled):
-        latents = encode_images2(cfg, model_params, inputs["pixel_values"])
+        latents = encode_images2(
+            cfg,
+            model_params,
+            inputs["pixel_values"],
+            pixel_attention_mask=inputs.get("pixel_attention_mask"),
+        )
         latents = latents * inputs["pixel_valid"][:, :, None, None].astype(
             latents.dtype
         )
@@ -298,10 +336,18 @@ def make_idefics2_forward_fns(cfg: Idefics2Config, eos_token_id: int, params=Non
         return logits
 
     def bind_images(
-        model_params, pixel_values, pixel_valid, prompt_ids, icv_scaled, max_len
+        model_params,
+        pixel_values,
+        pixel_valid,
+        prompt_ids,
+        icv_scaled,
+        max_len,
+        pixel_attention_mask=None,
     ):
         del prompt_ids
-        latents = encode_images2(cfg, model_params, pixel_values)
+        latents = encode_images2(
+            cfg, model_params, pixel_values, pixel_attention_mask=pixel_attention_mask
+        )
         latents = latents * pixel_valid[:, :, None, None].astype(latents.dtype)
 
         def forward_fn(input_ids, attention_mask, positions, cache):

@@ -167,7 +167,10 @@ def flash_attention_tpu(
     b, s, h, dh = q.shape
     scale = float(scale if scale is not None else 1.0 / np.sqrt(dh))
     seg = valid.astype(jnp.int32) + 1  # pads=1, real=2 (0 is reserved-ish)
-    blk = min(512, s)
+    # 256 is the v5e sweet spot (fits VMEM comfortably at dh=128) and keeps
+    # the Mosaic program small — 512-blocks at seq 2048 stalled the axon
+    # remote-compile path for >9 min in round 1 (TODO.md)
+    blk = min(256, s)
     sizes = BlockSizes(
         block_q=blk,
         block_k_major=blk,

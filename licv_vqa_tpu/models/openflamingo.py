@@ -99,6 +99,7 @@ class OpenFlamingoConfig:
                 head_dim=64,
                 d_model=1024,
                 d_ff=4096,
+                activation="gelu",  # open_flamingo FeedForward
                 dtype=dtype,
             ),
         )
@@ -137,6 +138,7 @@ class OpenFlamingoConfig:
                 head_dim=16,
                 d_model=32,
                 d_ff=64,
+                activation="gelu",
                 dtype=dtype,
             ),
             cross_attn_every_n_layers=2,
@@ -229,7 +231,10 @@ def flamingo_xattn_block(
     h = h + jnp.tanh(p["attn_gate"]).astype(h.dtype) * attn
 
     x2 = L.layer_norm(p["ln_ff"]["w"], p["ln_ff"]["b"], h, cfg.text.norm_eps)
-    z = jax.nn.gelu(jnp.dot(x2, p["ff_up"]).astype(jnp.float32)).astype(h.dtype)
+    # open_flamingo FeedForward uses nn.GELU() — exact erf, not tanh-approx
+    z = jax.nn.gelu(
+        jnp.dot(x2, p["ff_up"]).astype(jnp.float32), approximate=False
+    ).astype(h.dtype)
     ff = jnp.dot(z, p["ff_down"]).astype(h.dtype)
     return h + jnp.tanh(p["ff_gate"]).astype(h.dtype) * ff
 

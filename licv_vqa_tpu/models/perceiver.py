@@ -75,7 +75,13 @@ def perceiver_forward(
             latents.dtype
         )
         x = L.layer_norm(p["mlp_ln"]["w"], p["mlp_ln"]["b"], latents, cfg.norm_eps)
-        x = jax.nn.relu(jnp.dot(x, p["fc"]))
+        x = jnp.dot(x, p["fc"])
+        if cfg.activation == "gelu":  # open_flamingo FeedForward (exact erf)
+            x = jax.nn.gelu(x.astype(jnp.float32), approximate=False).astype(
+                latents.dtype
+            )
+        else:  # HF IdeficsPerceiverResampler MLP
+            x = jax.nn.relu(x)
         latents = latents + jnp.dot(x, p["c_proj"]).astype(latents.dtype)
         return latents, None
 

@@ -73,8 +73,10 @@ def _wrap_pixel_normalize(train_forward, bind_decode, mean, std):
         inputs = dict(inputs, pixel_values=norm(inputs["pixel_values"]))
         return train_forward(model_params, inputs, icv_scaled)
 
-    def bd(model_params, pixels, valid, ids, icv_scaled, max_len):
-        return bind_decode(model_params, norm(pixels), valid, ids, icv_scaled, max_len)
+    def bd(model_params, pixels, valid, ids, icv_scaled, max_len, **kw):
+        return bind_decode(
+            model_params, norm(pixels), valid, ids, icv_scaled, max_len, **kw
+        )
 
     return tf, bd
 
@@ -102,8 +104,10 @@ def _wrap_intervention(cfg, n_layers: int, train_forward, bind_decode):
     def tf(model_params, inputs, icv_scaled):
         return train_forward(model_params, inputs, expand(icv_scaled))
 
-    def bd(model_params, pixels, valid, ids, icv_scaled, max_len):
-        return bind_decode(model_params, pixels, valid, ids, expand(icv_scaled), max_len)
+    def bd(model_params, pixels, valid, ids, icv_scaled, max_len, **kw):
+        return bind_decode(
+            model_params, pixels, valid, ids, expand(icv_scaled), max_len, **kw
+        )
 
     return tf, bd, len(layers)
 
@@ -220,9 +224,18 @@ def _idefics2_bundle(cfg, model_cfg, name: str) -> ModelBundle:
         params = init_idefics2_params(jax.random.PRNGKey(0), model_cfg)
 
     tokenizer = _resolve_tokenizer(model_dir)
+    # Flagship-scale towers use NaViT variable resolution (aspect-preserving
+    # resize into [378, 980] + pixel_attention_mask — HF processor defaults,
+    # reference: utils.py:68-78); tiny/test configs keep fixed squares.
+    variable = model_cfg.vision.image_size >= 378
     processor = PromptProcessor(
         tokenizer,
-        ImageTransform(model_cfg.vision.image_size, SIGLIP_MEAN, SIGLIP_STD),
+        ImageTransform(
+            model_cfg.vision.image_size,
+            SIGLIP_MEAN,
+            SIGLIP_STD,
+            variable_resolution=variable,
+        ),
         family="idefics2",
         image_seq_len=model_cfg.image_seq_len,
     )
@@ -371,19 +384,46 @@ def build_model(cfg) -> ModelBundle:
     return _maybe_quantize(cfg, bundle)
 
 
+def _load_torch_state_dict(path: Path) -> Optional[dict]:
+    """torch.load a ``.pt``/``.bin`` and unwrap common containers."""
+    try:
+        import torch
+
+        obj = torch.load(str(path), map_location="cpu", weights_only=True)
+    except Exception as e:
+        logger.warning("could not load %s: %s", path, e)
+        return None
+    if isinstance(obj, dict):
+        for key in ("model_state_dict", "state_dict", "model"):
+            if key in obj and isinstance(obj[key], dict):
+                return obj[key]
+        return obj
+    return None
+
+
 def _openflamingo_bundle(cfg, model_cfg, name: str) -> ModelBundle:
     from .openflamingo import init_openflamingo_params, make_openflamingo_forward_fns
 
-    # OpenFlamingo checkpoints are not plain HF shards (MPT base + flamingo
-    # deltas, reference utils.py:51-67); load the MPT base when present and
-    # leave flamingo-specific params at init if no delta file is found.
+    # OpenFlamingo weights come in THREE pieces (reference: utils.py:51-67):
+    # the MPT base (HF shards under lang_encoder_path), the flamingo deltas
+    # (checkpoint.pt under flamingo_checkpoint_dir: perceiver + gated xattn +
+    # resized wte), and the frozen CLIP ViT-L tower (open_clip weights).
     model_dir = None
+    flamingo_dir = None
     if cfg is not None and "model_cpk_dir" in cfg:
         try:
             base = cfg.lmm.get("lang_encoder_path", cfg.lmm.get("model_name", name))
             model_dir = Path(str(cfg.model_cpk_dir)) / str(base)
         except Exception:
             model_dir = None
+        try:
+            fdir = cfg.lmm.get("flamingo_checkpoint_dir")
+            if fdir:
+                flamingo_dir = Path(str(fdir))
+            elif cfg.lmm.get("hf_root"):
+                flamingo_dir = Path(str(cfg.model_cpk_dir)) / str(cfg.lmm.hf_root)
+        except Exception:
+            flamingo_dir = None
     params = init_openflamingo_params(jax.random.PRNGKey(0), model_cfg)
     sd = _load_hf_weights(model_dir) if model_dir and model_dir.exists() else None
     if sd is not None:
@@ -394,6 +434,49 @@ def _openflamingo_bundle(cfg, model_cfg, name: str) -> ModelBundle:
         logger.info("loaded MPT backbone from %s", model_dir)
     else:
         logger.warning("openflamingo weights not found under %s — RANDOM INIT", model_dir)
+
+    if flamingo_dir is not None and flamingo_dir.exists():
+        from .convert import convert_openclip_vision, convert_openflamingo_checkpoint
+
+        candidates = [flamingo_dir / "checkpoint.pt"] + sorted(
+            p for p in flamingo_dir.glob("*.pt") if p.name != "checkpoint.pt"
+        ) + sorted(flamingo_dir.glob("*.bin"))
+        applied = []
+        for path in candidates:
+            if not path.exists():
+                continue
+            fsd = _load_torch_state_dict(path)
+            if fsd is None:
+                continue
+            keys = {k[len("module."):] if k.startswith("module.") else k for k in fsd}
+            if any(k.startswith(("perceiver.", "lang_encoder.")) for k in keys):
+                params, updated = convert_openflamingo_checkpoint(
+                    fsd, model_cfg, params
+                )
+                applied += updated
+                logger.info("applied flamingo deltas %s from %s", updated, path)
+            elif "visual.conv1.weight" in keys:  # standalone open_clip tower
+                from .convert import _cast_tree
+
+                params["vision"] = _cast_tree(
+                    convert_openclip_vision(fsd, model_cfg.vision, "visual."),
+                    model_cfg.vision.dtype,
+                )
+                applied.append("vision")
+                logger.info("loaded open_clip ViT tower from %s", path)
+        missing = {"perceiver", "xattn", "vision"} - set(applied)
+        if missing:
+            logger.warning(
+                "flamingo checkpoint dir %s left %s at random init",
+                flamingo_dir,
+                sorted(missing),
+            )
+    elif flamingo_dir is not None:
+        logger.warning(
+            "flamingo_checkpoint_dir %s not found — perceiver/xattn/vision "
+            "stay at random init",
+            flamingo_dir,
+        )
 
     tokenizer = _resolve_tokenizer(model_dir)
     processor = PromptProcessor(

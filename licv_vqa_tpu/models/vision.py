@@ -71,7 +71,9 @@ def patchify(pixels: jax.Array, patch: int) -> jax.Array:
     return x.reshape(b, gh * gw, patch * patch * c)
 
 
-def _vit_layer(cfg: VisionConfig, p: dict, h: jax.Array) -> jax.Array:
+def _vit_layer(
+    cfg: VisionConfig, p: dict, h: jax.Array, mask=None
+) -> jax.Array:
     b, s, d = h.shape
     nh, dh = cfg.n_heads, d // cfg.n_heads
     x = L.layer_norm(p["ln1"]["w"], p["ln1"]["b"], h, cfg.norm_eps)
@@ -79,7 +81,7 @@ def _vit_layer(cfg: VisionConfig, p: dict, h: jax.Array) -> jax.Array:
     q = (jnp.dot(x, a["wq"]) + a["bq"]).reshape(b, s, nh, dh)
     k = (jnp.dot(x, a["wk"]) + a["bk"]).reshape(b, s, nh, dh)
     v = (jnp.dot(x, a["wv"]) + a["bv"]).reshape(b, s, nh, dh)
-    attn = L.dot_product_attention(q, k, v)
+    attn = L.dot_product_attention(q, k, v, mask=mask)
     h = h + (jnp.dot(attn.reshape(b, s, d), a["wo"]) + a["bo"]).astype(h.dtype)
 
     x2 = L.layer_norm(p["ln2"]["w"], p["ln2"]["b"], h, cfg.norm_eps)
@@ -91,8 +93,52 @@ def _vit_layer(cfg: VisionConfig, p: dict, h: jax.Array) -> jax.Array:
     return h
 
 
-def vision_forward(cfg: VisionConfig, params: dict, pixels: jax.Array) -> jax.Array:
-    """(B, H, W, 3) float → last_hidden_state (B, N, D)."""
+def navit_position_ids(
+    grid_h: int, grid_w: int, table_side: int, patch_mask: jax.Array
+) -> jax.Array:
+    """NaViT bucketized position ids (HF Idefics2VisionEmbeddings semantics,
+    arXiv 2307.06304): each image occupies the top-left ``nb_h × nb_w``
+    rectangle of the padded grid; its patches map to a fixed
+    ``table_side²``-entry position table by bucketizing fractional
+    coordinates.  ``patch_mask``: (B, gh, gw) bool.  Returns (B, gh·gw) int32
+    (invalid patches → 0, they are attention-masked anyway)."""
+    nb_h = jnp.sum(patch_mask[:, :, 0].astype(jnp.int32), axis=1)  # (B,)
+    nb_w = jnp.sum(patch_mask[:, 0, :].astype(jnp.int32), axis=1)
+    eps = 1.0 - 1e-6
+    frac_h = (
+        jnp.arange(grid_h, dtype=jnp.float32)[None, :]
+        / jnp.maximum(nb_h, 1)[:, None].astype(jnp.float32)
+        * eps
+    )
+    frac_w = (
+        jnp.arange(grid_w, dtype=jnp.float32)[None, :]
+        / jnp.maximum(nb_w, 1)[:, None].astype(jnp.float32)
+        * eps
+    )
+    # torch.bucketize(v, arange(1/S, 1, 1/S), right=True) == floor(v·S)
+    bh = jnp.clip(jnp.floor(frac_h * table_side).astype(jnp.int32), 0, table_side - 1)
+    bw = jnp.clip(jnp.floor(frac_w * table_side).astype(jnp.int32), 0, table_side - 1)
+    pos = (bh[:, :, None] * table_side + bw[:, None, :]).reshape(
+        patch_mask.shape[0], -1
+    )
+    return jnp.where(patch_mask.reshape(patch_mask.shape[0], -1), pos, 0)
+
+
+def vision_forward(
+    cfg: VisionConfig,
+    params: dict,
+    pixels: jax.Array,
+    patch_mask: jax.Array = None,  # (B, gh, gw) bool — NaViT variable res
+) -> jax.Array:
+    """(B, H, W, 3) float → last_hidden_state (B, N, D).
+
+    SigLIP-family towers (no class token) use NaViT bucketized position ids,
+    so the input H×W may differ from ``cfg.image_size`` (the position-table
+    reference size, e.g. 980 for Idefics2 — reference: utils.py:68-78 wraps
+    the HF processor that emits variable-resolution grids).  ``patch_mask``
+    marks valid patches of batch-padded images; invalid patches are masked
+    out of attention."""
+    b, hh, ww, _ = pixels.shape
     x = patchify(pixels.astype(cfg.dtype), cfg.patch_size)
     h = jnp.dot(x, params["patch_embed"])
     if "patch_bias" in params:
@@ -102,12 +148,22 @@ def vision_forward(cfg: VisionConfig, params: dict, pixels: jax.Array) -> jax.Ar
             params["class_embed"][None, None, :], (h.shape[0], 1, h.shape[-1])
         )
         h = jnp.concatenate([cls, h], axis=1)
-    h = h + params["pos_embed"][None, : h.shape[1], :]
+        h = h + params["pos_embed"][None, : h.shape[1], :]
+        attn_mask = None
+    else:
+        gh, gw = hh // cfg.patch_size, ww // cfg.patch_size
+        table_side = cfg.image_size // cfg.patch_size
+        if patch_mask is None:
+            patch_mask = jnp.ones((b, gh, gw), bool)
+        pos_ids = navit_position_ids(gh, gw, table_side, patch_mask)
+        h = h + params["pos_embed"][pos_ids]
+        flat = patch_mask.reshape(b, -1)
+        attn_mask = flat[:, None, None, :]  # mask keys of padded patches
     if cfg.use_pre_norm:
         h = L.layer_norm(params["pre_ln"]["w"], params["pre_ln"]["b"], h, cfg.norm_eps)
 
     def body(h, p):
-        return _vit_layer(cfg, p, h), None
+        return _vit_layer(cfg, p, h, mask=attn_mask), None
 
     h, _ = jax.lax.scan(body, h, params["layers"])
     if cfg.use_post_norm:

@@ -357,3 +357,50 @@ def test_loader_bounded_window_and_early_exit_cancel():
     assert n_after_close <= 60, n_after_close
     time.sleep(0.5)
     assert len(calls) == n_after_close  # production actually stopped
+
+
+def test_navit_resize_rule_matches_hf():
+    """ImageTransform.target_size reproduces HF idefics2's
+    get_resize_output_image_size for representative shapes."""
+    from transformers.models.idefics2.image_processing_idefics2 import (
+        get_resize_output_image_size,
+    )
+
+    from licv_vqa_tpu.data.processor import ImageTransform
+
+    t = ImageTransform(980, variable_resolution=True, min_edge=378, max_edge=980)
+    for w, h in [(640, 480), (480, 640), (2000, 500), (500, 2000), (100, 80),
+                 (980, 980), (1500, 1500), (379, 4000)]:
+        img = np.zeros((h, w, 3), np.uint8)
+        want_h, want_w = get_resize_output_image_size(
+            img, {"shortest_edge": 378, "longest_edge": 980}, "channels_last"
+        )
+        got_w, got_h = t.target_size(w, h)
+        assert (got_h, got_w) == (want_h, want_w), (w, h, got_h, got_w, want_h, want_w)
+
+
+def test_prepare_input_variable_resolution_padding_and_mask():
+    """NaViT host path: variable-size images batch-pad to a coarse bucket
+    with a pixel_attention_mask; padding images keep an all-ones mask (NaN
+    guard — their latents are gated by pixel_valid)."""
+    from licv_vqa_tpu.data.processor import ImageTransform, PromptProcessor
+    from licv_vqa_tpu.data.tokenizer import WhitespaceTokenizer
+
+    t = ImageTransform(56, variable_resolution=True, min_edge=28, max_edge=56)
+    proc = PromptProcessor(WhitespaceTokenizer(), t, family="idefics2",
+                           image_seq_len=4)
+    img_a = np.zeros((56, 28, 3), np.uint8) + 7   # already within bounds
+    img_b = np.zeros((28, 42, 3), np.uint8) + 9
+    enc = proc.prepare_input([[img_a, "question one"],
+                              [img_b, "q two", img_b]])
+    pv, pm = enc["pixel_values"], enc["pixel_attention_mask"]
+    assert pv.shape[2] % 112 == 0 and pv.shape[3] % 112 == 0
+    assert pm.shape == pv.shape[:4]
+    # real regions marked, padding unmarked
+    assert pm[0, 0, :56, :28].all() and not pm[0, 0, 56:, :].any()
+    assert pm[1, 0, :28, :42].all() and not pm[1, 0, :, 42:].any()
+    # sample 0 has one image: its second image slot is a padding image with
+    # an all-ones mask and pixel_valid False
+    assert not enc["pixel_valid"][0, 1] and pm[0, 1].all()
+    assert enc["pixel_valid"][1, 1]
+    np.testing.assert_array_equal(pv[0, 0, :56, :28], img_a)

@@ -162,3 +162,264 @@ def test_icv_injection_flamingo():
         icv_scaled=icv,
     )
     assert not np.allclose(np.asarray(base), np.asarray(steered), atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# open_flamingo checkpoint converter (VERDICT r1 #6): torch mini-modules
+# re-deriving the PUBLIC open_flamingo architecture (PerceiverResampler /
+# GatedCrossAttentionBlock) generate state dicts in the real checkpoint
+# naming; the converter must reproduce their outputs numerically.
+# ---------------------------------------------------------------------------
+
+
+class _TorchPerceiverAttention(torch.nn.Module):
+    def __init__(self, dim, dim_head, heads):
+        super().__init__()
+        self.scale = dim_head ** -0.5
+        self.heads = heads
+        inner = dim_head * heads
+        self.norm_media = torch.nn.LayerNorm(dim)
+        self.norm_latents = torch.nn.LayerNorm(dim)
+        self.to_q = torch.nn.Linear(dim, inner, bias=False)
+        self.to_kv = torch.nn.Linear(dim, inner * 2, bias=False)
+        self.to_out = torch.nn.Linear(inner, dim, bias=False)
+
+    def forward(self, x, latents):
+        x = self.norm_media(x)
+        latents = self.norm_latents(latents)
+        h = self.heads
+        q = self.to_q(latents)
+        kv = self.to_kv(torch.cat((x, latents), dim=-2))
+        k, v = kv.chunk(2, dim=-1)
+
+        def split(t):
+            b, n, _ = t.shape
+            return t.view(b, n, h, -1).transpose(1, 2)  # (b, h, n, d)
+
+        q, k, v = split(q), split(k), split(v)
+        sim = (q * self.scale) @ k.transpose(-1, -2)
+        attn = (sim - sim.amax(dim=-1, keepdim=True)).softmax(dim=-1)
+        out = attn @ v
+        out = out.transpose(1, 2).reshape(q.shape[0], q.shape[2], -1)
+        return self.to_out(out)
+
+
+def _torch_ff(dim, mult):
+    return torch.nn.Sequential(
+        torch.nn.LayerNorm(dim),
+        torch.nn.Linear(dim, dim * mult, bias=False),
+        torch.nn.GELU(),
+        torch.nn.Linear(dim * mult, dim, bias=False),
+    )
+
+
+class _TorchPerceiverResampler(torch.nn.Module):
+    def __init__(self, dim, depth, dim_head, heads, num_latents, ff_mult):
+        super().__init__()
+        self.latents = torch.nn.Parameter(torch.randn(num_latents, dim))
+        self.layers = torch.nn.ModuleList(
+            torch.nn.ModuleList(
+                [_TorchPerceiverAttention(dim, dim_head, heads), _torch_ff(dim, ff_mult)]
+            )
+            for _ in range(depth)
+        )
+        self.norm = torch.nn.LayerNorm(dim)
+
+    def forward(self, x):  # x: (b, n, d) — single image, T=F=1
+        latents = self.latents.unsqueeze(0).expand(x.shape[0], -1, -1)
+        for attn, ff in self.layers:
+            latents = attn(x, latents) + latents
+            latents = ff(latents) + latents
+        return self.norm(latents)
+
+
+class _TorchGatedXattnBlock(torch.nn.Module):
+    class _Attn(torch.nn.Module):
+        def __init__(self, dim, dim_visual, dim_head, heads):
+            super().__init__()
+            self.scale = dim_head ** -0.5
+            self.heads = heads
+            inner = dim_head * heads
+            self.norm = torch.nn.LayerNorm(dim)
+            self.to_q = torch.nn.Linear(dim, inner, bias=False)
+            self.to_kv = torch.nn.Linear(dim_visual, inner * 2, bias=False)
+            self.to_out = torch.nn.Linear(inner, dim, bias=False)
+
+        def forward(self, x, media):
+            x = self.norm(x)
+            h = self.heads
+            q = self.to_q(x)
+            k, v = self.to_kv(media).chunk(2, dim=-1)
+
+            def split(t):
+                b, n, _ = t.shape
+                return t.view(b, n, h, -1).transpose(1, 2)
+
+            q, k, v = split(q), split(k), split(v)
+            sim = (q * self.scale) @ k.transpose(-1, -2)
+            attn = (sim - sim.amax(dim=-1, keepdim=True)).softmax(dim=-1)
+            out = (attn @ v).transpose(1, 2).reshape(x.shape[0], x.shape[1], -1)
+            return self.to_out(out)
+
+    def __init__(self, dim, dim_visual, dim_head, heads, ff_mult):
+        super().__init__()
+        self.attn = self._Attn(dim, dim_visual, dim_head, heads)
+        self.attn_gate = torch.nn.Parameter(torch.randn(1))
+        self.ff = _torch_ff(dim, ff_mult)
+        self.ff_gate = torch.nn.Parameter(torch.randn(1))
+
+    def forward(self, x, media):
+        x = self.attn(x, media) * self.attn_gate.tanh() + x
+        x = self.ff(x) * self.ff_gate.tanh() + x
+        return x
+
+
+def test_flamingo_perceiver_converter_parity():
+    from licv_vqa_tpu.models.convert import convert_flamingo_perceiver
+    from licv_vqa_tpu.models.perceiver import perceiver_forward
+
+    cfg = OpenFlamingoConfig.tiny()
+    pc = cfg.perceiver
+    torch.manual_seed(0)
+    res = _TorchPerceiverResampler(
+        dim=pc.d_model, depth=pc.n_layers, dim_head=pc.head_dim,
+        heads=pc.n_heads, num_latents=pc.n_latents,
+        ff_mult=pc.d_ff // pc.d_model,
+    ).eval()
+    sd = {f"perceiver.{k}": v for k, v in res.state_dict().items()}
+    params = convert_flamingo_perceiver(sd, pc.n_layers)
+    params = jax.tree.map(lambda x: jnp.asarray(np.asarray(x), jnp.float32), params)
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 5, pc.d_model)).astype(np.float32)
+    with torch.no_grad():
+        want = res(torch.tensor(x)).numpy()
+    got = np.asarray(perceiver_forward(pc, params, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_flamingo_gated_xattn_converter_parity():
+    from licv_vqa_tpu.models.convert import convert_flamingo_xattn
+    from licv_vqa_tpu.models.openflamingo import flamingo_xattn_block
+
+    cfg = OpenFlamingoConfig.tiny()
+    d, de = cfg.text.d_model, cfg.perceiver.d_model
+    torch.manual_seed(1)
+    blocks = [
+        _TorchGatedXattnBlock(
+            d, de, cfg.xattn_head_dim, cfg.xattn_heads, cfg.xattn_ff_mult
+        ).eval()
+        for _ in range(2)
+    ]
+    sd = {}
+    for i, b in enumerate(blocks):
+        for k, v in b.state_dict().items():
+            sd[f"lang_encoder.gated_cross_attn_layers.{i}.{k}"] = v
+    stacked = convert_flamingo_xattn(sd, 2)
+    stacked = jax.tree.map(lambda x: jnp.asarray(np.asarray(x), jnp.float32), stacked)
+
+    rng = np.random.default_rng(1)
+    h = rng.normal(size=(2, 6, d)).astype(np.float32)
+    media = rng.normal(size=(2, 4, de)).astype(np.float32)
+    full_mask = jnp.ones((2, 1, 6, 4), bool)  # every token attends all media
+    gate = jnp.ones((2, 6), jnp.float32)
+    for g, blk in enumerate(blocks):
+        p_g = jax.tree.map(lambda x: x[g], stacked)
+        with torch.no_grad():
+            want = blk(torch.tensor(h), torch.tensor(media)).numpy()
+        got = np.asarray(
+            flamingo_xattn_block(cfg, p_g, jnp.asarray(h), jnp.asarray(media),
+                                 full_mask, gate)
+        )
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_openflamingo_checkpoint_merge_structural():
+    """checkpoint.pt-shaped state dict (module.-prefixed deltas: perceiver,
+    gated xattn, resized wte) merges into an initialized pytree and the full
+    forward runs (reference: utils.py:51-67)."""
+    from licv_vqa_tpu.models.convert import convert_openflamingo_checkpoint
+
+    cfg = OpenFlamingoConfig.tiny()
+    params = init_openflamingo_params(jax.random.PRNGKey(0), cfg)
+    pc = cfg.perceiver
+    torch.manual_seed(2)
+    res = _TorchPerceiverResampler(
+        dim=pc.d_model, depth=pc.n_layers, dim_head=pc.head_dim,
+        heads=pc.n_heads, num_latents=pc.n_latents,
+        ff_mult=pc.d_ff // pc.d_model,
+    )
+    sd = {f"module.perceiver.{k}": v for k, v in res.state_dict().items()}
+    for i in range(2):
+        blk = _TorchGatedXattnBlock(
+            cfg.text.d_model, pc.d_model, cfg.xattn_head_dim, cfg.xattn_heads,
+            cfg.xattn_ff_mult,
+        )
+        for k, v in blk.state_dict().items():
+            sd[f"module.lang_encoder.gated_cross_attn_layers.{i}.{k}"] = v
+    wte = torch.randn(cfg.text.vocab_size, cfg.text.d_model)
+    sd["module.lang_encoder.transformer.wte.weight"] = wte
+
+    before = np.asarray(params["xattn"]["attn_gate"]).copy()
+    merged, updated = convert_openflamingo_checkpoint(sd, cfg, params)
+    assert set(updated) == {"perceiver", "xattn", "embed"}
+    assert not np.allclose(np.asarray(merged["xattn"]["attn_gate"]), before)
+    np.testing.assert_allclose(
+        np.asarray(merged["embed"]), wte.numpy(), rtol=1e-6, atol=1e-6
+    )
+    # the merged model runs end to end
+    rng = np.random.default_rng(3)
+    ids = rng.integers(3, 120, size=(1, 6)).astype(np.int32)
+    ids[:, 0] = cfg.image_token_id
+    pixels = rng.normal(size=(1, 1, 28, 28, 3)).astype(np.float32)
+    latents = encode_media(cfg, merged, jnp.asarray(pixels))
+    onehot = image_attention_onehot(jnp.asarray(ids), cfg.image_token_id, 2, 1)
+    logits, _ = openflamingo_forward(
+        cfg, merged, jnp.asarray(ids), jnp.ones((1, 6), jnp.int32), latents, onehot
+    )
+    assert np.all(np.isfinite(np.asarray(logits)))
+
+
+def test_openclip_vision_converter_shapes():
+    """open_clip VisionTransformer naming (fused in_proj qkv) → our tower:
+    structural check on synthetic shapes (ViT-L is the real target,
+    reference: utils.py:51-67 loads it via open_clip)."""
+    from licv_vqa_tpu.models.convert import convert_openclip_vision
+    from licv_vqa_tpu.models.vision import init_vision_params, vision_forward
+
+    cfg = OpenFlamingoConfig.tiny().vision
+    d, p, n = cfg.d_model, cfg.patch_size, cfg.n_layers
+    g = np.random.default_rng(4)
+
+    def t(*shape):
+        return torch.tensor(g.normal(size=shape).astype(np.float32))
+
+    sd = {
+        "visual.conv1.weight": t(d, 3, p, p),
+        "visual.class_embedding": t(d),
+        "visual.positional_embedding": t(cfg.n_patches, d),
+        "visual.ln_pre.weight": t(d), "visual.ln_pre.bias": t(d),
+        "visual.ln_post.weight": t(d), "visual.ln_post.bias": t(d),
+    }
+    for i in range(n):
+        lp = f"visual.transformer.resblocks.{i}."
+        sd[lp + "ln_1.weight"], sd[lp + "ln_1.bias"] = t(d), t(d)
+        sd[lp + "ln_2.weight"], sd[lp + "ln_2.bias"] = t(d), t(d)
+        sd[lp + "attn.in_proj_weight"] = t(3 * d, d)
+        sd[lp + "attn.in_proj_bias"] = t(3 * d)
+        sd[lp + "attn.out_proj.weight"] = t(d, d)
+        sd[lp + "attn.out_proj.bias"] = t(d)
+        sd[lp + "mlp.c_fc.weight"], sd[lp + "mlp.c_fc.bias"] = t(2 * d, d), t(2 * d)
+        sd[lp + "mlp.c_proj.weight"], sd[lp + "mlp.c_proj.bias"] = t(d, 2 * d), t(d)
+
+    import dataclasses as _dc
+    cfg = _dc.replace(cfg, d_ff=2 * d, use_post_norm=True)
+    got = convert_openclip_vision(sd, cfg, "visual.")
+    ref = init_vision_params(jax.random.PRNGKey(0), cfg)
+    got_shapes = jax.tree.map(lambda x: tuple(np.shape(x)), got)
+    ref_shapes = jax.tree.map(lambda x: tuple(np.shape(x)), ref)
+    assert got_shapes == ref_shapes
+    got = jax.tree.map(lambda x: jnp.asarray(np.asarray(x), jnp.float32), got)
+    out = vision_forward(cfg, got, jnp.asarray(
+        g.normal(size=(1, 28, 28, 3)).astype(np.float32)))
+    assert np.all(np.isfinite(np.asarray(out)))
