@@ -331,6 +331,7 @@ def idefics_forward(
     remat: bool = False,
     prefill_flash: Optional[jax.Array] = None,
     xattn_kv: Optional[tuple] = None,  # precomputed (G,B,Nk,nh,dh) k/v
+    last_logit_only: bool = False,  # decode prefill: skip S-1 lm_head cols
 ):
     """Returns (logits f32 (B,S,V), new_cache)."""
     t = cfg.text
@@ -440,6 +441,11 @@ def idefics_forward(
             "index": index + s,
         }
         h = L.rms_norm(params["final_norm"], h, t.norm_eps)
+        if last_logit_only:
+            # prompts are LEFT-padded for decode, so the last position is the
+            # real continuation point; the lm_head over all S prefill
+            # positions is S× the needed work (S=64 → ~134 GFLOP saved/bind)
+            h = h[:, -1:, :]
         return logits_from_hidden(t, params, h), new_cache
 
     # TRAIN/no-cache: grouped scan (memory-efficient with remat) — the
@@ -538,7 +544,8 @@ def make_idefics_forward_fns(cfg: IdeficsConfig, eos_token_id: int, params=None)
         def forward_fn(input_ids, attention_mask, positions, cache):
             b = input_ids.shape[0]
             prefill_flash = None
-            if cache is None:
+            prefill = cache is None
+            if prefill:
                 cache = init_kv_cache(cfg.text, b, max_len)
                 onehot = prefill_onehot
                 lat = latents
@@ -567,6 +574,7 @@ def make_idefics_forward_fns(cfg: IdeficsConfig, eos_token_id: int, params=None)
                 positions=positions,
                 prefill_flash=prefill_flash,
                 xattn_kv=xkv,
+                last_logit_only=prefill,
             )
 
         return forward_fn

@@ -290,6 +290,7 @@ def idefics2_forward(
     positions: Optional[jax.Array] = None,
     remat: bool = False,
     prefill_flash: Optional[jax.Array] = None,
+    last_logit_only: bool = False,  # decode prefill: skip S-1 lm_head cols
 ):
     embeds = params["embed"][input_ids].astype(cfg.text.dtype)
     if image_latents is not None:
@@ -307,6 +308,8 @@ def idefics2_forward(
         remat=remat,
         prefill_flash=prefill_flash,
     )
+    if last_logit_only:
+        h = h[:, -1:, :]  # left-padded decode prompts: last pos is live
     return logits_from_hidden(cfg.text, params, h), new_cache
 
 
@@ -353,7 +356,8 @@ def make_idefics2_forward_fns(cfg: Idefics2Config, eos_token_id: int, params=Non
         def forward_fn(input_ids, attention_mask, positions, cache):
             b = input_ids.shape[0]
             prefill_flash = None
-            if cache is None:
+            prefill = cache is None
+            if prefill:
                 cache = init_kv_cache(cfg.text, b, max_len)
                 lat = latents
                 prefill_flash = attention_mask
@@ -369,6 +373,7 @@ def make_idefics2_forward_fns(cfg: Idefics2Config, eos_token_id: int, params=Non
                 cache=cache,
                 positions=positions,
                 prefill_flash=prefill_flash,
+                last_logit_only=prefill,
             )
 
         return forward_fn

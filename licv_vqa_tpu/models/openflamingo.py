@@ -270,6 +270,7 @@ def openflamingo_forward(
     positions: Optional[jax.Array] = None,
     remat: bool = False,
     xattn_kv: Optional[tuple] = None,  # precomputed (G,B,Nk,nh,dh) k/v
+    last_logit_only: bool = False,  # decode prefill: skip S-1 lm_head cols
 ):
     t = cfg.text
     every = cfg.cross_attn_every_n_layers
@@ -372,6 +373,8 @@ def openflamingo_forward(
             "index": index + s,
         }
         h = L.layer_norm(params["final_norm"], params["final_norm_b"], h, t.norm_eps)
+        if last_logit_only:
+            h = h[:, -1:, :]  # left-padded decode prompts: last pos is live
         logits = jnp.dot(h, params["embed"].T, preferred_element_type=jnp.float32)
         return logits, new_cache
 
@@ -460,7 +463,8 @@ def make_openflamingo_forward_fns(
 
         def forward_fn(input_ids, attention_mask, positions, cache):
             b = input_ids.shape[0]
-            if cache is None:
+            prefill = cache is None
+            if prefill:
                 cache = init_kv_cache(cfg.text, b, max_len)
                 onehot, lat, xkv = prefill_onehot, latents, xattn_kv
             else:
@@ -480,6 +484,7 @@ def make_openflamingo_forward_fns(
                 cache=cache,
                 positions=positions,
                 xattn_kv=xkv,
+                last_logit_only=prefill,
             )
 
         return forward_fn

@@ -27,7 +27,8 @@ def init_vision_params(key, cfg: VisionConfig) -> dict:
     params = {
         "patch_embed": w(ks[0], (p * p * 3, d)),
         "pos_embed": w(ks[1], (cfg.n_patches, d)),
-        "pre_ln": {"w": jnp.ones((d,), cfg.dtype), "b": jnp.zeros((d,), cfg.dtype)},
+        # post_ln exists in both CLIP and SigLIP checkpoints; pre_ln is
+        # CLIP-only (SigLIP state dicts have none — full-scale check)
         "post_ln": {"w": jnp.ones((d,), cfg.dtype), "b": jnp.zeros((d,), cfg.dtype)},
         "layers": {
             "ln1": {
@@ -56,6 +57,11 @@ def init_vision_params(key, cfg: VisionConfig) -> dict:
             },
         },
     }
+    if cfg.use_pre_norm:
+        params["pre_ln"] = {
+            "w": jnp.ones((d,), cfg.dtype),
+            "b": jnp.zeros((d,), cfg.dtype),
+        }
     if cfg.use_class_token:
         params["class_embed"] = w(ks[8], (d,))
     return params
