@@ -58,9 +58,16 @@ def _kl_bwd_kernel(eps, stu_ref, tea_ref, g_ref, dstu_ref, dtea_ref):
     dtea_ref[:] = (g * (q * (a - ea))).astype(dtea_ref.dtype)
 
 
-def _tile_rows(n: int) -> int:
+def _tile_rows(n: int, v: int = 0) -> int:
+    """Largest row tile that divides ``n`` AND keeps one (r, v) f32 block
+    within a VMEM-friendly budget (the bwd kernel holds ~5 such blocks:
+    stu, tea, g, dstu, dtea)."""
+    # Measured on v5e: the fwd kernel's scoped-VMEM stack holds ~6 (r, v) f32
+    # blocks (double-buffered inputs + softmax intermediates) against a 16 MiB
+    # limit — r=32 at v=32000 OOMed at 24.4M.  1 MiB/block keeps ~6 MiB total.
+    budget = 1024 * 1024  # 1 MiB per block
     for r in (256, 128, 64, 32, 16, 8):
-        if n % r == 0:
+        if n % r == 0 and (v == 0 or r * v * 4 <= budget or r == 8):
             return r
     return 8  # pad upstream guarantees multiples of 8
 
@@ -72,7 +79,7 @@ def _rowwise_kl(stu2d, tea2d, eps: float, interpret: bool):
 
 def _rowwise_kl_fwd_impl(stu2d, tea2d, eps, interpret):
     n, v = stu2d.shape
-    r = _tile_rows(n)
+    r = _tile_rows(n, v)
     return pl.pallas_call(
         functools.partial(_kl_fwd_kernel, eps),
         out_shape=jax.ShapeDtypeStruct((n, 1), jnp.float32),
@@ -93,7 +100,7 @@ def _rowwise_kl_fwd(stu2d, tea2d, eps, interpret):
 def _rowwise_kl_bwd(eps, interpret, res, g):
     stu2d, tea2d = res
     n, v = stu2d.shape
-    r = _tile_rows(n)
+    r = _tile_rows(n, v)
     dstu, dtea = pl.pallas_call(
         functools.partial(_kl_bwd_kernel, eps),
         out_shape=(

@@ -136,6 +136,15 @@ def main():
     dt_f = bench_impl("flash")
     print(f"flash speedup on train step: {dt_x/dt_f:.2f}x")
 
+    # ---- the round-1 stall case: 32-shot teacher length (seq 2048) --------
+    # blk=512 stalled the axon remote-compile >9 min in round 1; blk=256 is
+    # the current setting.  Report compile time explicitly.
+    for impl in ("xla", "flash"):
+        t0 = time.perf_counter()
+        dt = bench_impl(impl, s_tea=2048)
+        print(f"[{impl}] s_tea=2048 total incl. compile: "
+              f"{time.perf_counter()-t0:.0f}s, steady {dt*1000:.0f} ms/step")
+
 
 if __name__ == "__main__":
     main()
