@@ -47,9 +47,14 @@ class DecoderConfig:
     activation: str = "silu_glu"  # "silu_glu" | "gelu"
     qk_layernorm: bool = False
     attn_logit_softcap: Optional[float] = None
-    # "xla" (default) or "flash": Pallas TPU flash-attention for full-sequence
-    # (training/prefill) self-attention; decode steps always use XLA.
-    attention_impl: str = "xla"
+    # "flash" (default) or "xla".  Flash = Pallas TPU flash attention for
+    # full-sequence (training/prefill) self-attention; it only activates on a
+    # real TPU backend at tile-friendly shapes (q_len>=256, q_len%128==0,
+    # head_dim%128==0 — see layers.flash_attention_usable), so CPU tests and
+    # decode steps always take the XLA path.  Validated on v5e: numerics
+    # within bf16 tolerance, 1.18x on the 32-shot teacher step at seq 2048
+    # (tools/validate_flash_tpu.py).  Override with ``lmm.attention_impl=xla``.
+    attention_impl: str = "flash"
 
     @property
     def head_dim(self) -> int:

@@ -117,14 +117,15 @@ def decoder_layer(
     kv_write: Optional[tuple] = None,  # (k_cache_l, v_cache_l, index) for decode
     flash_valid: Optional[jax.Array] = None,  # (B, S): enables the flash path
 ):
+    from ..ops.int8_matmul import qdot
+
     b, s, d = h.shape
     nh, nkv, dh = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
-    p = _dequant(p, h.dtype)  # no-op unless int8-quantized weights
 
     x = _norm(cfg, p["ln1"], p.get("ln1_b"), h)
-    q = jnp.dot(x, p["attn"]["wq"]).reshape(b, s, nh, dh)
-    k = jnp.dot(x, p["attn"]["wk"]).reshape(b, s, nkv, dh)
-    v = jnp.dot(x, p["attn"]["wv"]).reshape(b, s, nkv, dh)
+    q = qdot(x, p["attn"]["wq"]).reshape(b, s, nh, dh)
+    k = qdot(x, p["attn"]["wk"]).reshape(b, s, nkv, dh)
+    v = qdot(x, p["attn"]["wv"]).reshape(b, s, nkv, dh)
     if cfg.positional == "rope":
         q = L.apply_rope(q, cos, sin)
         k = L.apply_rope(k, cos, sin)
@@ -163,7 +164,7 @@ def decoder_layer(
             q, k_full, v_full, bias=bias, mask=mask,
             logit_softcap=cfg.attn_logit_softcap,
         )
-    attn = jnp.dot(attn.reshape(b, s, nh * dh), p["attn"]["wo"]).astype(h.dtype)
+    attn = qdot(attn.reshape(b, s, nh * dh), p["attn"]["wo"]).astype(h.dtype)
     h = h + attn
 
     x2 = _norm(cfg, p["ln2"], p.get("ln2_b"), h)

@@ -261,11 +261,10 @@ def gated_xattn_block(
     t = cfg.text
     b, s, d = h.shape
     nh, dh = t.n_heads, t.head_dim
-    from .decoder import _dequant
+    from ..ops.int8_matmul import qdot
 
-    p = _dequant(p, h.dtype)
     x = L.rms_norm(p["ln1"], h, t.norm_eps)
-    q = jnp.dot(x, p["attn"]["wq"]).reshape(b, s, nh, dh)
+    q = qdot(x, p["attn"]["wq"]).reshape(b, s, nh, dh)
     if "q_norm" in p["attn"]:
         q = L.rms_norm(p["attn"]["q_norm"], q, t.norm_eps)
     if kv is not None:
@@ -273,12 +272,12 @@ def gated_xattn_block(
         # (k_norm already applied) — the per-step wk/wv matmuls vanish.
         k, v = kv
     else:
-        k = jnp.dot(image_latents, p["attn"]["wk"]).reshape(b, -1, nh, dh)
-        v = jnp.dot(image_latents, p["attn"]["wv"]).reshape(b, -1, nh, dh)
+        k = qdot(image_latents, p["attn"]["wk"]).reshape(b, -1, nh, dh)
+        v = qdot(image_latents, p["attn"]["wv"]).reshape(b, -1, nh, dh)
         if "k_norm" in p["attn"]:
             k = L.rms_norm(p["attn"]["k_norm"], k, t.norm_eps)
     attn = L.dot_product_attention(q, k, v, mask=img_mask)
-    attn = jnp.dot(attn.reshape(b, s, nh * dh), p["attn"]["wo"]).astype(h.dtype)
+    attn = qdot(attn.reshape(b, s, nh * dh), p["attn"]["wo"]).astype(h.dtype)
     attn = attn * gate[:, :, None].astype(attn.dtype)
     h = h + jnp.tanh(p["alpha_xattn"]).astype(h.dtype) * attn
 

@@ -214,28 +214,30 @@ def flamingo_xattn_block(
 ):
     b, s, d = h.shape
     nh, dh = cfg.xattn_heads, cfg.xattn_head_dim
-    from .decoder import _dequant
+    from ..ops.int8_matmul import qdot
 
-    p = _dequant(p, h.dtype)
     x = L.layer_norm(p["ln_attn"]["w"], p["ln_attn"]["b"], h, cfg.text.norm_eps)
-    q = jnp.dot(x, p["wq"]).reshape(b, s, nh, dh)
+    q = qdot(x, p["wq"]).reshape(b, s, nh, dh)
     if kv_pre is not None:
         # media K/V are decode-invariant: precomputed once at bind time
         k, v = kv_pre
     else:
-        kv = jnp.dot(media, p["wkv"]).reshape(b, -1, 2, nh, dh)
+        kv = qdot(media, p["wkv"]).reshape(b, -1, 2, nh, dh)
         k, v = kv[:, :, 0], kv[:, :, 1]
     attn = L.dot_product_attention(q, k, v, mask=media_mask)
-    attn = jnp.dot(attn.reshape(b, s, nh * dh), p["wo"]).astype(h.dtype)
+    attn = qdot(attn.reshape(b, s, nh * dh), p["wo"]).astype(h.dtype)
     attn = attn * gate[:, :, None].astype(attn.dtype)
     h = h + jnp.tanh(p["attn_gate"]).astype(h.dtype) * attn
 
     x2 = L.layer_norm(p["ln_ff"]["w"], p["ln_ff"]["b"], h, cfg.text.norm_eps)
     # open_flamingo FeedForward uses nn.GELU() — exact erf, not tanh-approx
     z = jax.nn.gelu(
-        jnp.dot(x2, p["ff_up"]).astype(jnp.float32), approximate=False
+        qdot(x2, p["ff_up"], preferred_element_type=jnp.float32).astype(
+            jnp.float32
+        ),
+        approximate=False,
     ).astype(h.dtype)
-    ff = jnp.dot(z, p["ff_down"]).astype(h.dtype)
+    ff = qdot(z, p["ff_down"]).astype(h.dtype)
     return h + jnp.tanh(p["ff_gate"]).astype(h.dtype) * ff
 
 

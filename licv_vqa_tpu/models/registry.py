@@ -355,21 +355,34 @@ def _maybe_quantize(cfg, bundle: ModelBundle) -> ModelBundle:
     return bundle
 
 
+def _apply_attention_impl(cfg, model_cfg):
+    """Honor ``lmm.attention_impl`` (xla|flash) on the text decoder config."""
+    try:
+        impl = cfg.lmm.get("attention_impl")
+    except Exception:
+        impl = None
+    if impl in ("xla", "flash") and model_cfg.text.attention_impl != impl:
+        model_cfg = dataclasses.replace(
+            model_cfg, text=dataclasses.replace(model_cfg.text, attention_impl=impl)
+        )
+    return model_cfg
+
+
 def build_model(cfg) -> ModelBundle:
     """``cfg`` is the composed top-level config (needs ``cfg.lmm``)."""
     name = str(cfg.lmm.name)
     if name == "idefics-9b":
-        bundle = _idefics_bundle(cfg, IdeficsConfig.idefics_9b(), name)
+        bundle = _idefics_bundle(cfg, _apply_attention_impl(cfg, IdeficsConfig.idefics_9b()), name)
     elif name == "tiny-idefics":
-        bundle = _idefics_bundle(cfg, IdeficsConfig.tiny(dtype=jnp.float32), name)
+        bundle = _idefics_bundle(cfg, _apply_attention_impl(cfg, IdeficsConfig.tiny(dtype=jnp.float32)), name)
     elif name == "idefics2-8b-base":
         from .idefics2 import Idefics2Config
 
-        bundle = _idefics2_bundle(cfg, Idefics2Config.idefics2_8b(), name)
+        bundle = _idefics2_bundle(cfg, _apply_attention_impl(cfg, Idefics2Config.idefics2_8b()), name)
     elif name == "tiny-idefics2":
         from .idefics2 import Idefics2Config
 
-        bundle = _idefics2_bundle(cfg, Idefics2Config.tiny(dtype=jnp.float32), name)
+        bundle = _idefics2_bundle(cfg, _apply_attention_impl(cfg, Idefics2Config.tiny(dtype=jnp.float32)), name)
     elif "openflamingo" in name.lower() or name == "tiny-flamingo":
         from .openflamingo import OpenFlamingoConfig
 
@@ -378,7 +391,7 @@ def build_model(cfg) -> ModelBundle:
             if name == "tiny-flamingo"
             else OpenFlamingoConfig.openflamingo_9b()
         )
-        bundle = _openflamingo_bundle(cfg, model_cfg, name)
+        bundle = _openflamingo_bundle(cfg, _apply_attention_impl(cfg, model_cfg), name)
     else:
         raise ValueError(f"unknown lmm name: {name}")
     return _maybe_quantize(cfg, bundle)

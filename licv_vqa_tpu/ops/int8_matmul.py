@@ -1,0 +1,115 @@
+"""Pallas TPU kernel: bf16-activation x int8-weight matmul for decode.
+
+Decode is weight-bandwidth bound.  The ``dequantize_tree`` path asks XLA to
+fuse ``(q.int8 -> f32 * s -> bf16) @ x``; whether the int8 stream survives
+fusion or a bf16 copy gets materialized is up to the compiler.  This kernel
+makes the good schedule explicit: int8 weight tiles stream HBM->VMEM, are
+widened to bf16 *in VMEM*, hit the MXU against the (tiny-M) activations, and
+the per-output-channel scale is applied to the (M, Nt) accumulator — so HBM
+sees exactly one int8 byte per weight.
+
+Layout contract matches ``ops.quantize.quantize_array``: ``q (K, N) int8``,
+``s (1, N) f32`` (per-OUTPUT-channel symmetric scales; scaling commutes with
+the K-contraction).  Used at decode step shapes (M = batch, K/N = 4k-11k).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(x_ref, q_ref, s_ref, o_ref):
+    w = q_ref[:].astype(jnp.bfloat16)  # widen int8 tile in VMEM
+    acc = jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
+    o_ref[:] = (acc * s_ref[:]).astype(o_ref.dtype)
+
+
+def _pick_tile(n: int, k: int) -> int:
+    # q block is (K, Nt) int8, double-buffered, + its bf16 widening: keep
+    # K*Nt under ~2 MiB so the scoped-VMEM stack stays well inside 16 MiB.
+    budget = 2 * 1024 * 1024
+    for nt in (1024, 512, 256, 128):
+        if n % nt == 0 and k * nt <= budget:
+            return nt
+    return 0
+
+
+def int8_matmul_usable(m: int, k: int, n: int) -> bool:
+    """Gate for the standalone Pallas kernel — OFF by default.
+
+    Measured on v5e (32L/4096d idefics int8 decode, bs=8): in ISOLATION the
+    kernel ties the best XLA schedule (338 vs 342 us on 4096x11008), but
+    INSIDE the decoder ``lax.scan`` it breaks XLA's cross-op pipelining and
+    loses end-to-end (322 tok/s vs 425.8 for scale-on-output vs 405 for
+    dequantize_tree).  The winning in-scan schedule is the scale-on-output
+    fallback in ``qdot`` below; set ``LICV_INT8_PALLAS=1`` to re-enable the
+    kernel for experiments.  m <= 64: decode steps only — prefill/training
+    matmuls are compute-bound (and may need autodiff, which this kernel does
+    not define)."""
+    import os
+
+    return (
+        os.environ.get("LICV_INT8_PALLAS") == "1"
+        and jax.default_backend() == "tpu"
+        and m % 8 == 0
+        and m <= 64
+        and k % 32 == 0
+        and _pick_tile(n, k) > 0
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
+def int8_matmul_pallas(
+    x: jax.Array,  # (M, K) bf16/f32
+    q: jax.Array,  # (K, N) int8
+    s: jax.Array,  # (1, N) f32
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jax.Array:
+    m, k = x.shape
+    _, n = q.shape
+    nt = _pick_tile(n, k)
+    if nt == 0:
+        raise ValueError(f"untileable int8 matmul shape K={k} N={n}")
+    return pl.pallas_call(
+        _kernel,
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        grid=(n // nt,),
+        in_specs=[
+            pl.BlockSpec((m, k), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, nt), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nt), lambda j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m, nt), lambda j: (0, j), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x.astype(jnp.bfloat16), q, s.astype(jnp.float32))
+
+
+def qdot(x: jax.Array, w, preferred_element_type=None):
+    """``x @ w`` where ``w`` is a plain array OR a ``{"q", "s"}`` quantized
+    leaf.  Leading dims of ``x`` are flattened.  Quantized decode-shaped
+    matmuls take the Pallas kernel; everything else falls back to
+    dequant(+scale-on-output)+dot, which is differentiable."""
+    from .quantize import is_quantized_leaf
+
+    if not is_quantized_leaf(w):
+        return jnp.dot(x, w, preferred_element_type=preferred_element_type)
+    out_dtype = preferred_element_type or x.dtype
+    q, s = w["q"], w["s"]
+    lead = x.shape[:-1]
+    m = 1
+    for d in lead:
+        m *= d
+    if int8_matmul_usable(m, q.shape[0], q.shape[1]):
+        y = int8_matmul_pallas(x.reshape(m, q.shape[0]), q, s, out_dtype=out_dtype)
+        return y.reshape(*lead, q.shape[1])
+    # scale-on-output: per-output-channel scales commute with the contraction,
+    # so the int8->compute-dtype widening feeds the dot without an extra
+    # full-weight f32 multiply pass
+    y = jnp.dot(x, q.astype(x.dtype), preferred_element_type=jnp.float32)
+    return (y * s).astype(out_dtype)

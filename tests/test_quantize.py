@@ -145,3 +145,33 @@ def test_quantized_speculative_cli(tmp_path, monkeypatch):
         ]
     )
     assert any("ICL shot_num" in k for k in result)
+
+
+def test_qdot_matches_dequant_dot():
+    """qdot's scale-on-output schedule == dequant-then-dot (per-output-channel
+    scales commute with the contraction); pallas kernel checked in interpret
+    mode (the real Mosaic lowering is validated by tools/bench_int8_matmul.py
+    on hardware)."""
+    from licv_vqa_tpu.ops.int8_matmul import int8_matmul_pallas, qdot
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 5, 96)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(96, 128)).astype(np.float32)) * 0.02
+    leaf = quantize_array(w)
+    ref = jnp.dot(x, dequantize_tree(leaf, jnp.float32))
+    got = qdot(x, leaf)
+    assert np.allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+    # plain arrays pass straight through
+    assert np.allclose(np.asarray(qdot(x, w)), np.asarray(jnp.dot(x, w)), atol=0)
+    # gradient flows through the fallback (frozen weights, live activations)
+    g = jax.grad(lambda x: jnp.sum(qdot(x, leaf) ** 2))(x)
+    assert np.isfinite(np.asarray(g)).all()
+    # pallas kernel (interpret): same math, 2D decode shape
+    x2 = x[:, 0, :].astype(jnp.bfloat16)  # (2, 96) -> pad m to 8 upstream?
+    x8 = jnp.tile(x2, (4, 1))  # m=8
+    out = int8_matmul_pallas(x8, leaf["q"], leaf["s"], interpret=True)
+    ref8 = jnp.dot(x8.astype(jnp.float32), dequantize_tree(leaf, jnp.float32))
+    rel = np.abs(np.asarray(out, np.float32) - np.asarray(ref8)).max() / (
+        np.abs(np.asarray(ref8)).max() + 1e-9
+    )
+    assert rel < 2e-2, rel
