@@ -76,7 +76,7 @@ class VisionConfig:
     use_pre_norm: bool = True  # CLIP pre-layernorm on embeddings
     use_post_norm: bool = False  # SigLIP post-layernorm on the sequence
     patch_bias: bool = False  # SigLIP conv has a bias, CLIP does not
-    activation: str = "gelu"  # "gelu" | "gelu_tanh"
+    activation: str = "gelu"  # "gelu" | "gelu_tanh" | "quick_gelu"
     dtype: jnp.dtype = jnp.bfloat16
 
     @property

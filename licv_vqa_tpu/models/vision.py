@@ -92,9 +92,12 @@ def _vit_layer(
 
     x2 = L.layer_norm(p["ln2"]["w"], p["ln2"]["b"], h, cfg.norm_eps)
     m = p["mlp"]
-    z = jnp.dot(x2, m["w1"]) + m["b1"]
-    approx = cfg.activation == "gelu_tanh"
-    z = jax.nn.gelu(z.astype(jnp.float32), approximate=approx).astype(h.dtype)
+    z = (jnp.dot(x2, m["w1"]) + m["b1"]).astype(jnp.float32)
+    if cfg.activation == "quick_gelu":  # OpenAI CLIP: x·σ(1.702x)
+        z = z * jax.nn.sigmoid(1.702 * z)
+    else:
+        z = jax.nn.gelu(z, approximate=cfg.activation == "gelu_tanh")
+    z = z.astype(h.dtype)
     h = h + (jnp.dot(z, m["w2"]) + m["b2"]).astype(h.dtype)
     return h
 

@@ -7,9 +7,11 @@ inner-product search is ONE matmul + ``jax.lax.top_k`` on the accelerator
 kept: a ``torch.save`` pickle with the encoded index/test features keyed by
 mode, so caches interoperate with the reference's.
 
-Encoders are pluggable: a transformers CLIP checkpoint from a LOCAL directory
-(``clip_model_path`` / ``$CLIP_CPK_DIR``) when available, else a
-deterministic hash encoder (tests / offline smoke).
+Encoders are pluggable: with a LOCAL CLIP checkpoint directory
+(``$CLIP_CPK_DIR``) the default is the JAX dual encoder (models/clip.py —
+both towers on the accelerator, HF-parity tested); ``RICE_ENCODER=torch``
+selects the transformers host encoder; with no checkpoint, a deterministic
+hash encoder (tests / offline smoke).
 """
 
 from __future__ import annotations
@@ -89,10 +91,106 @@ class ClipEncoder:
         return np.concatenate(out)
 
 
+class JaxClipEncoder:
+    """CLIP dual encoder running on the accelerator (models/clip.py).
+
+    Tokenization/image preprocessing stay host-side via the HF processor
+    (SURVEY.md §2.4 keeps those off-accelerator); both towers run as jitted
+    JAX programs, completing the on-device retrieval story (encode → matmul
+    → ``lax.top_k``)."""
+
+    def __init__(self, model_path: str, batch_size: int = 8):
+        import jax as _jax
+        from transformers import CLIPConfig, CLIPProcessor
+
+        from ..models.clip import (
+            ClipConfig,
+            ClipTextConfig,
+            clip_image_features,
+            clip_text_features,
+            convert_hf_clip,
+        )
+        from ..models.config import VisionConfig
+
+        hf = CLIPConfig.from_pretrained(model_path)
+        cfg = ClipConfig(
+            vision=VisionConfig(
+                image_size=hf.vision_config.image_size,
+                patch_size=hf.vision_config.patch_size,
+                d_model=hf.vision_config.hidden_size,
+                n_layers=hf.vision_config.num_hidden_layers,
+                n_heads=hf.vision_config.num_attention_heads,
+                d_ff=hf.vision_config.intermediate_size,
+                activation="quick_gelu",
+                dtype=jnp.float32,
+            ),
+            text=ClipTextConfig(
+                vocab_size=hf.text_config.vocab_size,
+                max_positions=hf.text_config.max_position_embeddings,
+                d_model=hf.text_config.hidden_size,
+                n_layers=hf.text_config.num_hidden_layers,
+                n_heads=hf.text_config.num_attention_heads,
+                d_ff=hf.text_config.intermediate_size,
+                eos_token_id=hf.text_config.eos_token_id,
+            ),
+            projection_dim=hf.projection_dim,
+        )
+        from ..models.registry import _load_hf_weights
+
+        sd = _load_hf_weights(Path(model_path))
+        if sd is None:
+            raise FileNotFoundError(f"no CLIP weights under {model_path}")
+        self.params = convert_hf_clip(sd, cfg)
+        self.processor = CLIPProcessor.from_pretrained(model_path)
+        self.batch_size = batch_size
+        # params as a traced ARGUMENT, not a closure constant: baked-in
+        # weights bloat the HLO past the axon remote-compile body limit
+        self._img = _jax.jit(lambda p, px: clip_image_features(cfg, p, px))
+        self._txt = _jax.jit(lambda p, ids, m: clip_text_features(cfg, p, ids, m))
+
+    def encode_images(self, images) -> np.ndarray:
+        out = []
+        for i in range(0, len(images), self.batch_size):
+            batch = self.processor(
+                images=list(images[i : i + self.batch_size]), return_tensors="np"
+            )
+            px = np.transpose(batch["pixel_values"], (0, 2, 3, 1))  # NCHW→NHWC
+            out.append(np.asarray(self._img(self.params, jnp.asarray(px))))
+        return np.concatenate(out)
+
+    def encode_texts(self, texts) -> np.ndarray:
+        out = []
+        for i in range(0, len(texts), self.batch_size):
+            batch = self.processor(
+                text=list(texts[i : i + self.batch_size]),
+                return_tensors="np",
+                padding=True,
+                truncation=True,
+            )
+            out.append(
+                np.asarray(
+                    self._txt(
+                        self.params,
+                        jnp.asarray(batch["input_ids"], jnp.int32),
+                        jnp.asarray(batch["attention_mask"], jnp.int32),
+                    )
+                )
+            )
+        return np.concatenate(out)
+
+
 def _default_encoder(batch_size: int):
     path = os.environ.get("CLIP_CPK_DIR")
     if path and Path(path).exists():
-        logger.info("RICE using CLIP encoder from %s", path)
+        backend = os.environ.get("RICE_ENCODER", "jax")
+        if backend == "jax":
+            try:
+                enc = JaxClipEncoder(path, batch_size)
+                logger.info("RICE using JAX CLIP encoder from %s", path)
+                return enc
+            except Exception as e:  # missing weights/processor files
+                logger.warning("RICE: JAX CLIP unavailable (%s) — torch fallback", e)
+        logger.info("RICE using torch CLIP encoder from %s", path)
         return ClipEncoder(path, batch_size)
     logger.warning("RICE: no local CLIP checkpoint — using HashEncoder fallback")
     return HashEncoder()
