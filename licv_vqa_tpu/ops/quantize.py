@@ -42,13 +42,15 @@ def _should_quantize(path: tuple, leaf: Any) -> bool:
         return False
     if not jnp.issubdtype(leaf.dtype, jnp.floating):
         return False
-    name = ""
-    for p in path[::-1]:
-        name = getattr(p, "key", getattr(p, "name", ""))
-        if name:
-            break
+    names = [str(getattr(p, "key", getattr(p, "name", ""))) for p in path]
+    # norm params live under an ``ln*`` dict as {"w","b"} (openflamingo's
+    # gated-xattn ln_attn/ln_ff) — the bare "w" leaf key must not match the
+    # projection patterns below
+    if any(n.startswith("ln") for n in names):
+        return False
+    name = next((n for n in names[::-1] if n), "")
     # quantize the big projections; never norms/gates/latents
-    return str(name).startswith(("w", "fc", "c_proj", "ff_"))
+    return name.startswith(("w", "fc", "c_proj", "ff_"))
 
 
 def quantize_layer_stack(layers: Any) -> Any:

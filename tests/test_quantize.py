@@ -38,6 +38,25 @@ def test_quantize_selects_projections_only():
     assert back["attn"]["wq"].shape == params["layers"]["attn"]["wq"].shape
 
 
+def test_quantize_skips_xattn_layernorm_dicts():
+    """openflamingo's gated-xattn norms are {"w","b"} dicts — the bare "w"
+    leaf key must not be mistaken for a projection (regression: ln_attn.w
+    was int8-quantized, crashing the un-dequantized layer_norm read)."""
+    from licv_vqa_tpu.models.openflamingo import (
+        OpenFlamingoConfig,
+        init_flamingo_xattn_params,
+    )
+
+    cfg = OpenFlamingoConfig.tiny()
+    xp = init_flamingo_xattn_params(jax.random.PRNGKey(0), cfg, 2)
+    q = quantize_layer_stack(xp)
+    assert not is_quantized_leaf(q["ln_attn"]["w"])
+    assert not is_quantized_leaf(q["ln_ff"]["w"])
+    assert is_quantized_leaf(q["wq"])
+    assert is_quantized_leaf(q["wkv"])
+    assert is_quantized_leaf(q["ff_up"])
+
+
 def test_quantized_logits_fidelity_and_decode():
     hf = _tiny_hf_llama()
     cfg = _our_cfg()
