@@ -116,6 +116,7 @@ def decoder_layer(
     icv_row: Optional[jax.Array],  # (D,) scaled icv for this layer, or None
     kv_write: Optional[tuple] = None,  # (k_cache_l, v_cache_l, index) for decode
     flash_valid: Optional[jax.Array] = None,  # (B, S): enables the flash path
+    ring: Optional[tuple] = None,  # (RingSpec, q_pos, k_valid): sp-sharded attn
 ):
     from ..ops.int8_matmul import qdot
 
@@ -154,7 +155,23 @@ def decoder_layer(
         and cfg.attn_logit_softcap is None
         and L.flash_attention_usable(cfg, s, nh, dh)
     )
-    if use_flash:
+    if ring is not None and kv_write is None:
+        # sequence dim sharded over sp: ring attention (parallel/ring.py)
+        from ..parallel.ring import ring_self_attention
+
+        spec, q_pos, k_valid = ring
+        attn = ring_self_attention(
+            spec,
+            q,
+            k_full,
+            v_full,
+            q_pos,
+            k_valid,
+            n_heads_total=nh,
+            alibi=cfg.positional == "alibi",
+            logit_softcap=cfg.attn_logit_softcap,
+        )
+    elif use_flash:
         # local (pre-cache) k/v == the full keys for self-contained blocks
         attn = L.flash_attention_tpu(
             q, L.repeat_kv(k, nh // nkv), L.repeat_kv(v, nh // nkv), flash_valid
@@ -219,18 +236,29 @@ def forward_hidden(
     positions: Optional[jax.Array] = None,
     remat: bool = False,
     prefill_flash: Optional[jax.Array] = None,
+    ring_spec=None,  # parallel.ring.RingSpec: sp-shard the sequence dim
 ) -> tuple[jax.Array, Optional[dict]]:
     """Run the stacked decoder; returns (hidden (B,S,D), new cache or None).
 
     ``prefill_flash``: pass the attention_mask when this cached call is a
-    PREFILL into an empty cache — enables the flash kernel for the block."""
+    PREFILL into an empty cache — enables the flash kernel for the block.
+    ``ring_spec``: no-cache path only — attention goes through
+    ``parallel.ring.ring_self_attention`` and the dense (B,1,S,S) mask /
+    ALiBi bias are never materialized."""
     b, s, d = inputs_embeds.shape
     h = inputs_embeds
+    ring = None
 
     if cache is None:
         if positions is None:
             positions = _positions_from_mask(attention_mask)
-        mask = L.causal_mask(positions, positions, attention_mask.astype(bool))
+        if ring_spec is not None:
+            ring = (ring_spec, positions, attention_mask.astype(bool))
+            mask = None
+        else:
+            mask = L.causal_mask(
+                positions, positions, attention_mask.astype(bool)
+            )
         index = None
     else:
         # decoding s new tokens against the cache
@@ -260,8 +288,11 @@ def forward_hidden(
         bias = None
     else:
         cos = sin = None
-        k_pos = cache_pos if cache is not None else positions
-        bias = L.alibi_bias(cfg.n_heads, positions, k_pos)
+        if ring is not None:
+            bias = None  # ALiBi applied per ring block inside the kernel
+        else:
+            k_pos = cache_pos if cache is not None else positions
+            bias = L.alibi_bias(cfg.n_heads, positions, k_pos)
 
     have_icv = icv_scaled is not None
     flash_valid = attention_mask if cache is None else prefill_flash
@@ -272,7 +303,7 @@ def forward_hidden(
         kv_write = (kv[0], kv[1], index) if cache is not None else None
         h, new_kv = decoder_layer(
             cfg, p, h, cos, sin, mask, bias, icv_arg, kv_write,
-            flash_valid=flash_valid,
+            flash_valid=flash_valid, ring=ring,
         )
         return h, new_kv
 
@@ -318,6 +349,7 @@ def causal_lm_forward(
     positions: Optional[jax.Array] = None,
     remat: bool = False,
     prefill_flash: Optional[jax.Array] = None,
+    ring_spec=None,
 ):
     """Text-only causal LM: returns (logits f32 (B,S,V), new_cache)."""
     embeds = params["embed"][input_ids].astype(cfg.dtype)
@@ -331,5 +363,6 @@ def causal_lm_forward(
         positions=positions,
         remat=remat,
         prefill_flash=prefill_flash,
+        ring_spec=ring_spec,
     )
     return logits_from_hidden(cfg, params, h), new_cache

@@ -331,6 +331,7 @@ def idefics_forward(
     prefill_flash: Optional[jax.Array] = None,
     xattn_kv: Optional[tuple] = None,  # precomputed (G,B,Nk,nh,dh) k/v
     last_logit_only: bool = False,  # decode prefill: skip S-1 lm_head cols
+    ring_spec=None,  # parallel.ring.RingSpec: sp-shard the train forward
 ):
     """Returns (logits f32 (B,S,V), new_cache)."""
     t = cfg.text
@@ -344,7 +345,14 @@ def idefics_forward(
     if cache is None:
         if positions is None:
             positions = _positions_from_mask(attention_mask)
-        mask = L.causal_mask(positions, positions, attention_mask.astype(bool))
+        if ring_spec is not None:
+            ring = (ring_spec, positions, attention_mask.astype(bool))
+            mask = None
+        else:
+            ring = None
+            mask = L.causal_mask(
+                positions, positions, attention_mask.astype(bool)
+            )
         index = None
         cache_pos = cache_valid = None
     else:
@@ -475,7 +483,7 @@ def idefics_forward(
             icv_arg = icv_row if have_icv else None
             h, _ = decoder_layer(
                 cfg.text, p_l, h, cos, sin, mask, None, icv_arg, None,
-                flash_valid=attention_mask,
+                flash_valid=attention_mask, ring=ring,
             )
             return h, None
 
@@ -502,7 +510,7 @@ def make_idefics_forward_fns(cfg: IdeficsConfig, eos_token_id: int, params=None)
     """
     del params
 
-    def train_forward(model_params, inputs, icv_scaled):
+    def train_forward(model_params, inputs, icv_scaled, ring_spec=None):
         latents = encode_images(cfg, model_params, inputs["pixel_values"])
         onehot = image_attention_onehot(
             inputs["input_ids"],
@@ -520,6 +528,7 @@ def make_idefics_forward_fns(cfg: IdeficsConfig, eos_token_id: int, params=None)
             onehot,
             icv_scaled=icv_scaled,
             remat=True,
+            ring_spec=ring_spec,
         )
         return logits
 

@@ -291,6 +291,7 @@ def idefics2_forward(
     remat: bool = False,
     prefill_flash: Optional[jax.Array] = None,
     last_logit_only: bool = False,  # decode prefill: skip S-1 lm_head cols
+    ring_spec=None,
 ):
     embeds = params["embed"][input_ids].astype(cfg.text.dtype)
     if image_latents is not None:
@@ -307,6 +308,7 @@ def idefics2_forward(
         positions=positions,
         remat=remat,
         prefill_flash=prefill_flash,
+        ring_spec=ring_spec,
     )
     if last_logit_only:
         h = h[:, -1:, :]  # left-padded decode prompts: last pos is live
@@ -317,7 +319,7 @@ def make_idefics2_forward_fns(cfg: Idefics2Config, eos_token_id: int, params=Non
     del eos_token_id  # no EOS-dependent image masking for inline tokens
     del params  # weights are explicit args (see idefics.make_idefics_forward_fns)
 
-    def train_forward(model_params, inputs, icv_scaled):
+    def train_forward(model_params, inputs, icv_scaled, ring_spec=None):
         latents = encode_images2(
             cfg,
             model_params,
@@ -335,6 +337,7 @@ def make_idefics2_forward_fns(cfg: Idefics2Config, eos_token_id: int, params=Non
             latents,
             icv_scaled=icv_scaled,
             remat=True,
+            ring_spec=ring_spec,
         )
         return logits
 

@@ -273,17 +273,25 @@ def openflamingo_forward(
     remat: bool = False,
     xattn_kv: Optional[tuple] = None,  # precomputed (G,B,Nk,nh,dh) k/v
     last_logit_only: bool = False,  # decode prefill: skip S-1 lm_head cols
+    ring_spec=None,  # parallel.ring.RingSpec: sp-shard the train forward
 ):
     t = cfg.text
     every = cfg.cross_attn_every_n_layers
     n_groups = t.n_layers // every
     b, s = input_ids.shape
     h = params["embed"][input_ids].astype(t.dtype)
+    ring = None
 
     if cache is None:
         if positions is None:
             positions = _positions_from_mask(attention_mask)
-        mask = L.causal_mask(positions, positions, attention_mask.astype(bool))
+        if ring_spec is not None:
+            ring = (ring_spec, positions, attention_mask.astype(bool))
+            mask = None
+        else:
+            mask = L.causal_mask(
+                positions, positions, attention_mask.astype(bool)
+            )
         index = None
         cache_pos = cache_valid = None
         k_pos = positions
@@ -303,7 +311,8 @@ def openflamingo_forward(
             & written[:, None, :]
         )[:, None, :, :]
         k_pos = cache_pos
-    bias = L.alibi_bias(t.n_heads, positions, k_pos)
+    # with the ring, ALiBi is applied per block inside the kernel
+    bias = None if ring is not None else L.alibi_bias(t.n_heads, positions, k_pos)
 
     n_lat = media_latents.shape[1] // media_onehot.shape[-1]
     xmask = jnp.repeat(media_onehot, n_lat, axis=-1) > 0
@@ -400,7 +409,9 @@ def openflamingo_forward(
     def one_layer(h, xs_l):
         p_l, icv_row = xs_l
         icv_arg = icv_row if have_icv else None
-        h, _ = decoder_layer(t, p_l, h, None, None, mask, bias, icv_arg, None)
+        h, _ = decoder_layer(
+            t, p_l, h, None, None, mask, bias, icv_arg, None, ring=ring
+        )
         return h, None
 
     def group_body(h, xs):
@@ -430,7 +441,7 @@ def make_openflamingo_forward_fns(
 ):
     del params  # weights are explicit args (see idefics.make_idefics_forward_fns)
 
-    def train_forward(model_params, inputs, icv_scaled):
+    def train_forward(model_params, inputs, icv_scaled, ring_spec=None):
         latents = encode_media(cfg, model_params, inputs["pixel_values"])
         onehot = image_attention_onehot(
             inputs["input_ids"],
@@ -447,6 +458,7 @@ def make_openflamingo_forward_fns(
             onehot,
             icv_scaled=icv_scaled,
             remat=True,
+            ring_spec=ring_spec,
         )
         return logits
 

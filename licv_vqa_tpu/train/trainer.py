@@ -20,7 +20,7 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..core.distributed import PreemptionGuard, is_main_process
-from ..core.mesh import AXIS_DP, AXIS_TP, MeshConfig, create_mesh
+from ..core.mesh import AXIS_DP, AXIS_SP, AXIS_TP, MeshConfig, create_mesh
 from ..icv.encoder import GlobalICVEncoder
 from ..icv.module import (
     ICVModuleConfig,
@@ -57,13 +57,39 @@ def _pad_batch_to_multiple(batch, multiple: int):
     return jax.tree.map(pad, batch)
 
 
+def _pad_seq_to_multiple(batch, sp: int, pad_token_id: int):
+    """Right-pad (B, S) token/mask leaves to an sp multiple for even
+    ring-attention shards.  ids pad with ``pad_token_id`` and masks with 0,
+    which is loss-neutral: ``answer_region_mask`` excludes pad ids and
+    attention excludes mask-0 keys.  (With ``mask_ce_padding=false`` the
+    reference-exact CE does see the extra pad columns, same as the
+    reference's own collator padding would.)"""
+    if sp <= 1:
+        return batch
+
+    def pad(path, x):
+        key = getattr(path[-1], "key", "") if path else ""
+        if key not in ("input_ids", "attention_mask") or x.ndim != 2:
+            return x
+        rem = (-x.shape[1]) % sp
+        if rem == 0:
+            return x
+        fill = pad_token_id if key == "input_ids" else 0
+        return np.pad(
+            np.asarray(x), [(0, 0), (0, rem)], constant_values=fill
+        )
+
+    return jax.tree_util.tree_map_with_path(pad, batch)
+
+
 @dataclasses.dataclass
 class TrainerConfig:
     """Mirror of config/trainer/*.yaml (reference override keys kept)."""
 
     devices: int = -1
-    strategy: str = "dp"
+    strategy: str = "dp"  # "dp" | "dp_tp" | "dp_sp" | "dp_tp_sp"
     tp: int = 1
+    sp: int = 1  # sequence parallelism (ring attention over the sp axis)
     precision: str = "bf16-mixed"
     max_epochs: int = 10
     gradient_clip_val: float = 1.0
@@ -115,16 +141,28 @@ class Trainer:
             devices = jax.devices()
             if n not in (-1, 0) and n < len(devices):
                 devices = devices[:n]
-            tp = trainer_cfg.tp if trainer_cfg.strategy == "dp_tp" else 1
-            mesh = create_mesh(MeshConfig(dp=-1, tp=tp), devices)
+            tp = trainer_cfg.tp if "tp" in trainer_cfg.strategy else 1
+            sp = trainer_cfg.sp if "sp" in trainer_cfg.strategy else 1
+            mesh = create_mesh(MeshConfig(dp=-1, tp=tp, sp=sp), devices)
         self.mesh = mesh
         self.repl = NamedSharding(mesh, P())
         self.batch_shard = NamedSharding(mesh, P(AXIS_DP))
+        self.sp = mesh.shape.get(AXIS_SP, 1)
+        if self.sp > 1:
+            # sequence parallelism: the model's train forward runs ring
+            # attention over sp (parallel/ring.py); the spec is static
+            from functools import partial
+
+            from ..parallel.ring import RingSpec
+
+            self.forward_fn = partial(
+                self.forward_fn, ring_spec=RingSpec.from_mesh(mesh)
+            )
         # frozen weights: replicated under plain dp; Megatron column/row
         # tp-sharded under strategy=dp_tp (parallel/sharding.py rules) — the
         # 32-layer 9B flagship exceeds one v5e's HBM in bf16, so tp is a
         # load-bearing capability, not an option.
-        if trainer_cfg.strategy == "dp_tp" and mesh.shape.get(AXIS_TP, 1) > 1:
+        if "tp" in trainer_cfg.strategy and mesh.shape.get(AXIS_TP, 1) > 1:
             from ..parallel.sharding import param_specs
 
             shardings = jax.tree.map(
@@ -135,6 +173,22 @@ class Trainer:
             self.model_params = jax.device_put(model_params, shardings)
         else:
             self.model_params = jax.device_put(model_params, self.repl)
+
+    # ------------------------------------------------------------------
+    def _shard_batch(self, batch):
+        """dp-shard the batch; with sp>1, token/mask seq dims also sp-shard
+        (the ring's shard_map requires the layout its in_specs name)."""
+        if self.sp <= 1:
+            return jax.device_put(batch, self.batch_shard)
+        seq = NamedSharding(self.mesh, P(AXIS_DP, AXIS_SP))
+
+        def put(path, x):
+            key = getattr(path[-1], "key", "") if path else ""
+            if key in ("input_ids", "attention_mask") and x.ndim == 2:
+                return jax.device_put(x, seq)
+            return jax.device_put(x, self.batch_shard)
+
+        return jax.tree_util.tree_map_with_path(put, batch)
 
     # ------------------------------------------------------------------
     def fit(
@@ -211,7 +265,8 @@ class Trainer:
                     profiler_ctx = trace(run_dir / "profile")
                     profiler_ctx.__enter__()
                 batch = _pad_batch_to_multiple(batch, self.mesh.shape[AXIS_DP])
-                batch = jax.device_put(batch, self.batch_shard)
+                batch = _pad_seq_to_multiple(batch, self.sp, self.pad_token_id)
+                batch = self._shard_batch(batch)
                 state, metrics = step_fn(state, self.model_params, batch)
                 micro_step += 1
                 timer.tick()

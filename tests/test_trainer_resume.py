@@ -35,7 +35,7 @@ class SyntheticICVDataset:
         }
 
 
-def _trainer(tmp_path, max_epochs=2, ckpt_every=2, strategy="dp", tp=1):
+def _trainer(tmp_path, max_epochs=2, ckpt_every=2, strategy="dp", tp=1, sp=1):
     import jax
     from licv_vqa_tpu.models.idefics import (
         IdeficsConfig,
@@ -55,6 +55,7 @@ def _trainer(tmp_path, max_epochs=2, ckpt_every=2, strategy="dp", tp=1):
         limit_train_batches=2,
         strategy=strategy,
         tp=tp,
+        sp=sp,
     )
     trainer = Trainer(
         tcfg,
@@ -116,6 +117,25 @@ def test_dp_tp_fit_shards_frozen_weights(tmp_path):
     state_dp = trainer_dp.fit(loader_dp, tmp_path / "run_dp", lmm_args={})
     np.testing.assert_allclose(
         np.asarray(state_tp.params["encoder"]["icv"]),
+        np.asarray(state_dp.params["encoder"]["icv"]),
+        rtol=2e-4,
+        atol=2e-6,
+    )
+
+
+def test_dp_sp_fit_matches_dp(tmp_path):
+    """strategy=dp_sp runs ring attention over sp=4 (seq dims padded to an
+    sp multiple, token/mask leaves sp-sharded) and matches plain dp."""
+    from licv_vqa_tpu.core.mesh import AXIS_SP
+
+    trainer, loader = _trainer(tmp_path, max_epochs=1, strategy="dp_sp", sp=4)
+    assert trainer.mesh.shape[AXIS_SP] == 4
+    state_sp = trainer.fit(loader, tmp_path / "run_sp", lmm_args={})
+
+    trainer_dp, loader_dp = _trainer(tmp_path, max_epochs=1)
+    state_dp = trainer_dp.fit(loader_dp, tmp_path / "run_dp2", lmm_args={})
+    np.testing.assert_allclose(
+        np.asarray(state_sp.params["encoder"]["icv"]),
         np.asarray(state_dp.params["encoder"]["icv"]),
         rtol=2e-4,
         atol=2e-6,
