@@ -99,10 +99,37 @@ class StepCheckpointer:
             ),
         )
 
-    def save(self, step: int, state: Any) -> None:
+    def save(
+        self, step: int, state: Any, loader_state: Optional[bytes] = None
+    ) -> None:
         self.manager.save(
             step, args=self._ocp.args.StandardSave(jax.tree.map(np.asarray, state))
         )
+        if loader_state is not None:
+            # per-host side channel (each host owns its input-iterator state);
+            # lets a preempted run resume the EXACT remaining sample order
+            path = self.directory / self._loader_name(step)
+            tmp = path.with_suffix(".tmp")
+            tmp.write_bytes(loader_state)
+            tmp.rename(path)
+            self._prune_loader_states()
+
+    def _loader_name(self, step: int) -> str:
+        return f"loader_{step}_p{jax.process_index()}.bin"
+
+    def _prune_loader_states(self) -> None:
+        kept = set(self.manager.all_steps())
+        for p in self.directory.glob("loader_*_p*.bin"):
+            try:
+                step = int(p.name.split("_")[1])
+            except (IndexError, ValueError):
+                continue
+            if step not in kept:
+                p.unlink(missing_ok=True)
+
+    def restore_loader_state(self, step: int) -> Optional[bytes]:
+        path = self.directory / self._loader_name(step)
+        return path.read_bytes() if path.exists() else None
 
     def latest_step(self) -> Optional[int]:
         return self.manager.latest_step()

@@ -56,8 +56,10 @@ class GrainDataLoader:
         self.num_workers = num_workers
         self.collate_fn = collate_fn
         self.epoch = 0
+        self._cur_epoch = 0  # epoch whose seed built the CURRENT pipeline
         self._iter_ds = self._build(seed)
         self._it = None
+        self._restored_it = None
 
     def _build(self, seed: int):
         gp = self._gp
@@ -84,7 +86,14 @@ class GrainDataLoader:
         return per_epoch * (self.num_epochs or 1)
 
     def __iter__(self):
+        if self._restored_it is not None:
+            # resume: hand out the mid-epoch iterator restored by set_state
+            # exactly once, then fall back to per-epoch rebuilds
+            it, self._restored_it = self._restored_it, None
+            self._it = it
+            return it
         # fresh shuffle order per epoch (matches the threaded loader)
+        self._cur_epoch = self.epoch
         self._iter_ds = self._build(self.seed + self.epoch)
         self.epoch += 1
         self._it = iter(self._iter_ds)
@@ -98,12 +107,24 @@ class GrainDataLoader:
         return self._it
 
     def get_state(self) -> bytes | None:
+        """Serialized (epoch, grain iterator state) captured mid-epoch, or
+        None when nothing is in flight.  Feed to ``set_state`` on a fresh
+        loader with the same config to replay the exact remaining order."""
         it = self._it
-        if it is not None and hasattr(it, "get_state"):
-            return it.get_state()
-        return None
+        if it is None or not hasattr(it, "get_state"):
+            return None
+        import pickle
 
-    def set_state(self, state) -> None:
-        it = self.iterator()
-        if hasattr(it, "set_state"):
-            it.set_state(state)
+        return pickle.dumps({"epoch": self._cur_epoch, "it": it.get_state()})
+
+    def set_state(self, state: bytes) -> None:
+        import pickle
+
+        d = pickle.loads(state)
+        self._cur_epoch = int(d["epoch"])
+        self._iter_ds = self._build(self.seed + self._cur_epoch)
+        it = iter(self._iter_ds)
+        it.set_state(d["it"])
+        self.epoch = self._cur_epoch + 1
+        self._restored_it = it
+        self._it = it

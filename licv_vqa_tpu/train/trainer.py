@@ -223,8 +223,16 @@ class Trainer:
         run_dir = Path(run_dir)
         ckpt = StepCheckpointer(run_dir / "steps")
         resume_step, state = ckpt.restore(state)
+        restored_loader = False
         if resume_step is not None:
             logger.info("resumed from step checkpoint %d", resume_step)
+            loader_state = ckpt.restore_loader_state(resume_step)
+            if loader_state is not None and hasattr(loader, "set_state"):
+                # checkpointable loader (grain): replay the exact remaining
+                # mid-epoch sample order
+                loader.set_state(loader_state)
+                restored_loader = True
+                logger.info("restored input-iterator state")
 
         step_fn = jax.jit(
             make_train_step(
@@ -244,12 +252,31 @@ class Trainer:
         timer = StepTimer()
         profiler_ctx = None
         guard = PreemptionGuard()
-        for epoch in range(cfg.max_epochs):
+
+        def loader_snapshot():
+            return loader.get_state() if hasattr(loader, "get_state") else None
+
+        # deterministic resume: continue at the exact epoch/batch the restored
+        # step corresponds to.  Checkpointable loaders resume via their saved
+        # iterator state; otherwise the per-epoch shuffle is seed-determined
+        # and already-seen batches fast-forward.
+        epoch_start = micro_step // steps_per_epoch if steps_per_epoch else 0
+        skip_batches = micro_step % steps_per_epoch if steps_per_epoch else 0
+        if not restored_loader and epoch_start and hasattr(loader, "epoch"):
+            # per-epoch shuffles are seeded seed+epoch off the loader's own
+            # counter; a fresh post-restart loader must jump to the resume
+            # epoch to reproduce the same orders
+            loader.epoch = epoch_start
+        for epoch in range(min(epoch_start, cfg.max_epochs), cfg.max_epochs):
             if done:
                 break
+            offset = skip_batches if epoch == epoch_start else 0
+            limit = steps_per_epoch - (offset if restored_loader else 0)
             for bi, batch in enumerate(loader):
-                if bi >= steps_per_epoch:
+                if bi >= limit:
                     break
+                if not restored_loader and epoch == epoch_start and bi < offset:
+                    continue  # fast-forward through already-trained batches
                 if micro_step >= total_micro:
                     done = True
                     break
@@ -258,7 +285,7 @@ class Trainer:
                         "preemption requested — checkpointing at micro %d",
                         micro_step,
                     )
-                    ckpt.save(micro_step, state)
+                    ckpt.save(micro_step, state, loader_state=loader_snapshot())
                     done = True
                     break
                 if cfg.profile_steps > 0 and micro_step == 2:
@@ -304,7 +331,7 @@ class Trainer:
                     # (the manager coordinates who writes), matching restore
                     # above and the preemption save — a rank gate here would
                     # desynchronize hosts after resume on non-shared storage.
-                    ckpt.save(micro_step, state)
+                    ckpt.save(micro_step, state, loader_state=loader_snapshot())
         if profiler_ctx is not None:
             profiler_ctx.__exit__(None, None, None)
         ckpt.wait()

@@ -123,6 +123,115 @@ def test_dp_tp_fit_shards_frozen_weights(tmp_path):
     )
 
 
+class RecordingLoader:
+    """Wraps a loader, recording the input_ids bytes of every yielded batch
+    (order-sensitive fingerprint for deterministic-resume assertions)."""
+
+    def __init__(self, inner):
+        self.inner = inner
+        self.fingerprints = []
+        if hasattr(inner, "get_state"):
+            self.get_state = inner.get_state
+            self.set_state = inner.set_state
+
+    def __len__(self):
+        return len(self.inner)
+
+    @property
+    def epoch(self):
+        return self.inner.epoch
+
+    @epoch.setter
+    def epoch(self, v):
+        self.inner.epoch = v
+
+    def __iter__(self):
+        for b in self.inner:
+            self.fingerprints.append(
+                np.asarray(b["query_inputs"]["input_ids"]).tobytes()
+            )
+            yield b
+
+
+def _recording_trainer(tmp_path, loader_kind="threads", **kw):
+    trainer, _ = _trainer(tmp_path, **kw)
+    # a 4-sample dataset makes the natural epoch (2 batches at bs=2) equal
+    # limit_train_batches, so the trainer never pulls an extra batch past the
+    # per-epoch limit and the recorded order is exactly the trained order
+    ds = SyntheticICVDataset(n=4)
+    proc = PromptProcessor(
+        WhitespaceTokenizer(), ImageTransform(28), family="idefics",
+        pad_to_multiple=8,
+    )
+    # the toy tokenizer builds vocab first-seen: prewarm it in INDEX order so
+    # token ids are identical regardless of the shuffle order each run sees
+    for i in range(len(ds)):
+        for piece in (p for k in ("ice_prompt", "query_prompt", "query_x")
+                      for p in ds[i][k]):
+            if isinstance(piece, str):
+                proc.tokenizer.encode(piece)
+    collate = functools.partial(collate_icv_batch, processor=proc)
+    if loader_kind == "grain":
+        pytest.importorskip("grain.python")
+        from licv_vqa_tpu.train.grain_loader import GrainDataLoader
+
+        loader = GrainDataLoader(
+            ds, batch_size=2, collate_fn=collate, num_workers=0, seed=0
+        )
+    else:
+        from licv_vqa_tpu.train.loader import DataLoader as ThreadedLoader
+
+        loader = ThreadedLoader(ds, batch_size=2, collate_fn=collate,
+                                num_workers=1)
+    rec = RecordingLoader(loader)
+    return trainer, rec
+
+
+@pytest.mark.parametrize("loader_kind", ["threads", "grain"])
+def test_resume_replays_exact_data_order(tmp_path, loader_kind):
+    """Deterministic mid-epoch resume: a run preempted at micro-step K and
+    resumed must see exactly the batches the uninterrupted run saw from K on
+    (the reference restarts data from scratch; SURVEY §5.4), reproducing the
+    SAME final ICV.  Threads path: seed+epoch fast-forward; grain path:
+    restored iterator state."""
+    import shutil
+
+    # full 2-epoch run with a checkpoint at every step: 4 micro steps over
+    # epochs of 2 limited batches each
+    t1, rec1 = _recording_trainer(
+        tmp_path, loader_kind, max_epochs=2, ckpt_every=1
+    )
+    run_dir = tmp_path / ("run_" + loader_kind)
+    state_full = t1.fit(rec1, run_dir, lmm_args={})
+    assert len(rec1.fingerprints) == 4
+    icv_full = np.asarray(state_full.params["encoder"]["icv"])
+
+    # simulate preemption right after micro-step 3 (MID epoch 1): drop the
+    # later checkpoint so step 3 is the latest (orbax keeps 2, 3, 4)
+    shutil.rmtree(run_dir / "steps" / "4")
+    shutil.rmtree(run_dir / "steps" / "2")
+
+    t2, rec2 = _recording_trainer(
+        tmp_path, loader_kind, max_epochs=2, ckpt_every=100
+    )
+    state_res = t2.fit(rec2, run_dir, lmm_args={})
+    assert int(np.asarray(state_res.step)) == 4
+
+    if loader_kind == "grain":
+        # restored iterator yields ONLY the remaining batch of epoch 1
+        assert rec2.fingerprints == rec1.fingerprints[3:]
+    else:
+        # fast-forward consumes-but-skips e1b0, then trains e1b1: the loader
+        # must have reproduced epoch 1's exact shuffle
+        assert rec2.fingerprints == rec1.fingerprints[2:]
+
+    # same remaining data + restored optimizer state == same final ICV
+    np.testing.assert_allclose(
+        np.asarray(state_res.params["encoder"]["icv"]), icv_full,
+        rtol=1e-6, atol=1e-8,
+    )
+
+
 def test_dp_sp_fit_matches_dp(tmp_path):
     """strategy=dp_sp runs ring attention over sp=4 (seq dims padded to an
     sp multiple, token/mask leaves sp-sharded) and matches plain dp."""
