@@ -8,13 +8,16 @@ is accepted plus the target's own correction token.  Outputs are
 bit-identical to plain greedy decoding by construction; draft quality only
 determines how much target work is amortized per emitted token.
 
-Acceptance is LOCKSTEP across the batch (the shared scalar cache index
-advances by the minimum accepted count): conservative for ragged batches,
-optimal at the reference's eval batch size of 1.
+Acceptance is PER-ROW by default: each batch row advances by its own
+accepted count, tracked by a per-row ``(B,)`` cache index
+(``models.decoder.decode_cache_view`` handles both scalar and vector
+indices).  ``lockstep=True`` restores the round-1 behavior (the shared
+scalar index advances by the batch minimum — same outputs, more verify
+rounds on ragged batches).
 
 Cache invariant at the top of every loop iteration: both caches hold KV for
-``prompt + out[0 .. n_out-2]`` — i.e. ``index = S + n_out - 1`` — so
-verification writes ``gamma`` rows and the index rolls back to
+``prompt + out[0 .. n_out-2]`` — i.e. ``index = S + n_out - 1`` (per row) —
+so verification writes ``gamma`` rows and each row's index rolls back to
 ``index - gamma + n_emit``; rejected rows are overwritten later.
 """
 
@@ -37,6 +40,7 @@ def speculative_greedy_generate(
     eos_token_id: int,
     pad_token_id: int,
     gamma: int = 4,
+    lockstep: bool = False,
 ) -> jax.Array:
     """Returns (B, S + max_new_tokens); equals greedy_generate token-for-token."""
     b, s = input_ids.shape
@@ -44,16 +48,23 @@ def speculative_greedy_generate(
 
     t_logits, t_cache = target_fwd(input_ids, attention_mask, positions, None)
     _, d_cache = draft_fwd(input_ids, attention_mask, positions, None)
+    if not lockstep:
+        # per-row indices from here on: rows accept independently
+        t_cache = dict(t_cache, index=jnp.full((b,), t_cache["index"], jnp.int32))
+        d_cache = dict(d_cache, index=jnp.full((b,), d_cache["index"], jnp.int32))
     first = jnp.argmax(t_logits[:, -1, :].astype(jnp.float32), -1).astype(jnp.int32)
     base_pos = positions[:, -1] + 1  # position of out[0], per row
 
     out = jnp.full((b, max_new_tokens), pad_token_id, jnp.int32)
     out = out.at[:, 0].set(first)
     finished0 = first == eos_token_id
+    n_out0 = jnp.full((b,) if not lockstep else (), 1, jnp.int32)
+
+    rows = jnp.arange(b, dtype=jnp.int32)
 
     def cond(carry):
         _, n_out, _, _, _, finished = carry
-        return (n_out < max_new_tokens) & ~jnp.all(finished)
+        return jnp.any((n_out < max_new_tokens) & ~finished)
 
     def body(carry):
         out, n_out, t_cache, d_cache, last_tok, finished = carry
@@ -74,34 +85,37 @@ def speculative_greedy_generate(
 
         # ---- target verifies the block in one forward ----------------------
         block = jnp.concatenate([last_tok[:, None], drafts[:, :-1]], axis=1)
-        pos = base_pos[:, None] + n_out - 1 + jnp.arange(gamma)[None, :]
+        pos = (base_pos + n_out - 1)[:, None] + jnp.arange(gamma)[None, :]
         t_logits, t_cache = target_fwd(
             block, jnp.ones((b, gamma), jnp.int32), pos, t_cache
         )
         t_pred = jnp.argmax(t_logits.astype(jnp.float32), -1).astype(jnp.int32)
 
-        # per-row agreeing prefix; finished rows don't limit the batch
+        # per-row agreeing prefix
         prefix = jnp.cumprod((t_pred == drafts).astype(jnp.int32), axis=1)
         n_acc = jnp.where(finished, gamma, prefix.sum(axis=1))
-        a = jnp.min(n_acc)  # lockstep acceptance
+        if lockstep:
+            a = jnp.min(n_acc)  # scalar: the batch advances together
+        else:
+            a = n_acc  # (B,): each row advances by its own prefix
 
         # emit a accepted drafts + (if a < gamma) the target's correction
         n_emit = jnp.minimum(
             jnp.where(a < gamma, a + 1, gamma), max_new_tokens - n_out
         )
-        safe_a = jnp.minimum(a, gamma - 1)
-        correction = t_pred[jnp.arange(b), safe_a]  # greedy token after prefix
+        safe_a = jnp.minimum(a, gamma - 1)  # scalar or (B,) — both gather fine
+        correction = t_pred[rows, safe_a]  # greedy token after the prefix
 
         def emit_one(carry, i):
             out, finished, last_tok = carry
             tok = jnp.where(i < a, drafts[:, i], correction)
             tok = jnp.where(finished, pad_token_id, tok)
-            write = i < n_emit
-
-            def do_write(o):
-                return jax.lax.dynamic_update_slice(o, tok[:, None], (0, n_out + i))
-
-            out = jax.lax.cond(write, do_write, lambda o: o, out)
+            write = (i < n_emit) & (n_out + i < max_new_tokens)
+            col = jnp.clip(n_out + i, 0, max_new_tokens - 1)
+            if col.ndim == 0:
+                col = jnp.full((b,), col, jnp.int32)
+            cur = out[rows, col]
+            out = out.at[rows, col].set(jnp.where(write, tok, cur))
             last_tok = jnp.where(write & ~finished, tok, last_tok)
             finished = finished | (write & (tok == eos_token_id))
             return (out, finished, last_tok), None
@@ -116,6 +130,6 @@ def speculative_greedy_generate(
         d_cache = dict(d_cache, index=commit)
         return (out, n_out + n_emit, t_cache, d_cache, last_tok, finished)
 
-    carry = (out, jnp.asarray(1, jnp.int32), t_cache, d_cache, first, finished0)
+    carry = (out, n_out0, t_cache, d_cache, first, finished0)
     out_final = jax.lax.while_loop(cond, body, carry)[0]
     return jnp.concatenate([input_ids, out_final], axis=1)

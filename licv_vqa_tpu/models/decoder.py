@@ -105,6 +105,54 @@ def _norm(cfg: DecoderConfig, w, b, x):
     return L.layer_norm(w, b, x, cfg.norm_eps)
 
 
+def decode_cache_view(cache: dict, positions: jax.Array, attention_mask, s: int):
+    """Bookkeeping for decoding ``s`` new tokens against a cache.
+
+    ``cache["index"]`` is a SCALAR for lockstep decode (greedy/beam: all rows
+    advance together) or a ``(B,)`` vector when rows advance independently
+    (per-row speculative acceptance — each row's accepted prefix length
+    differs).  Returns ``(mask, cache_pos, cache_valid)`` with the new-token
+    columns written at each row's index.
+    """
+    index = cache["index"]
+    max_len = cache["k"].shape[2]
+    ar = jnp.arange(max_len, dtype=jnp.int32)
+    valid_new = attention_mask.astype(bool)
+    if index.ndim == 0:
+        cache_pos = jax.lax.dynamic_update_slice(
+            cache["pos"], positions.astype(jnp.int32), (0, index)
+        )
+        cache_valid = jax.lax.dynamic_update_slice(
+            cache["valid"], valid_new, (0, index)
+        )
+        written = (ar[None, :] < (index + s))
+    else:
+        b = positions.shape[0]
+        col = index[:, None] + jnp.arange(s, dtype=jnp.int32)[None, :]
+        rows = jnp.arange(b, dtype=jnp.int32)[:, None]
+        cache_pos = cache["pos"].at[rows, col].set(positions.astype(jnp.int32))
+        cache_valid = cache["valid"].at[rows, col].set(valid_new)
+        written = ar[None, :] < (index[:, None] + s)
+    mask = (
+        (cache_pos[:, None, :] <= positions[:, :, None])
+        & cache_valid[:, None, :]
+        & written[:, None, :]
+    )[:, None, :, :]
+    return mask, cache_pos, cache_valid
+
+
+def write_kv_cache(k_cache, v_cache, k, v, index):
+    """Write s new K/V rows at ``index`` (scalar or per-row (B,))."""
+    if index.ndim == 0:
+        k_cache = jax.lax.dynamic_update_slice(k_cache, k, (0, index, 0, 0))
+        v_cache = jax.lax.dynamic_update_slice(v_cache, v, (0, index, 0, 0))
+        return k_cache, v_cache
+    b, s = k.shape[:2]
+    col = index[:, None] + jnp.arange(s, dtype=jnp.int32)[None, :]
+    rows = jnp.arange(b, dtype=jnp.int32)[:, None]
+    return k_cache.at[rows, col].set(k), v_cache.at[rows, col].set(v)
+
+
 def decoder_layer(
     cfg: DecoderConfig,
     p: dict,  # single layer's params (no leading L)
@@ -136,8 +184,7 @@ def decoder_layer(
 
     if kv_write is not None:
         k_cache, v_cache, index = kv_write
-        k_cache = jax.lax.dynamic_update_slice(k_cache, k, (0, index, 0, 0))
-        v_cache = jax.lax.dynamic_update_slice(v_cache, v, (0, index, 0, 0))
+        k_cache, v_cache = write_kv_cache(k_cache, v_cache, k, v, index)
         k_full, v_full = k_cache, v_cache
         new_kv = (k_cache, v_cache)
     else:
@@ -265,23 +312,9 @@ def forward_hidden(
         index = cache["index"]
         if positions is None:
             raise ValueError("positions required when decoding with a cache")
-        max_len = cache["k"].shape[2]
-        step_idx = index + jnp.arange(s, dtype=jnp.int32)
-        cache_pos = jax.lax.dynamic_update_slice(
-            cache["pos"], positions.astype(jnp.int32), (0, index)
+        mask, cache_pos, cache_valid = decode_cache_view(
+            cache, positions, attention_mask, s
         )
-        cache_valid = jax.lax.dynamic_update_slice(
-            cache["valid"], attention_mask.astype(bool), (0, index)
-        )
-        # a key is visible if valid, already written, and position <= query's
-        written = (
-            jnp.arange(max_len, dtype=jnp.int32)[None, :] < (index + s)
-        )  # (1, max_len)
-        mask = (
-            (cache_pos[:, None, :] <= positions[:, :, None])
-            & cache_valid[:, None, :]
-            & written[:, None, :]
-        )[:, None, :, :]
 
     if cfg.positional == "rope":
         cos, sin = L.rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)

@@ -359,19 +359,11 @@ def idefics_forward(
         index = cache["index"]
         if positions is None:
             raise ValueError("positions required when decoding with a cache")
-        max_len = cache["k"].shape[2]
-        cache_pos = jax.lax.dynamic_update_slice(
-            cache["pos"], positions.astype(jnp.int32), (0, index)
+        from .decoder import decode_cache_view
+
+        mask, cache_pos, cache_valid = decode_cache_view(
+            cache, positions, attention_mask, s
         )
-        cache_valid = jax.lax.dynamic_update_slice(
-            cache["valid"], attention_mask.astype(bool), (0, index)
-        )
-        written = jnp.arange(max_len, dtype=jnp.int32)[None, :] < (index + s)
-        mask = (
-            (cache_pos[:, None, :] <= positions[:, :, None])
-            & cache_valid[:, None, :]
-            & written[:, None, :]
-        )[:, None, :, :]
 
     cos, sin = L.rope_cos_sin(positions, t.head_dim, t.rope_theta)
 

@@ -297,19 +297,11 @@ def openflamingo_forward(
         k_pos = positions
     else:
         index = cache["index"]
-        max_len = cache["k"].shape[2]
-        cache_pos = jax.lax.dynamic_update_slice(
-            cache["pos"], positions.astype(jnp.int32), (0, index)
+        from .decoder import decode_cache_view
+
+        mask, cache_pos, cache_valid = decode_cache_view(
+            cache, positions, attention_mask, s
         )
-        cache_valid = jax.lax.dynamic_update_slice(
-            cache["valid"], attention_mask.astype(bool), (0, index)
-        )
-        written = jnp.arange(max_len, dtype=jnp.int32)[None, :] < (index + s)
-        mask = (
-            (cache_pos[:, None, :] <= positions[:, :, None])
-            & cache_valid[:, None, :]
-            & written[:, None, :]
-        )[:, None, :, :]
         k_pos = cache_pos
     # with the ring, ALiBi is applied per block inside the kernel
     bias = None if ring is not None else L.alibi_bias(t.n_heads, positions, k_pos)

@@ -47,8 +47,12 @@ def _prompts(rng, bs, s=10):
     return jnp.asarray(ids), jnp.asarray(mask)
 
 
+@pytest.mark.parametrize("lockstep", [False, True], ids=["per_row", "lockstep"])
 @pytest.mark.parametrize("bs,gamma,draft_k", [(1, 4, 2), (3, 4, 2), (1, 2, 4), (2, 3, 1)])
-def test_speculative_equals_greedy(bs, gamma, draft_k):
+def test_speculative_equals_greedy(bs, gamma, draft_k, lockstep):
+    """Both acceptance modes must equal plain greedy exactly: per-row (each
+    row's cache index advances by its own accepted prefix) and lockstep
+    (shared scalar index, batch-minimum advance)."""
     hf = _tiny_hf_llama()
     cfg = _our_cfg()
     params = convert_llama(hf_state_dict(hf), cfg, dtype=jnp.float32)
@@ -68,6 +72,7 @@ def test_speculative_equals_greedy(bs, gamma, draft_k):
             _fwd(dcfg, dparams),
             ids, mask,
             max_new_tokens=12, eos_token_id=EOS, pad_token_id=PAD, gamma=gamma,
+            lockstep=lockstep,
         )
     )
     np.testing.assert_array_equal(got, want)
