@@ -37,19 +37,20 @@ BASELINE_TOKENS_PER_SEC = 15.0
 PROMPT_LEN = 64
 MAX_NEW = 32
 
-# (n_layers, quantize, batch, per-variant wall-clock budget seconds), in order.
+# (n_layers, quantize, batch, kv8, per-variant budget seconds), in order.
 # 16L bf16 measured good on hardware in round 1 (486 tok/s) → banked first;
 # 32L int8 is the flagship full depth on one v5e (425.8 tok/s at bs=8);
-# bs=32 amortizes the per-step weight stream 4× (serving-throughput headline).
+# bs=32 + int8 KV cache amortizes the weight stream 4× and halves cache
+# traffic (serving-throughput headline: 973.1 tok/s/chip measured on v5e).
 VARIANTS = (
-    (16, False, 8, int(os.environ.get("BENCH_BUDGET_V0", 720))),
-    (32, True, 8, int(os.environ.get("BENCH_BUDGET_V1", 720))),
-    (32, True, 32, int(os.environ.get("BENCH_BUDGET_V2", 600))),
-    (8, False, 8, int(os.environ.get("BENCH_BUDGET_V3", 300))),
+    (16, False, 8, False, int(os.environ.get("BENCH_BUDGET_V0", 720))),
+    (32, True, 8, False, int(os.environ.get("BENCH_BUDGET_V1", 720))),
+    (32, True, 32, True, int(os.environ.get("BENCH_BUDGET_V2", 600))),
+    (8, False, 8, False, int(os.environ.get("BENCH_BUDGET_V3", 300))),
 )
 
 
-def build(n_layers: int, quantize: bool = False):
+def build(n_layers: int, quantize: bool = False, kv8: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -62,7 +63,11 @@ def build(n_layers: int, quantize: bool = False):
     cfg9 = IdeficsConfig.idefics_9b()
     cfg = dataclasses.replace(
         cfg9,
-        text=dataclasses.replace(cfg9.text, n_layers=n_layers),
+        text=dataclasses.replace(
+            cfg9.text,
+            n_layers=n_layers,
+            kv_cache_dtype="int8" if kv8 else "bf16",
+        ),
     )
 
     # ONE compiled program for the whole init (+ on-device quantization):
@@ -82,13 +87,13 @@ def build(n_layers: int, quantize: bool = False):
     return cfg, params, bind_decode
 
 
-def run(n_layers: int, quantize: bool = False, bs: int = 8) -> dict:
+def run(n_layers: int, quantize: bool = False, bs: int = 8, kv8: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
 
     from licv_vqa_tpu.infer.decode import greedy_generate
 
-    cfg, params, bind_decode = build(n_layers, quantize=quantize)
+    cfg, params, bind_decode = build(n_layers, quantize=quantize, kv8=kv8)
     rng = np.random.default_rng(0)
     ids = rng.integers(3, 32000, size=(bs, PROMPT_LEN)).astype(np.int32)
     ids[:, 1] = cfg.image_token_id
@@ -128,7 +133,7 @@ def run(n_layers: int, quantize: bool = False, bs: int = 8) -> dict:
         sync(gen(*args))
     dt = (time.perf_counter() - t0) / reps
     tok_per_sec = bs * MAX_NEW / dt
-    variant = "int8w" if quantize else "bf16"
+    variant = ("int8w" if quantize else "bf16") + ("_kv8" if kv8 else "")
 
     # Roofline: greedy decode is HBM-bandwidth bound — every decoder/xattn
     # weight byte is read once per STEP (amortized over the batch), plus the
@@ -147,7 +152,9 @@ def run(n_layers: int, quantize: bool = False, bs: int = 8) -> dict:
         for l in jax.tree.leaves(params[key], is_leaf=is_quantized_leaf)
     )
     cache_len = PROMPT_LEN + MAX_NEW + 1
-    kv_bytes = n_layers * bs * cache_len * 32 * 128 * 2 * 2  # k+v bf16
+    # k+v per (token, head): 128 dims × (1B int8 + 4B scale | 2B bf16)
+    per_head = 128 * 1 + 4 if kv8 else 128 * 2
+    kv_bytes = n_layers * bs * cache_len * 32 * per_head * 2
     hbm_gbps = 819.0
     ceiling = bs * hbm_gbps * 1e9 / (stream_bytes + kv_bytes)
     return {
@@ -163,25 +170,33 @@ def run(n_layers: int, quantize: bool = False, bs: int = 8) -> dict:
 
 
 def _child(spec: str) -> None:
-    """Run one variant ('<layers>:<int8|bf16>[:bs<N>]'), print its JSON line."""
+    """Run one variant ('<layers>:<int8|bf16>[:bs<N>][:kv8]'); print JSON."""
     parts = spec.split(":")
     n_layers, kind = parts[0], parts[1]
-    bs = int(parts[2][2:]) if len(parts) > 2 else 8
-    result = run(int(n_layers), quantize=(kind == "int8"), bs=bs)
+    bs = 8
+    kv8 = False
+    for p in parts[2:]:
+        if p.startswith("bs"):
+            bs = int(p[2:])
+        elif p == "kv8":
+            kv8 = True
+    result = run(int(n_layers), quantize=(kind == "int8"), bs=bs, kv8=kv8)
     print(json.dumps(result), flush=True)
 
 
 def main() -> None:
     deadline = time.monotonic() + float(os.environ.get("BENCH_BUDGET_S", 1560))
     banked = 0
-    for n_layers, quantize, bs, budget in VARIANTS:
+    for n_layers, quantize, bs, kv8, budget in VARIANTS:
         if banked and quantize is False:
             continue  # smaller bf16 fallbacks add nothing once one is banked
         remaining = deadline - time.monotonic()
         if remaining < 60:
             print("bench: global budget exhausted, stopping", file=sys.stderr)
             break
-        spec = f"{n_layers}:{'int8' if quantize else 'bf16'}:bs{bs}"
+        spec = f"{n_layers}:{'int8' if quantize else 'bf16'}:bs{bs}" + (
+            ":kv8" if kv8 else ""
+        )
         t0 = time.monotonic()
         try:
             proc = subprocess.run(

@@ -107,7 +107,8 @@ def _cache_map_batch(cache: Any, fn: Callable[[jax.Array, int], jax.Array]) -> A
     out = dict(cache)
     for key in cache:
         if key in ("k", "v", "xk", "xv"):
-            out[key] = fn(cache[key], 1)  # (L, B, ...)
+            # may be an array or an int8-cache {"q","s"} dict — map leaves
+            out[key] = jax.tree.map(lambda x: fn(x, 1), cache[key])  # (L, B, …)
         elif key == "index":
             out[key] = cache[key]
         else:

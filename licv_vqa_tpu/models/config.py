@@ -55,6 +55,11 @@ class DecoderConfig:
     # within bf16 tolerance, 1.18x on the 32-shot teacher step at seq 2048
     # (tools/validate_flash_tpu.py).  Override with ``lmm.attention_impl=xla``.
     attention_impl: str = "flash"
+    # "bf16" (default) or "int8": decode KV cache storage.  int8 halves the
+    # per-step cache HBM traffic (per-(token,head) symmetric scales over the
+    # head dim; dequant fuses into the attention matmul) at ~1% relative
+    # K/V error — opt in with ``lmm.kv_cache=int8``.
+    kv_cache_dtype: str = "bf16"
 
     @property
     def head_dim(self) -> int:

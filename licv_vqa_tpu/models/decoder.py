@@ -85,6 +85,21 @@ def init_decoder_params(key, cfg: DecoderConfig) -> dict:
 
 def init_kv_cache(cfg: DecoderConfig, batch: int, max_len: int) -> dict:
     shape = (cfg.n_layers, batch, max_len, cfg.n_kv_heads, cfg.head_dim)
+    if getattr(cfg, "kv_cache_dtype", "bf16") == "int8":
+        # {"q","s"} dict leaves thread transparently through the layer scans
+        # and beam gathers; dequant fuses into the attention matmul read
+        sshape = shape[:-1] + (1,)
+        kv = lambda: {
+            "q": jnp.zeros(shape, jnp.int8),
+            "s": jnp.zeros(sshape, jnp.float32),
+        }
+        return {
+            "k": kv(),
+            "v": kv(),
+            "pos": jnp.zeros((batch, max_len), jnp.int32),
+            "valid": jnp.zeros((batch, max_len), bool),
+            "index": jnp.zeros((), jnp.int32),
+        }
     return {
         "k": jnp.zeros(shape, cfg.dtype),
         "v": jnp.zeros(shape, cfg.dtype),
@@ -115,7 +130,8 @@ def decode_cache_view(cache: dict, positions: jax.Array, attention_mask, s: int)
     columns written at each row's index.
     """
     index = cache["index"]
-    max_len = cache["k"].shape[2]
+    k = cache["k"]["q"] if isinstance(cache["k"], dict) else cache["k"]
+    max_len = k.shape[2]
     ar = jnp.arange(max_len, dtype=jnp.int32)
     valid_new = attention_mask.astype(bool)
     if index.ndim == 0:
@@ -184,8 +200,20 @@ def decoder_layer(
 
     if kv_write is not None:
         k_cache, v_cache, index = kv_write
-        k_cache, v_cache = write_kv_cache(k_cache, v_cache, k, v, index)
-        k_full, v_full = k_cache, v_cache
+        if isinstance(k_cache, dict):  # int8 KV cache ({"q","s"} leaves)
+            from ..ops.quantize import dequantize_kv, quantize_kv_rows
+
+            kq, ks = quantize_kv_rows(k)
+            vq, vs = quantize_kv_rows(v)
+            cq_k, cq_v = write_kv_cache(k_cache["q"], v_cache["q"], kq, vq, index)
+            cs_k, cs_v = write_kv_cache(k_cache["s"], v_cache["s"], ks, vs, index)
+            k_cache = {"q": cq_k, "s": cs_k}
+            v_cache = {"q": cq_v, "s": cs_v}
+            k_full = dequantize_kv(cq_k, cs_k, h.dtype)
+            v_full = dequantize_kv(cq_v, cs_v, h.dtype)
+        else:
+            k_cache, v_cache = write_kv_cache(k_cache, v_cache, k, v, index)
+            k_full, v_full = k_cache, v_cache
         new_kv = (k_cache, v_cache)
     else:
         k_full, v_full = k, v

@@ -356,7 +356,8 @@ def _maybe_quantize(cfg, bundle: ModelBundle) -> ModelBundle:
 
 
 def _apply_attention_impl(cfg, model_cfg):
-    """Honor ``lmm.attention_impl`` (xla|flash) on the text decoder config."""
+    """Honor ``lmm.attention_impl`` (xla|flash) and ``lmm.kv_cache``
+    (bf16|int8) on the text decoder config."""
     try:
         impl = cfg.lmm.get("attention_impl")
     except Exception:
@@ -364,6 +365,14 @@ def _apply_attention_impl(cfg, model_cfg):
     if impl in ("xla", "flash") and model_cfg.text.attention_impl != impl:
         model_cfg = dataclasses.replace(
             model_cfg, text=dataclasses.replace(model_cfg.text, attention_impl=impl)
+        )
+    try:
+        kvc = cfg.lmm.get("kv_cache")
+    except Exception:
+        kvc = None
+    if kvc in ("bf16", "int8") and model_cfg.text.kv_cache_dtype != kvc:
+        model_cfg = dataclasses.replace(
+            model_cfg, text=dataclasses.replace(model_cfg.text, kv_cache_dtype=kvc)
         )
     return model_cfg
 

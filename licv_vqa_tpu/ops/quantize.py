@@ -75,6 +75,23 @@ def dequantize_tree(tree: Any, dtype) -> Any:
     return jax.tree.map(dq, tree, is_leaf=is_quantized_leaf)
 
 
+def quantize_kv_rows(x: jax.Array) -> tuple:
+    """Per-(…, head) symmetric int8 over the LAST (head_dim) axis.
+
+    For K/V cache rows (B, s, H, Dh): each token×head vector gets one scale
+    — returns ``(q int8 (..., Dh), s f32 (..., 1))``; dequant is a fused
+    elementwise multiply on the attention read."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def dequantize_kv(q: jax.Array, s: jax.Array, dtype) -> jax.Array:
+    return (q.astype(jnp.float32) * s).astype(dtype)
+
+
 def quantization_error(w: jax.Array) -> float:
     """Relative Frobenius error of round-tripping one matrix (diagnostics)."""
     qd = quantize_array(w)

@@ -111,6 +111,7 @@ def test_cli_quantized_inference(tmp_path, monkeypatch):
         [
             "lmm=tiny-idefics",
             "lmm.quantize=int8",
+            "lmm.kv_cache=int8",  # int8 weights + int8 KV cache compose
             "run_name=e2e_q8",
             "test_icv=false",
             "test_icl=true",
@@ -164,6 +165,54 @@ def test_quantized_speculative_cli(tmp_path, monkeypatch):
         ]
     )
     assert any("ICL shot_num" in k for k in result)
+
+
+def test_int8_kv_cache_decode_fidelity():
+    """Greedy decode with the int8 KV cache tracks the bf16-cache decode:
+    per-(token,head) scales keep K/V round-trip error ~1%, and the full
+    greedy/beam plumbing (scan xs/ys, beam gathers) threads the {"q","s"}
+    cache leaves transparently."""
+    import dataclasses
+
+    from licv_vqa_tpu.infer import beam_generate, greedy_generate
+    from licv_vqa_tpu.models import causal_lm_forward, init_kv_cache
+
+    hf = _tiny_hf_llama()
+    cfg = _our_cfg()
+    params = convert_llama(hf_state_dict(hf), cfg, dtype=jnp.float32)
+    cfg8 = dataclasses.replace(cfg, kv_cache_dtype="int8")
+    assert isinstance(init_kv_cache(cfg8, 2, 8)["k"], dict)
+
+    def fwd(c):
+        def fn(input_ids, attention_mask, positions, cache):
+            if cache is None:
+                cache = init_kv_cache(c, input_ids.shape[0], 32)
+            return causal_lm_forward(
+                c, params, input_ids, attention_mask, cache=cache,
+                positions=positions,
+            )
+
+        return fn
+
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(3, cfg.vocab_size, size=(2, 8)).astype(np.int32))
+    mask = jnp.ones_like(ids)
+
+    # single forward: logits under the int8 cache are near-identical
+    pos = jnp.broadcast_to(jnp.arange(8), (2, 8))
+    lg16, _ = fwd(cfg)(ids, mask, pos, None)
+    lg8, _ = fwd(cfg8)(ids, mask, pos, None)
+    a, b = np.asarray(lg16).ravel(), np.asarray(lg8).ravel()
+    cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert cos > 0.999, cos
+
+    kw = dict(max_new_tokens=8, eos_token_id=-1, pad_token_id=0)
+    g16 = np.asarray(greedy_generate(fwd(cfg), ids, mask, **kw))
+    g8 = np.asarray(greedy_generate(fwd(cfg8), ids, mask, **kw))
+    assert (g16 == g8).mean() > 0.85, (g16, g8)
+    # beam search exercises the cache gather path over dict leaves
+    b8 = np.asarray(beam_generate(fwd(cfg8), ids, mask, num_beams=2, **kw))
+    assert b8.shape == g8.shape
 
 
 def test_qdot_matches_dequant_dot():
