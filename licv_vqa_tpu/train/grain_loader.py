@@ -43,6 +43,8 @@ class GrainDataLoader:
         num_workers: int = 4,
         num_epochs: int | None = None,
         drop_last: bool = True,
+        shard_index: int = 0,
+        shard_count: int = 1,
     ):
         import grain.python as gp
 
@@ -54,6 +56,10 @@ class GrainDataLoader:
         self.shuffle = shuffle
         self.seed = seed
         self.num_workers = num_workers
+        # multi-host: each host reads a disjoint 1/shard_count slice of the
+        # (per-epoch reshuffled) order — pass jax.process_index()/count()
+        self.shard_index = shard_index
+        self.shard_count = max(1, shard_count)
         self.collate_fn = collate_fn
         self.epoch = 0
         self._cur_epoch = 0  # epoch whose seed built the CURRENT pipeline
@@ -66,6 +72,8 @@ class GrainDataLoader:
         ds = gp.MapDataset.source(self.dataset).seed(seed)
         if self.shuffle:
             ds = ds.shuffle()
+        if self.shard_count > 1:
+            ds = ds[self.shard_index :: self.shard_count]
         if self.num_epochs is not None:
             ds = ds.repeat(self.num_epochs)
         batched = ds.batch(
@@ -82,6 +90,8 @@ class GrainDataLoader:
 
     def __len__(self) -> int:
         n = len(self.dataset)
+        if self.shard_count > 1:
+            n = len(range(self.shard_index, n, self.shard_count))
         per_epoch = n // self.batch_size if self.drop_last else -(-n // self.batch_size)
         return per_epoch * (self.num_epochs or 1)
 

@@ -55,6 +55,20 @@ def test_checkpointable_iterator_resume():
     np.testing.assert_array_equal(resumed, second)
 
 
+def test_multi_host_sharding_partitions_dataset():
+    """shard_index/shard_count give each host a disjoint slice of the same
+    shuffled order, together covering the whole dataset."""
+    loaders = [
+        GrainDataLoader(DS(), 1, collate, shuffle=True, seed=3, num_workers=0,
+                        num_epochs=1, shard_index=i, shard_count=2)
+        for i in range(2)
+    ]
+    seen = [np.concatenate(list(dl)).tolist() for dl in loaders]
+    assert not (set(seen[0]) & set(seen[1]))  # disjoint
+    assert sorted(seen[0] + seen[1]) == list(range(11))  # full coverage
+    assert len(loaders[0]) == 6 and len(loaders[1]) == 5
+
+
 def test_trainer_accepts_grain_loader(tmp_path):
     """The Trainer runs unchanged on the Grain loader."""
     from tests.test_trainer_resume import SyntheticICVDataset, _trainer

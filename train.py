@@ -69,6 +69,8 @@ def main(argv: list[str] | None = None) -> Path | None:
     if str(cfg.data_cfg.get("loader", "threads")) == "grain":
         from licv_vqa_tpu.train.grain_loader import GrainDataLoader
 
+        import jax
+
         loader = GrainDataLoader(
             train_ds,
             batch_size=int(cfg.data_cfg.bs),
@@ -77,6 +79,9 @@ def main(argv: list[str] | None = None) -> Path | None:
             seed=int(cfg.seed),
             num_workers=int(cfg.data_cfg.num_workers),
             num_epochs=1,  # the Trainer drives epochs by re-iterating
+            # multi-host: disjoint per-host slices of each epoch's shuffle
+            shard_index=jax.process_index(),
+            shard_count=jax.process_count(),
         )
     else:
         loader = DataLoader(
