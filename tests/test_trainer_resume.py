@@ -249,3 +249,26 @@ def test_dp_sp_fit_matches_dp(tmp_path):
         rtol=2e-4,
         atol=2e-6,
     )
+
+
+def test_dp_tp_sp_fit_matches_dp(tmp_path):
+    """All three mesh axes at once (dp=2 × tp=2 × sp=2): Megatron-sharded
+    frozen weights + ring attention + batch sharding compose and match dp."""
+    from licv_vqa_tpu.core.mesh import AXIS_SP, AXIS_TP
+
+    trainer, loader = _trainer(
+        tmp_path, max_epochs=1, strategy="dp_tp_sp", tp=2, sp=2
+    )
+    assert trainer.mesh.shape[AXIS_TP] == 2 and trainer.mesh.shape[AXIS_SP] == 2
+    wq = trainer.model_params["layers"]["attn"]["wq"]
+    assert AXIS_TP in [ax for ax in wq.sharding.spec if ax is not None]
+    state_3d = trainer.fit(loader, tmp_path / "run_3d", lmm_args={})
+
+    trainer_dp, loader_dp = _trainer(tmp_path, max_epochs=1)
+    state_dp = trainer_dp.fit(loader_dp, tmp_path / "run_dp3", lmm_args={})
+    np.testing.assert_allclose(
+        np.asarray(state_3d.params["encoder"]["icv"]),
+        np.asarray(state_dp.params["encoder"]["icv"]),
+        rtol=2e-4,
+        atol=2e-6,
+    )
