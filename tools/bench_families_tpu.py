@@ -8,8 +8,10 @@ SigLIP + perceiver connector) and OpenFlamingo-9B (MPT/ALiBi + ViT-L +
 gated xattn).  Results recorded in STATUS.md.
 
 Usage: python tools/bench_families_tpu.py [idefics2|openflamingo] ...
+Env: BENCH_BS (default 8), BENCH_KV8=1 (int8 KV cache).
 """
 
+import os
 import sys
 import time
 from pathlib import Path
@@ -18,7 +20,8 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-BS = 8
+BS = int(os.environ.get("BENCH_BS", 8))
+KV8 = os.environ.get("BENCH_KV8", "0") == "1"
 PROMPT_LEN = 64
 MAX_NEW = 32
 
@@ -38,6 +41,12 @@ def bench_family(family: str) -> dict:
         )
 
         cfg = Idefics2Config.idefics2_8b()
+        if KV8:
+            import dataclasses
+
+            cfg = dataclasses.replace(
+                cfg, text=dataclasses.replace(cfg.text, kv_cache_dtype="int8")
+            )
         init_fn, make_fns = init_idefics2_params, make_idefics2_forward_fns
         img_hw = 448  # variable-resolution tower; keep the bench prefill lean
     elif family == "openflamingo":
@@ -48,6 +57,12 @@ def bench_family(family: str) -> dict:
         )
 
         cfg = OpenFlamingoConfig.openflamingo_9b()
+        if KV8:
+            import dataclasses
+
+            cfg = dataclasses.replace(
+                cfg, text=dataclasses.replace(cfg.text, kv_cache_dtype="int8")
+            )
         init_fn, make_fns = init_openflamingo_params, make_openflamingo_forward_fns
         img_hw = cfg.vision.image_size
     else:
@@ -119,7 +134,7 @@ def bench_family(family: str) -> dict:
     dt = (time.perf_counter() - t0) / reps
     tok = BS * MAX_NEW / dt
     print(f"{family}: full-depth int8 ICV-steered greedy decode "
-          f"{tok:.1f} tok/s/chip (bs={BS})", flush=True)
+          f"{tok:.1f} tok/s/chip (bs={BS}{', kv8' if KV8 else ''})", flush=True)
     return {"family": family, "tokens_per_sec": tok}
 
 

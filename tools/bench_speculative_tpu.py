@@ -16,6 +16,7 @@ machinery itself (infer/speculative.py).
 """
 
 import dataclasses
+import os
 import sys
 import time
 from pathlib import Path
@@ -27,7 +28,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 N_LAYERS = 16
 DRAFT_LAYERS = 4
 GAMMA = 4
-BS = 1  # the reference's eval batch size (config/inference.yaml)
+BS = int(os.environ.get("BENCH_BS", 1))  # default: the reference's eval batch size (config/inference.yaml)
 PROMPT_LEN = 64
 MAX_NEW = 32
 
@@ -92,13 +93,15 @@ def main():
         fwd = bind_t(p, pixels, valid, ids, None, max_len)
         return greedy_generate(fwd, ids, mask, MAX_NEW, eos_token_id=-1, pad_token_id=0)
 
-    @jax.jit
-    def gen_spec(p, dp, ids, mask, pixels, valid):
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=(6,))
+    def gen_spec(p, dp, ids, mask, pixels, valid, lockstep=False):
         tfwd = bind_t(p, pixels, valid, ids, None, max_len)
         dfwd = bind_d(dp, pixels, valid, ids, None, max_len)
         return speculative_greedy_generate(
             tfwd, dfwd, ids, mask, MAX_NEW, eos_token_id=-1, pad_token_id=0,
-            gamma=GAMMA,
+            gamma=GAMMA, lockstep=lockstep,
         )
 
     args = (jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(pixels), jnp.asarray(valid))
@@ -122,10 +125,16 @@ def main():
         agree = float((g == s[:, : g.shape[1]]).mean())
         dt_g = time_it(gen_greedy, p, *args)
         dt_s = time_it(gen_spec, p, dp, *args)
+        extra = ""
+        if BS > 1:
+            # per-row (B,) cache-index bookkeeping must not cost wall clock
+            # vs the scalar lockstep index at uniform acceptance
+            dt_l = time_it(lambda *a: gen_spec(*a, True), p, dp, *args)
+            extra = f", lockstep {BS*MAX_NEW/dt_l:.1f} tok/s"
         print(
             f"[{case}] greedy {BS*MAX_NEW/dt_g:.1f} tok/s, "
-            f"speculative {BS*MAX_NEW/dt_s:.1f} tok/s "
-            f"({dt_g/dt_s:.2f}x), token agreement {agree:.3f}",
+            f"speculative(per-row) {BS*MAX_NEW/dt_s:.1f} tok/s "
+            f"({dt_g/dt_s:.2f}x), token agreement {agree:.3f}{extra}",
             flush=True,
         )
 
