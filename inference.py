@@ -62,11 +62,26 @@ def evaluate_caption(results_dict, model_name, val_ann_path, post_fn):
 
 def main(argv: list[str] | None = None):
     cfg = compose("config", "inference", list(sys.argv[1:] if argv is None else argv))
+    # reproducible ICL shot sampling (random.sample below); the reference
+    # never seeds its inference-side RNG (reference: inference.py:122,203)
+    random.seed(int(cfg.get("seed", 42)))
     device = str(cfg.get("device", "tpu")).lower()
     if device == "cpu":
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    # infer_dp != 1: shard eval batches over a dp mesh (multi-chip serving;
+    # -1 = all local devices).  Beyond the reference (always 1 GPU).
+    infer_dp = int(cfg.get("infer_dp", 1))
+    mesh = None
+    if infer_dp != 1:
+        import jax
+
+        from licv_vqa_tpu.core.mesh import MeshConfig, create_mesh
+
+        devs = jax.devices()
+        n = len(devs) if infer_dp == -1 else min(infer_dp, len(devs))
+        mesh = create_mesh(MeshConfig(dp=n, tp=1, sp=1), devs[:n])
     model_name = str(cfg.lmm.model_name)
     result_dir = Path(str(cfg.result_dir))
 
@@ -161,6 +176,7 @@ def main(argv: list[str] | None = None):
             generate_kwargs=gen_kwargs,
             instruction=str(cfg.prompt.instruction),
             icv_scaled=icv_scaled,
+            mesh=mesh,
         )
         evaluate_and_store(results, "icv result")
         with open(meta_info_dir / f"{base_info}icv.json", "w") as f:
@@ -203,6 +219,7 @@ def main(argv: list[str] | None = None):
                 bs=int(cfg.bs),
                 generate_kwargs=gen_kwargs,
                 instruction=str(cfg.prompt.instruction),
+                mesh=mesh,
             )
             # reference key wording includes the metric (inference.py:226,236)
             metric_word = "ACC" if task_name == "vqa" else "CIDEr"

@@ -122,24 +122,41 @@ def generate_answers(
     gen_fn: Callable,
     prompts: list[list],
     icv_scaled,
+    mesh=None,
 ) -> list[str]:
     """Tokenize → generate → decode ONLY the continuation
-    (reference: inference.py:300-321)."""
+    (reference: inference.py:300-321).
+
+    With ``mesh``, the batch dim shards over its ``dp`` axis (rows padded to
+    a dp multiple) — multi-chip batch-parallel serving with GSPMD running
+    the whole decode loop; outputs are identical to single-device."""
     proc = bundle.processor
     enc = proc.prepare_input(prompts, padding=True, padding_side="left")
-    extra = ()
+    arrays = [
+        np.asarray(enc["input_ids"]),
+        np.asarray(enc["attention_mask"]),
+        np.asarray(enc["pixel_values"]),
+        np.asarray(enc["pixel_valid"]),
+    ]
     if "pixel_attention_mask" in enc:  # NaViT variable resolution
-        extra = (jnp.asarray(enc["pixel_attention_mask"]),)
-    out = gen_fn(
-        bundle.params,
-        jnp.asarray(enc["input_ids"]),
-        jnp.asarray(enc["attention_mask"]),
-        jnp.asarray(enc["pixel_values"]),
-        jnp.asarray(enc["pixel_valid"]),
-        icv_scaled,
-        *extra,
-    )
-    out = np.asarray(out)
+        arrays.append(np.asarray(enc["pixel_attention_mask"]))
+    rows = arrays[0].shape[0]
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        dp = mesh.shape.get("dp", 1)
+        rem = (-rows) % dp
+        if rem:  # repeat the last row up to a dp multiple; extras discarded
+            arrays = [
+                np.concatenate([a, np.repeat(a[-1:], rem, axis=0)]) for a in arrays
+            ]
+        shard = NamedSharding(mesh, P("dp"))
+        arrays = [jax.device_put(jnp.asarray(a), shard) for a in arrays]
+    else:
+        arrays = [jnp.asarray(a) for a in arrays]
+    ids, mask, px, pv, *extra = arrays
+    out = gen_fn(bundle.params, ids, mask, px, pv, icv_scaled, *extra)
+    out = np.asarray(out)[:rows]
     prompt_len = enc["input_ids"].shape[1]
     return bundle.tokenizer.batch_decode(
         [row[prompt_len:] for row in out], skip_special_tokens=True
@@ -155,9 +172,14 @@ def icv_inference(
     instruction: str = "",
     icv_scaled: Optional[jax.Array] = None,
     progress: bool = True,
+    mesh=None,
 ) -> dict:
-    """Zero-shot (+ optional ICV) eval loop (reference: inference.py:246-297)."""
+    """Zero-shot (+ optional ICV) eval loop (reference: inference.py:246-297).
+
+    ``mesh``: shard each eval batch over the dp axis (multi-chip serving)."""
     gen_fn = make_generate_fn(bundle, generate_kwargs)
+    if mesh is not None:
+        _replicate_bundle_params(bundle, mesh)
     results: dict = {}
     index = 0
     it = _maybe_tqdm(val_ds, progress)
@@ -169,7 +191,8 @@ def icv_inference(
             p = [instruction] if instruction else []
             p += [sample["image"], prompt_manager.gen_query_text_without_label(sample)]
             prompts.append(p)
-        generated = generate_answers(bundle, gen_fn, prompts, icv_scaled)
+        generated = generate_answers(bundle, gen_fn, prompts, icv_scaled,
+                                     mesh=mesh)
         for i in range(real):
             row = {k: v for k, v in batch[i].items() if k != "image"}
             results[index] = {"prediction": generated[i], **row}
@@ -187,9 +210,12 @@ def icl_inference(
     generate_kwargs: dict,
     instruction: str = "",
     progress: bool = True,
+    mesh=None,
 ) -> dict:
     """True few-shot ICL eval (reference: inference.py:324-378)."""
     gen_fn = make_generate_fn(bundle, generate_kwargs)
+    if mesh is not None:
+        _replicate_bundle_params(bundle, mesh)
     results: dict = {}
     index = 0
     for batch in _chunked(_maybe_tqdm(val_ds, progress), bs):
@@ -208,12 +234,20 @@ def icl_inference(
                 ]
             p += [sample["image"], prompt_manager.gen_query_text_without_label(sample)]
             prompts.append(p)
-        generated = generate_answers(bundle, gen_fn, prompts, None)
+        generated = generate_answers(bundle, gen_fn, prompts, None, mesh=mesh)
         for i in range(real):
             row = {k: v for k, v in batch[i].items() if k != "image"}
             results[index] = {"prediction": generated[i], **row}
             index += 1
     return results
+
+
+def _replicate_bundle_params(bundle, mesh) -> None:
+    """Replicate the frozen weights across the mesh once (idempotent)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    bundle.params = jax.device_put(bundle.params, repl)
 
 
 def _maybe_tqdm(it, enabled: bool):

@@ -132,6 +132,37 @@ def test_full_train_then_inference(env):
     assert keys[0] in again
 
 
+def test_dp_sharded_inference_matches_single_device(env):
+    """infer_dp=-1 shards eval batches over the 8-virtual-device dp mesh
+    (multi-chip serving); predictions are identical to the unsharded run."""
+    import json as _json
+
+    import inference as infer_cli
+
+    ice_cache = env / "ice_idx.json"
+    ice_cache.write_text(_json.dumps([[0, 1]] * 5))
+    args = COMMON + [
+        "test_icv=false",
+        "test_icl=true",
+        "few_shot_list=[2]",
+        f"ice_idx_list_cache={ice_cache}",
+        "test_num=5",
+        "train_num=4",
+        "bs=2",
+        "generate_kwargs.max_new_tokens=3",
+        "generate_kwargs.num_beams=1",
+    ]
+    infer_cli.main(args + ["run_name=e2e_dp1"])
+    infer_cli.main(args + ["run_name=e2e_dp8", "infer_dp=-1"])
+
+    base = env / "results" / "inference" / "tiny-idefics" / "vqav2"
+    p1 = _json.load(open(base / "e2e_dp1" / "meta_info" / "icl_shot2.json"))
+    p8 = _json.load(open(base / "e2e_dp8" / "meta_info" / "icl_shot2.json"))
+    preds1 = [p1[k]["prediction"] for k in sorted(p1)]
+    preds8 = [p8[k]["prediction"] for k in sorted(p8)]
+    assert preds1 == preds8, (preds1, preds8)
+
+
 def test_icl_inference_with_rice(env):
     import inference as infer_cli
 
