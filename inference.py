@@ -70,18 +70,26 @@ def main(argv: list[str] | None = None):
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-    # infer_dp != 1: shard eval batches over a dp mesh (multi-chip serving;
-    # -1 = all local devices).  Beyond the reference (always 1 GPU).
+    # Multi-chip serving mesh (beyond the reference, which always evals on
+    # one GPU): infer_dp shards eval batches (-1 = all devices); infer_tp>1
+    # Megatron-shards the frozen weights so a bf16 9B serves across chips.
     infer_dp = int(cfg.get("infer_dp", 1))
+    infer_tp = int(cfg.get("infer_tp", 1))
     mesh = None
-    if infer_dp != 1:
+    if infer_dp != 1 or infer_tp != 1:
         import jax
 
         from licv_vqa_tpu.core.mesh import MeshConfig, create_mesh
 
         devs = jax.devices()
-        n = len(devs) if infer_dp == -1 else min(infer_dp, len(devs))
-        mesh = create_mesh(MeshConfig(dp=n, tp=1, sp=1), devs[:n])
+        if infer_dp == -1:
+            n_dp = len(devs) // max(infer_tp, 1)
+        else:
+            n_dp = max(infer_dp, 1)
+        n = n_dp * max(infer_tp, 1)
+        mesh = create_mesh(
+            MeshConfig(dp=n_dp, tp=max(infer_tp, 1), sp=1), devs[:n]
+        )
     model_name = str(cfg.lmm.model_name)
     result_dir = Path(str(cfg.result_dir))
 

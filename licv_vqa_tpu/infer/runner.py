@@ -243,11 +243,22 @@ def icl_inference(
 
 
 def _replicate_bundle_params(bundle, mesh) -> None:
-    """Replicate the frozen weights across the mesh once (idempotent)."""
+    """Lay the frozen weights out on the mesh once (idempotent): Megatron
+    column/row tp shards when the mesh has a tp axis >1 (the bf16 9B
+    multi-chip serving path), plain replication otherwise."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    repl = NamedSharding(mesh, P())
-    bundle.params = jax.device_put(bundle.params, repl)
+    if mesh.shape.get("tp", 1) > 1:
+        from ..parallel.sharding import param_specs
+
+        shardings = jax.tree.map(
+            lambda s: NamedSharding(mesh, s),
+            param_specs(bundle.params),
+            is_leaf=lambda x: isinstance(x, P),
+        )
+        bundle.params = jax.device_put(bundle.params, shardings)
+        return
+    bundle.params = jax.device_put(bundle.params, NamedSharding(mesh, P()))
 
 
 def _maybe_tqdm(it, enabled: bool):

@@ -154,13 +154,18 @@ def test_dp_sharded_inference_matches_single_device(env):
     ]
     infer_cli.main(args + ["run_name=e2e_dp1"])
     infer_cli.main(args + ["run_name=e2e_dp8", "infer_dp=-1"])
+    # dp=4 × tp=2: Megatron-sharded frozen weights through the same decode
+    infer_cli.main(args + ["run_name=e2e_dptp", "infer_dp=4", "infer_tp=2"])
 
     base = env / "results" / "inference" / "tiny-idefics" / "vqav2"
-    p1 = _json.load(open(base / "e2e_dp1" / "meta_info" / "icl_shot2.json"))
-    p8 = _json.load(open(base / "e2e_dp8" / "meta_info" / "icl_shot2.json"))
-    preds1 = [p1[k]["prediction"] for k in sorted(p1)]
-    preds8 = [p8[k]["prediction"] for k in sorted(p8)]
-    assert preds1 == preds8, (preds1, preds8)
+
+    def preds(run):
+        p = _json.load(open(base / run / "meta_info" / "icl_shot2.json"))
+        return [p[k]["prediction"] for k in sorted(p)]
+
+    preds1 = preds("e2e_dp1")
+    assert preds1 == preds("e2e_dp8"), preds1
+    assert preds1 == preds("e2e_dptp"), preds1
 
 
 def test_icl_inference_with_rice(env):
