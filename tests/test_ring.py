@@ -113,6 +113,12 @@ def _loss_pair(family):
             init_idefics_params as init_fn,
             make_idefics_forward_fns as make_fns,
         )
+    elif family == "idefics2":  # GQA: ring receives repeat_kv'd heads
+        from licv_vqa_tpu.models.idefics2 import (
+            Idefics2Config as Cfg,
+            init_idefics2_params as init_fn,
+            make_idefics2_forward_fns as make_fns,
+        )
     else:
         from licv_vqa_tpu.models.openflamingo import (
             OpenFlamingoConfig as Cfg,
@@ -160,9 +166,10 @@ def _loss_pair(family):
     return single, sharded
 
 
-@pytest.mark.parametrize("family", ["idefics", "openflamingo"])
+@pytest.mark.parametrize("family", ["idefics", "idefics2", "openflamingo"])
 def test_dp_sp_loss_matches_single_device(family):
-    """Full ICV distillation loss (teacher+student forwards, rope or ALiBi)
-    under dp=2×sp=4 ring attention equals the unsharded loss."""
+    """Full ICV distillation loss (teacher+student forwards; rope MHA, rope
+    GQA, and ALiBi) under dp=2×sp=4 ring attention equals the unsharded
+    loss."""
     single, sharded = _loss_pair(family)
     np.testing.assert_allclose(sharded, single, rtol=3e-5, atol=3e-6)
