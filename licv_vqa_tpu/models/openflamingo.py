@@ -249,15 +249,15 @@ def precompute_xattn_kv(
     t = cfg.text
     b, n_k = media_latents.shape[:2]
     nh, dh = cfg.xattn_heads, cfg.xattn_head_dim
-    from .decoder import _dequant
-
-    wkv = _dequant(params["xattn"]["wkv"], t.dtype)
+    from ..ops.int8_matmul import qdot
 
     def one_group(w):
-        kv = jnp.dot(media_latents, w).reshape(b, n_k, 2, nh, dh)
-        return kv[:, :, 0], kv[:, :, 1]
+        # qdot fuses int8 dequant into the matmul (see idefics.py — whole-
+        # stack dequant up-front materialized GBs of transients)
+        kv = qdot(media_latents, w).reshape(b, n_k, 2, nh, dh)
+        return kv[:, :, 0].astype(t.dtype), kv[:, :, 1].astype(t.dtype)
 
-    return jax.vmap(one_group)(wkv)
+    return jax.vmap(one_group)(params["xattn"]["wkv"])
 
 
 def openflamingo_forward(

@@ -208,6 +208,53 @@ def main(mode="both"):
         _, toks = jax.lax.scan(step, carry, jnp.arange(STEPS))
         return toks[:, :, 0].T
 
+    if mode == "bind":
+        # where do the ~77ms of bind+prefill go at the bench shape?
+        mask_np = jnp.ones((BS, PROMPT), jnp.int32)
+        pos_np = jnp.arange(PROMPT, dtype=jnp.int32)[None].repeat(BS, 0)
+        ids_j = jnp.asarray(ids)
+
+        # IMPORTANT: reduce outputs to scalars inside jit — fetching a full
+        # K/V leaf to host through the axon tunnel (~50MB/s) dominates the
+        # timing otherwise (a 16MB readback measured as "1.8s of compute")
+        f_vis = jax.jit(lambda p, px: jnp.sum(encode_images(cfg, p, px)))
+        f_lat = jax.jit(lambda p, px: encode_images(cfg, p, px))
+        f_kv = jax.jit(
+            lambda p, lat: sum(
+                jnp.sum(x) for x in jax.tree.leaves(
+                    precompute_xattn_kv(cfg, p, lat)
+                )
+            )
+        )
+        f_kv_full = jax.jit(lambda p, lat: precompute_xattn_kv(cfg, p, lat))
+
+        @jax.jit
+        def f_prefill(p, prompt_ids, lat, xkv, oh):
+            cache = init_kv_cache(t, BS, max_len)
+            _, cache = idefics_forward(
+                cfg, p, prompt_ids, mask_np, lat, oh, icv_scaled=icv,
+                cache=cache, positions=pos_np, xattn_kv=xkv,
+                last_logit_only=True,
+            )
+            return cache["index"]
+
+        pv = valid[:, None, :].astype(jnp.float32)
+        oh = (
+            image_attention_onehot(ids_j, cfg.image_token_id, 2, 1) * pv
+        )
+        dt_v = timeit(f_vis, (params, pixels))
+        lat = f_lat(params, pixels)
+        dt_k = timeit(f_kv, (params, lat))
+        xkv = f_kv_full(params, lat)
+        dt_p = timeit(f_prefill, (params, ids_j, lat, xkv, oh))
+        print(
+            f"bind breakdown (bs={BS}): vision+perceiver {dt_v*1e3:.1f}ms, "
+            f"xattn-KV precompute {dt_k*1e3:.1f}ms, "
+            f"64-token prefill {dt_p*1e3:.1f}ms",
+            flush=True,
+        )
+        return
+
     if mode in ("flat", "both"):
         args_a = (params, cache0, tok0, latents, onehot, xattn_kv, icv)
         a = np.asarray(flat(*args_a))
