@@ -68,9 +68,14 @@ def make_generate_fn(bundle, generate_kwargs: dict) -> Callable:
             if pixel_attention_mask is not None
             else {}
         )
+        # speculative verification writes up to gamma rows past the current
+        # index — without this margin the final rounds overflow the cache,
+        # and XLA's out-of-bounds semantics (dynamic_update_slice clamps the
+        # start / scatter drops updates) silently mis-place or lose keys
+        margin = gamma if draft is not None else 0
         fwd = bundle.bind_decode(
             params, pixels, pixel_valid, input_ids, icv_scaled,
-            input_ids.shape[1] + max_new + 1, **bind_kw,
+            input_ids.shape[1] + max_new + margin + 1, **bind_kw,
         )
         if draft is not None:
             from .speculative import speculative_greedy_generate
@@ -85,7 +90,7 @@ def make_generate_fn(bundle, generate_kwargs: dict) -> Callable:
             )
             dfwd = draft_bind(
                 draft_params, pixels, pixel_valid, input_ids, draft_icv,
-                input_ids.shape[1] + max_new + 1, **bind_kw,
+                input_ids.shape[1] + max_new + margin + 1, **bind_kw,
             )
             return speculative_greedy_generate(
                 fwd, dfwd, input_ids, attention_mask,

@@ -78,6 +78,56 @@ def test_speculative_equals_greedy(bs, gamma, draft_k, lockstep):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("lockstep", [False, True], ids=["per_row", "lockstep"])
+def test_speculative_tight_cache_exact(lockstep):
+    """With the cache sized exactly prompt+max_new+gamma+1 (the runner's
+    sizing), speculative must still equal greedy.  Verification writes gamma
+    rows past the index; an undersized cache triggers XLA's out-of-bounds
+    write semantics (clamp-shift for dynamic_update_slice, drop for scatter)
+    — the margin keeps every write in-bounds by construction (regression:
+    the runner sized prompt+max_new+1)."""
+    hf = _tiny_hf_llama()
+    cfg = _our_cfg()
+    params = convert_llama(hf_state_dict(hf), cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(5)
+    ids, mask = _prompts(rng, 2)
+    gamma, max_new = 4, 12
+    tight = ids.shape[1] + max_new + gamma + 1
+
+    def fwd(c):
+        def fn(input_ids, attention_mask, positions, cache):
+            if cache is None:
+                cache = init_kv_cache(c, input_ids.shape[0], tight)
+            return causal_lm_forward(
+                c, params, input_ids, attention_mask, cache=cache,
+                positions=positions,
+            )
+
+        return fn
+
+    want = np.asarray(
+        greedy_generate(fwd(cfg), ids, mask, max_new_tokens=max_new,
+                        eos_token_id=EOS, pad_token_id=PAD)
+    )
+    dcfg, dparams = _truncate(cfg, params, 2)
+
+    def dfwd(input_ids, attention_mask, positions, cache):
+        if cache is None:
+            cache = init_kv_cache(dcfg, input_ids.shape[0], tight)
+        return causal_lm_forward(
+            dcfg, dparams, input_ids, attention_mask, cache=cache,
+            positions=positions,
+        )
+
+    got = np.asarray(
+        speculative_greedy_generate(
+            fwd(cfg), dfwd, ids, mask, max_new_tokens=max_new,
+            eos_token_id=EOS, pad_token_id=PAD, gamma=gamma, lockstep=lockstep,
+        )
+    )
+    np.testing.assert_array_equal(got, want)
+
+
 def test_speculative_perfect_draft():
     """Draft == target: every block fully accepted, still exact."""
     hf = _tiny_hf_llama()
