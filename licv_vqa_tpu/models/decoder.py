@@ -230,6 +230,18 @@ def decoder_layer(
         and cfg.attn_logit_softcap is None
         and L.flash_attention_usable(cfg, s, nh, dh)
     )
+    use_flash_alibi = False
+    if (
+        flash_valid is not None
+        and ring is None
+        and kv_write is None
+        and cfg.positional == "alibi"
+        and cfg.attn_logit_softcap is None
+    ):
+        from ..ops.flash_alibi import flash_alibi_usable
+
+        use_flash_alibi = flash_alibi_usable(cfg, s, dh)
+
     if ring is not None and kv_write is None:
         # sequence dim sharded over sp: ring attention (parallel/ring.py)
         from ..parallel.ring import ring_self_attention
@@ -250,6 +262,19 @@ def decoder_layer(
         # local (pre-cache) k/v == the full keys for self-contained blocks
         attn = L.flash_attention_tpu(
             q, L.repeat_kv(k, nh // nkv), L.repeat_kv(v, nh // nkv), flash_valid
+        )
+    elif use_flash_alibi:
+        # MPT/ALiBi flash: bias computed in-kernel from the per-head slope
+        # (the dense bias arg is unused in this branch and DCE'd by XLA)
+        from ..ops.flash_alibi import flash_alibi_attention
+
+        attn = flash_alibi_attention(
+            q,
+            L.repeat_kv(k, nh // nkv),
+            L.repeat_kv(v, nh // nkv),
+            flash_valid,
+            L.alibi_slopes(nh),
+            float(dh) ** -0.5,
         )
     else:
         attn = L.dot_product_attention(

@@ -402,7 +402,8 @@ def openflamingo_forward(
         p_l, icv_row = xs_l
         icv_arg = icv_row if have_icv else None
         h, _ = decoder_layer(
-            t, p_l, h, None, None, mask, bias, icv_arg, None, ring=ring
+            t, p_l, h, None, None, mask, bias, icv_arg, None,
+            flash_valid=attention_mask, ring=ring,
         )
         return h, None
 

@@ -224,3 +224,59 @@ class TestFusedKLKernel:
         a = float(masked_kl_divergence(stu, tea, mask, 1.0, impl="xla"))
         b = float(masked_kl_divergence(stu, tea, mask, 1.0, impl="pallas_interpret"))
         assert b == pytest.approx(a, rel=1e-5)
+
+
+def test_flash_alibi_kernel_interpret():
+    """Pallas ALiBi flash (fwd) matches the dense masked path in interpret
+    mode, and the custom_vjp's dense-recompute backward matches dense grads
+    (the hot user — the 32-shot MPT teacher forward — is stop_gradient-ed)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from licv_vqa_tpu.models.layers import alibi_slopes
+    from licv_vqa_tpu.ops import flash_alibi as fa
+
+    rng = np.random.default_rng(0)
+    b, s, h, dh = 2, 512, 4, 128
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(b, s, h, dh)).astype(np.float32))
+        for _ in range(3)
+    )
+    valid = np.ones((b, s), np.int32)
+    valid[1, 400:] = 0
+    validj = jnp.asarray(valid)
+    slopes = alibi_slopes(h)
+    scale = dh**-0.5
+
+    ref = fa._dense_reference(q, k, v, validj, slopes, scale)
+    got = fa._flash_alibi_fwd_impl(
+        q, k, v, validj, slopes, scale=scale, interpret=True
+    )
+    vm = valid.astype(bool)
+    assert np.abs(np.asarray(ref)[vm] - np.asarray(got)[vm]).max() < 2e-5
+
+    w = jnp.asarray(vm[:, :, None, None] & np.ones(q.shape, bool))
+    g_flash = jax.grad(
+        lambda q: jnp.sum(
+            jnp.where(
+                w, fa.flash_alibi_attention(q, k, v, validj, slopes, scale), 0.0
+            )
+            ** 2
+        )
+    )
+    g_ref = jax.grad(
+        lambda q: jnp.sum(
+            jnp.where(w, fa._dense_reference(q, k, v, validj, slopes, scale), 0.0)
+            ** 2
+        )
+    )
+    orig = fa._flash_alibi_fwd_impl
+    fa._flash_alibi_fwd_impl = lambda *a, **kw: orig(
+        *a, **dict(kw, interpret=True)
+    )
+    try:
+        err = float(jnp.max(jnp.abs(g_flash(q) - g_ref(q))))
+    finally:
+        fa._flash_alibi_fwd_impl = orig
+    assert err < 1e-5, err
