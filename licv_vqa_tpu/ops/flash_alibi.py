@@ -70,10 +70,12 @@ def _flash_alibi_fwd_impl(
     slopes: jax.Array,  # (H,) f32
     *,
     scale: float,
-    blk_q: int = 256,
+    blk_q: Optional[int] = None,
     interpret: bool = False,
 ) -> jax.Array:
     b, s, h, dh = q.shape
+    if blk_q is None:  # largest v5e-friendly block dividing the (padded) seq
+        blk_q = 256 if s % 256 == 0 else 128
     assert s % blk_q == 0, (s, blk_q)
     qt = q.transpose(0, 2, 1, 3)  # (B, H, S, Dh)
     kt = k.transpose(0, 2, 1, 3)
@@ -143,12 +145,12 @@ def _bwd(scale, res, g):
 flash_alibi_attention.defvjp(_fwd, _bwd)
 
 
-def flash_alibi_usable(cfg, q_len: int, head_dim: int, blk_q: int = 256) -> bool:
+def flash_alibi_usable(cfg, q_len: int, head_dim: int) -> bool:
     """Static predicate mirroring ``layers.flash_attention_usable``."""
     return (
         getattr(cfg, "attention_impl", "xla") == "flash"
         and jax.default_backend() == "tpu"
-        and q_len >= blk_q
-        and q_len % blk_q == 0
+        and q_len >= 128
+        and q_len % 128 == 0
         and head_dim % 128 == 0
     )
