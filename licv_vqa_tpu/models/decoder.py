@@ -230,11 +230,15 @@ def decoder_layer(
         and cfg.attn_logit_softcap is None
         and L.flash_attention_usable(cfg, s, nh, dh)
     )
+    # flash_valid is only passed for self-contained blocks (training forward
+    # or a prefill into an EMPTY cache) — same contract as the rope path, so
+    # local (pre-cache) k/v are the full keys and the cache may still be
+    # written alongside.  ALiBi is index-offset-invariant, so LEFT-padded
+    # prefill rows are fine: rel = q_idx - k_idx equals q_pos - k_pos.
     use_flash_alibi = False
     if (
         flash_valid is not None
         and ring is None
-        and kv_write is None
         and cfg.positional == "alibi"
         and cfg.attn_logit_softcap is None
     ):

@@ -274,6 +274,7 @@ def openflamingo_forward(
     xattn_kv: Optional[tuple] = None,  # precomputed (G,B,Nk,nh,dh) k/v
     last_logit_only: bool = False,  # decode prefill: skip S-1 lm_head cols
     ring_spec=None,  # parallel.ring.RingSpec: sp-shard the train forward
+    prefill_flash: Optional[jax.Array] = None,  # mask: empty-cache prefill
 ):
     t = cfg.text
     every = cfg.cross_attn_every_n_layers
@@ -355,6 +356,7 @@ def openflamingo_forward(
             h, new_kv = decoder_layer(
                 t, p_l, h, None, None, mask, bias, icv_arg,
                 (kv_l[0], kv_l[1], index),
+                flash_valid=prefill_flash,
             )
             return h, new_kv
 
@@ -492,6 +494,7 @@ def make_openflamingo_forward_fns(
                 positions=positions,
                 xattn_kv=xkv,
                 last_logit_only=prefill,
+                prefill_flash=attention_mask if prefill else None,
             )
 
         return forward_fn
