@@ -91,8 +91,8 @@ def _ring_body(
             slopes = jax.lax.dynamic_slice(slopes, (off,), (h,))
     qf = q.astype(jnp.float32)
 
-    def step(carry, _):
-        o, m, l, k_c, v_c, kp_c, kval_c = carry
+    def absorb(o, m, l, k_c, v_c, kp_c, kval_c):
+        """Online-softmax update of (o, m, l) with one K/V block."""
         s = (
             jnp.einsum("bqhd,bkhd->bhqk", qf, k_c.astype(jnp.float32))
             * jnp.float32(scale)
@@ -110,12 +110,19 @@ def _ring_body(
         p = jnp.exp(s - m_new[..., None])  # rows of all-neg give exp(0)=1 —
         p = jnp.where(mask[:, None, :, :], p, 0.0)  # re-mask kills them
         l_new = l * corr + jnp.sum(p, axis=-1)
-        pv = jnp.einsum("bhqk,bkhd->bqhd", p, v_c.astype(jnp.float32))
-        o_new = o * corr.transpose(0, 2, 1)[..., None] + pv
+        pv_ = jnp.einsum("bhqk,bkhd->bqhd", p, v_c.astype(jnp.float32))
+        return o * corr.transpose(0, 2, 1)[..., None] + pv_, m_new, l_new
 
-        perm = [(i, (i + 1) % sp_size) for i in range(sp_size)]
-        rot = lambda x: jax.lax.ppermute(x, sp_axis, perm)
-        return (o_new, m_new, l_new, rot(k_c), rot(v_c), rot(kp_c), rot(kval_c)), None
+    perm = [(i, (i + 1) % sp_size) for i in range(sp_size)]
+    rot = lambda x: jax.lax.ppermute(x, sp_axis, perm)
+
+    def step(carry, _):
+        # rotate FIRST, then absorb: the local block is absorbed before the
+        # scan, so only sp-1 rotations run — no dead final ppermute
+        o, m, l, k_c, v_c, kp_c, kval_c = carry
+        k_c, v_c, kp_c, kval_c = rot(k_c), rot(v_c), rot(kp_c), rot(kval_c)
+        o, m, l = absorb(o, m, l, k_c, v_c, kp_c, kval_c)
+        return (o, m, l, k_c, v_c, kp_c, kval_c), None
 
     # constant-initialized carries must be marked varying over the manual
     # axes (jax>=0.9 vma check) to match the data-dependent carry outputs
@@ -123,9 +130,13 @@ def _ring_body(
     o0 = pv(jnp.zeros((b, sq, h, dh), jnp.float32))
     m0 = pv(jnp.full((b, h, sq), neg, jnp.float32))
     l0 = pv(jnp.zeros((b, h, sq), jnp.float32))
-    (o, _, l, *_), _ = jax.lax.scan(
-        step, (o0, m0, l0, k, v, k_pos, k_valid), None, length=sp_size
-    )
+    o0, m0, l0 = absorb(o0, m0, l0, k, v, k_pos, k_valid)
+    if sp_size > 1:
+        (o, _, l, *_), _ = jax.lax.scan(
+            step, (o0, m0, l0, k, v, k_pos, k_valid), None, length=sp_size - 1
+        )
+    else:
+        o, l = o0, l0
     out = jnp.where(l.transpose(0, 2, 1)[..., None] > 0, o / jnp.maximum(
         l.transpose(0, 2, 1)[..., None], 1e-30
     ), 0.0)

@@ -73,7 +73,10 @@ class GrainDataLoader:
         if self.shuffle:
             ds = ds.shuffle()
         if self.shard_count > 1:
+            # truncate to the common length: uneven shards would desync the
+            # hosts' loops (a host finishing early stalls the collectives)
             ds = ds[self.shard_index :: self.shard_count]
+            ds = ds[: len(self.dataset) // self.shard_count]
         if self.num_epochs is not None:
             ds = ds.repeat(self.num_epochs)
         batched = ds.batch(
@@ -89,9 +92,7 @@ class GrainDataLoader:
         return iter_ds
 
     def __len__(self) -> int:
-        n = len(self.dataset)
-        if self.shard_count > 1:
-            n = len(range(self.shard_index, n, self.shard_count))
+        n = len(self.dataset) // self.shard_count
         per_epoch = n // self.batch_size if self.drop_last else -(-n // self.batch_size)
         return per_epoch * (self.num_epochs or 1)
 

@@ -57,6 +57,13 @@ def _pad_batch_to_multiple(batch, multiple: int):
     return jax.tree.map(pad, batch)
 
 
+def _is_seq_leaf(path, x) -> bool:
+    """(B, S) token/mask leaf — the single predicate shared by seq padding
+    and sp sharding so the two can never drift apart."""
+    key = getattr(path[-1], "key", "") if path else ""
+    return key in ("input_ids", "attention_mask") and getattr(x, "ndim", 0) == 2
+
+
 def _pad_seq_to_multiple(batch, sp: int, pad_token_id: int):
     """Right-pad (B, S) token/mask leaves to an sp multiple for even
     ring-attention shards.  ids pad with ``pad_token_id`` and masks with 0,
@@ -68,12 +75,12 @@ def _pad_seq_to_multiple(batch, sp: int, pad_token_id: int):
         return batch
 
     def pad(path, x):
-        key = getattr(path[-1], "key", "") if path else ""
-        if key not in ("input_ids", "attention_mask") or x.ndim != 2:
+        if not _is_seq_leaf(path, x):
             return x
         rem = (-x.shape[1]) % sp
         if rem == 0:
             return x
+        key = getattr(path[-1], "key", "")
         fill = pad_token_id if key == "input_ids" else 0
         return np.pad(
             np.asarray(x), [(0, 0), (0, rem)], constant_values=fill
@@ -177,16 +184,25 @@ class Trainer:
     # ------------------------------------------------------------------
     def _shard_batch(self, batch):
         """dp-shard the batch; with sp>1, token/mask seq dims also sp-shard
-        (the ring's shard_map requires the layout its in_specs name)."""
-        if self.sp <= 1:
-            return jax.device_put(batch, self.batch_shard)
+        (the ring's shard_map requires the layout its in_specs name).
+
+        Multi-host: each host loads a DISJOINT per-host batch (grain
+        shard_index/count), so the local arrays are this process's SHARD of
+        a global batch — assembled with make_array_from_process_local_data
+        (a plain device_put would treat each host's batch as the same global
+        array and silently drop the rows outside its addressable slice)."""
         seq = NamedSharding(self.mesh, P(AXIS_DP, AXIS_SP))
+        multihost = jax.process_count() > 1
 
         def put(path, x):
-            key = getattr(path[-1], "key", "") if path else ""
-            if key in ("input_ids", "attention_mask") and x.ndim == 2:
-                return jax.device_put(x, seq)
-            return jax.device_put(x, self.batch_shard)
+            sh = (
+                seq
+                if self.sp > 1 and _is_seq_leaf(path, x)
+                else self.batch_shard
+            )
+            if multihost:
+                return jax.make_array_from_process_local_data(sh, np.asarray(x))
+            return jax.device_put(x, sh)
 
         return jax.tree_util.tree_map_with_path(put, batch)
 
@@ -226,7 +242,16 @@ class Trainer:
         restored_loader = False
         if resume_step is not None:
             logger.info("resumed from step checkpoint %d", resume_step)
-            loader_state = ckpt.restore_loader_state(resume_step)
+            # only restore the iterator for a MID-epoch checkpoint: a save at
+            # an epoch boundary captured an exhausted iterator, and replaying
+            # it would silently train the next epoch on zero batches — the
+            # fresh seed+epoch rebuild below is the correct boundary resume
+            mid_epoch = (
+                steps_per_epoch and resume_step % steps_per_epoch != 0
+            )
+            loader_state = (
+                ckpt.restore_loader_state(resume_step) if mid_epoch else None
+            )
             if loader_state is not None and hasattr(loader, "set_state"):
                 # checkpointable loader (grain): replay the exact remaining
                 # mid-epoch sample order
@@ -247,6 +272,7 @@ class Trainer:
         )
 
         micro_step = int(np.asarray(state.step)) * 1  # counts micro-batches
+        start_micro = micro_step  # it/s counts THIS process's steps only
         done = False
         t0 = time.time()
         timer = StepTimer()
@@ -319,7 +345,7 @@ class Trainer:
                         total_micro,
                         m.get("loss", float("nan")),
                         m.get("kl_loss", float("nan")),
-                        micro_step / max(dt, 1e-6),
+                        (micro_step - start_micro) / max(dt, 1e-6),
                     )
                     if self.metrics_hook:
                         self.metrics_hook(micro_step, m)

@@ -65,8 +65,11 @@ def test_multi_host_sharding_partitions_dataset():
     ]
     seen = [np.concatenate(list(dl)).tolist() for dl in loaders]
     assert not (set(seen[0]) & set(seen[1]))  # disjoint
-    assert sorted(seen[0] + seen[1]) == list(range(11))  # full coverage
-    assert len(loaders[0]) == 6 and len(loaders[1]) == 5
+    # shards are truncated to the COMMON length (uneven shards would desync
+    # multi-host loops): 2×5 of the 11 samples, one dropped per epoch
+    assert len(seen[0]) == 5 and len(seen[1]) == 5
+    assert set(seen[0] + seen[1]) <= set(range(11))
+    assert len(loaders[0]) == 5 and len(loaders[1]) == 5
 
 
 def test_trainer_accepts_grain_loader(tmp_path):

@@ -232,6 +232,38 @@ def test_resume_replays_exact_data_order(tmp_path, loader_kind):
     )
 
 
+@pytest.mark.parametrize("loader_kind", ["threads", "grain"])
+def test_resume_at_epoch_boundary(tmp_path, loader_kind):
+    """A checkpoint saved exactly at an epoch boundary captured an EXHAUSTED
+    grain iterator; resume must NOT replay it (that trained the next epoch
+    on zero batches) — the fresh seed+epoch rebuild takes over and the
+    resumed run still reproduces the uninterrupted final ICV."""
+    import shutil
+
+    t1, rec1 = _recording_trainer(
+        tmp_path, loader_kind, max_epochs=2, ckpt_every=1
+    )
+    run_dir = tmp_path / ("runb_" + loader_kind)
+    state_full = t1.fit(rec1, run_dir, lmm_args={})
+    icv_full = np.asarray(state_full.params["encoder"]["icv"])
+
+    # keep only the step-2 checkpoint: exactly the end of epoch 0
+    shutil.rmtree(run_dir / "steps" / "4")
+    shutil.rmtree(run_dir / "steps" / "3")
+
+    t2, rec2 = _recording_trainer(
+        tmp_path, loader_kind, max_epochs=2, ckpt_every=100
+    )
+    state_res = t2.fit(rec2, run_dir, lmm_args={})
+    assert int(np.asarray(state_res.step)) == 4
+    # the resumed run trains exactly epoch 1's two batches, same order
+    assert rec2.fingerprints == rec1.fingerprints[2:]
+    np.testing.assert_allclose(
+        np.asarray(state_res.params["encoder"]["icv"]), icv_full,
+        rtol=1e-6, atol=1e-8,
+    )
+
+
 def test_dp_sp_fit_matches_dp(tmp_path):
     """strategy=dp_sp runs ring attention over sp=4 (seq dims padded to an
     sp multiple, token/mask leaves sp-sharded) and matches plain dp."""
