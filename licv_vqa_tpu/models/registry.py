@@ -69,9 +69,9 @@ def _wrap_pixel_normalize(train_forward, bind_decode, mean, std):
             return (pixels.astype(jnp.float32) * (1.0 / 255.0) - mean) * inv_std
         return pixels  # already normalized floats (direct-API callers)
 
-    def tf(model_params, inputs, icv_scaled):
+    def tf(model_params, inputs, icv_scaled, **kw):
         inputs = dict(inputs, pixel_values=norm(inputs["pixel_values"]))
-        return train_forward(model_params, inputs, icv_scaled)
+        return train_forward(model_params, inputs, icv_scaled, **kw)
 
     def bd(model_params, pixels, valid, ids, icv_scaled, max_len, **kw):
         return bind_decode(
@@ -101,8 +101,8 @@ def _wrap_intervention(cfg, n_layers: int, train_forward, bind_decode):
     def expand(icv):
         return expand_icv_to_layers(icv, layers, n_layers)
 
-    def tf(model_params, inputs, icv_scaled):
-        return train_forward(model_params, inputs, expand(icv_scaled))
+    def tf(model_params, inputs, icv_scaled, **kw):
+        return train_forward(model_params, inputs, expand(icv_scaled), **kw)
 
     def bd(model_params, pixels, valid, ids, icv_scaled, max_len, **kw):
         return bind_decode(

@@ -373,6 +373,27 @@ def test_okvqa_cli_inference(env):
     assert keys and "overall" in result[keys[0]]
 
 
+def test_train_cli_with_sequence_parallelism(env):
+    """trainer.strategy=dp_sp threads through the train CLI: seq dims pad
+    to the sp multiple, the ring attention path runs, artifact written."""
+    import train as train_cli
+
+    save_path = train_cli.main(
+        [
+            "lmm=tiny-idefics",
+            "run_name=e2e_sp",
+            "data_cfg.task.datasets.few_shot_num=1",
+            "data_cfg.task.datasets.max_train_size=-1",
+            "trainer=debug",
+            "trainer.strategy=dp_sp",
+            "trainer.sp=2",
+            "data_cfg.bs=2",
+            "data_cfg.num_workers=1",
+        ]
+    )
+    assert (save_path / "icv_cpk.pth").exists()
+
+
 def test_train_with_grain_loader(env):
     import train as train_cli
 
