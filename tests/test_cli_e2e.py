@@ -167,6 +167,18 @@ def test_dp_sharded_inference_matches_single_device(env):
     assert preds1 == preds("e2e_dp8"), preds1
     assert preds1 == preds("e2e_dptp"), preds1
 
+    # per-row speculative decoding composes with the dp mesh (f32 tiny
+    # model: per-row cache indices + sharded batch produce a valid run)
+    infer_cli.main(
+        args
+        + [
+            "run_name=e2e_dpspec",
+            "infer_dp=-1",
+            "generate_kwargs.speculative_draft_layers=2",
+        ]
+    )
+    assert len(preds("e2e_dpspec")) == len(preds1)
+
 
 def test_icl_inference_with_rice(env):
     import inference as infer_cli
