@@ -40,9 +40,10 @@ logger = get_logger("train")
 def _pad_batch_to_multiple(batch, multiple: int):
     """Zero-pad every leaf's batch dim to a dp multiple.
 
-    Loss-neutral by construction: padded rows have attention_mask 0, so their
-    answer-region masks are all-False (they add nothing to the masked-KL
-    numerator or denominator) and their CE labels are ignored."""
+    Loss-neutral because ``icv_loss_fn`` gates both losses on row validity
+    (any(attention_mask) per row): padded rows are excluded from the masked-KL
+    mask and their CE labels are forced to -100 — in BOTH ``mask_ce_padding``
+    modes and for any ``pad_token_id``."""
     if multiple <= 1:
         return batch
 
@@ -298,14 +299,14 @@ class Trainer:
                 break
             offset = skip_batches if epoch == epoch_start else 0
             limit = steps_per_epoch - (offset if restored_loader else 0)
-            for bi, batch in enumerate(loader):
-                if bi >= limit:
-                    break
-                if not restored_loader and epoch == epoch_start and bi < offset:
-                    continue  # fast-forward through already-trained batches
-                if micro_step >= total_micro:
-                    done = True
-                    break
+            batch_iter = iter(loader)
+            bi = -1
+            while True:
+                # preemption is checked BEFORE pulling the next batch: the
+                # loader state saved here is the pre-fetch snapshot, so a
+                # set_state resume replays exactly the untrained remainder
+                # (fetching first would advance the iterator past a batch
+                # that never trains, silently dropping it)
                 if guard.should_stop:
                     logger.warning(
                         "preemption requested — checkpointing at micro %d",
@@ -314,6 +315,18 @@ class Trainer:
                     ckpt.save(micro_step, state, loader_state=loader_snapshot())
                     done = True
                     break
+                if micro_step >= total_micro:
+                    done = True
+                    break
+                try:
+                    batch = next(batch_iter)
+                except StopIteration:
+                    break
+                bi += 1
+                if bi >= limit:
+                    break
+                if not restored_loader and epoch == epoch_start and bi < offset:
+                    continue  # fast-forward through already-trained batches
                 if cfg.profile_steps > 0 and micro_step == 2:
                     profiler_ctx = trace(run_dir / "profile")
                     profiler_ctx.__enter__()

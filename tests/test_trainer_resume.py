@@ -304,3 +304,64 @@ def test_dp_tp_sp_fit_matches_dp(tmp_path):
         rtol=2e-4,
         atol=2e-6,
     )
+
+
+class _FlipAfterPolls:
+    """Fake PreemptionGuard: should_stop turns True from the (n+1)-th poll.
+    The trainer polls exactly once per loop iteration, BEFORE fetching the
+    next batch."""
+
+    def __init__(self, n):
+        self.n = n
+        self.polls = 0
+
+    @property
+    def should_stop(self):
+        self.polls += 1
+        return self.polls > self.n
+
+
+def test_preemption_snapshot_precedes_batch_fetch(tmp_path, monkeypatch):
+    """A preemption save must capture the loader state BEFORE the next batch
+    is fetched (ADVICE r2): with the grain loader, saving the post-fetch
+    state silently drops one micro-batch on resume.  Preempt after micro 3
+    (mid epoch 1 of 2×2); the resumed run must train exactly the one
+    remaining batch, in order, and reproduce the uninterrupted final ICV."""
+    import shutil
+
+    import licv_vqa_tpu.train.trainer as trainer_mod
+
+    pytest.importorskip("grain.python")
+
+    # uninterrupted 2-epoch run for the golden ICV + batch order
+    t1, rec1 = _recording_trainer(tmp_path, "grain", max_epochs=2,
+                                  ckpt_every=100)
+    state_full = t1.fit(rec1, tmp_path / "run_gold", lmm_args={})
+    icv_full = np.asarray(state_full.params["encoder"]["icv"])
+    assert len(rec1.fingerprints) == 4
+
+    # preempted run: polls go (e0: b0, b1, StopIteration) = 3 polls,
+    # (e1: b2) = poll 4, then poll 5 fires the preemption before b3 is
+    # fetched → save at micro 3 with the pre-fetch iterator state
+    monkeypatch.setattr(
+        trainer_mod, "PreemptionGuard", lambda: _FlipAfterPolls(4)
+    )
+    run_dir = tmp_path / "run_preempt"
+    t2, rec2 = _recording_trainer(tmp_path, "grain", max_epochs=2,
+                                  ckpt_every=100)
+    state_pre = t2.fit(rec2, run_dir, lmm_args={})
+    assert int(np.asarray(state_pre.step)) == 3
+    assert rec2.fingerprints == rec1.fingerprints[:3]
+
+    # resume with a real guard: exactly one batch remains
+    monkeypatch.setattr(trainer_mod, "PreemptionGuard",
+                        trainer_mod.PreemptionGuard)
+    t3, rec3 = _recording_trainer(tmp_path, "grain", max_epochs=2,
+                                  ckpt_every=100)
+    state_res = t3.fit(rec3, run_dir, lmm_args={})
+    assert int(np.asarray(state_res.step)) == 4
+    assert rec3.fingerprints == rec1.fingerprints[3:]
+    np.testing.assert_allclose(
+        np.asarray(state_res.params["encoder"]["icv"]), icv_full,
+        rtol=1e-6, atol=1e-8,
+    )
