@@ -104,6 +104,11 @@ def icv_loss_fn(
     query_inputs = batch["query_inputs"]
     stu_logits = forward_fn(model_params, query_inputs, icv_scaled)  # (B,Ss,V) f32
 
+    # rows the trainer zero-padded to a dp multiple have an all-zero
+    # attention_mask; they must be inert in BOTH losses (real rows always
+    # attend to at least one token)
+    row_valid = query_inputs["attention_mask"].astype(bool).any(axis=1)  # (B,)
+
     metrics = {}
     loss = jnp.float32(0.0)
 
@@ -116,8 +121,13 @@ def icv_loss_fn(
                 query_inputs["input_ids"],
                 -100,
             )
-        else:  # reference-exact: labels = input_ids verbatim, pads included
-            labels = query_inputs["input_ids"]
+        else:
+            # reference-exact for REAL rows: labels = input_ids verbatim,
+            # within-row pads included.  dp-padding rows are still ignored —
+            # they don't exist in the reference's batch at all.
+            labels = jnp.where(
+                row_valid[:, None], query_inputs["input_ids"], -100
+            )
         ce = shifted_cross_entropy(stu_logits, labels)
         metrics["ce_loss"] = ce
         if cfg.only_hard_loss:
@@ -133,6 +143,9 @@ def icv_loss_fn(
     stu_mask = answer_region_mask(
         query_inputs["input_ids"], batch["query_x_length"], pad_token_id
     )
+    # dp-padding rows are all-zero: when pad_token_id != 0 their tokens
+    # don't look like padding to answer_region_mask, so gate on row validity
+    stu_mask = stu_mask & row_valid[:, None]
     tea_aligned = aligned_teacher_gather(
         tea_logits,
         batch["in_context_length"],

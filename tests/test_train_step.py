@@ -255,3 +255,75 @@ def test_temperature_decay_counts_optimizer_steps_under_accumulation():
     # micro-step increments, on the first micro-batch of the boundary):
     # micro 0-3 → T=1.0; micro 4 (opt step 2) → 0.5; micro 8 (opt step 4) → 0.25
     assert temps == [1.0] * 4 + [0.5] * 4 + [0.25] * 4, temps
+
+
+@pytest.mark.parametrize("pad_id", [0, 2])
+def test_dp_padding_rows_are_loss_inert(pad_id):
+    """Rows zero-padded to a dp multiple (trainer._pad_batch_to_multiple)
+    must not shift the loss — including the reference-exact CE mode
+    (mask_ce_padding=False, where labels are raw input_ids) and including
+    pad_token_id != 0, where an all-zero fill row's tokens do not look like
+    padding to answer_region_mask (VERDICT r2 weak #3)."""
+    import dataclasses
+
+    from licv_vqa_tpu.icv.module import icv_loss_fn
+    from licv_vqa_tpu.train.trainer import _pad_batch_to_multiple
+
+    cfg = DecoderConfig(
+        vocab_size=V, d_model=D, n_layers=LAYERS, n_heads=4, n_kv_heads=4,
+        d_ff=64, dtype=jnp.float32,
+    )
+    params = init_decoder_params(jax.random.PRNGKey(0), cfg)
+    encoder = GlobalICVEncoder(
+        lmm_hidden_dim=D, lmm_layers=LAYERS, alpha_init_value=0.1,
+        use_sigmoid=False,
+    )
+    mcfg = ICVModuleConfig(hard_loss_weight=0.5, mask_ce_padding=False)
+    state = init_train_state(
+        jax.random.PRNGKey(1), encoder, mcfg, make_optimizer(mcfg, 10)
+    )
+
+    def forward_fn(model_params, inputs, icv_scaled):
+        logits, _ = causal_lm_forward(
+            cfg, model_params, inputs["input_ids"], inputs["attention_mask"],
+            icv_scaled=icv_scaled,
+        )
+        return logits
+
+    # batch of 3 with pad_id as the padding token (tokens drawn from >= 3)
+    rng = np.random.default_rng(7)
+    bs, s_stu, s_tea = 3, 10, 16
+    stu = np.full((bs, s_stu), pad_id, np.int64)
+    tea = np.full((bs, s_tea), pad_id, np.int64)
+    qx, icl = np.zeros(bs, np.int64), np.zeros(bs, np.int64)
+    for b in range(bs):
+        q, a, ice = rng.integers(3, 6), rng.integers(1, 3), rng.integers(4, 8)
+        qx[b] = q
+        icl[b] = ice + q - 1
+        stu[b, : q + a] = rng.integers(3, V, size=q + a)
+        tea[b, : icl[b] + a] = rng.integers(3, V, size=icl[b] + a)
+    batch = {
+        "query_inputs": {
+            "input_ids": jnp.asarray(stu),
+            "attention_mask": jnp.asarray((stu != pad_id).astype(np.int32)),
+        },
+        "inputs": {
+            "input_ids": jnp.asarray(tea),
+            "attention_mask": jnp.asarray((tea != pad_id).astype(np.int32)),
+        },
+        "query_x_length": jnp.asarray(qx),
+        "in_context_length": jnp.asarray(icl),
+    }
+
+    def loss_of(b):
+        loss, metrics = icv_loss_fn(
+            state.params, params, b, forward_fn, encoder, mcfg, pad_id
+        )
+        return {k: float(v) for k, v in metrics.items()}
+
+    plain = loss_of(batch)
+    padded = loss_of(_pad_batch_to_multiple(batch, 4))  # 3 → 4 rows
+    for key in ("loss", "kl_loss", "ce_loss"):
+        assert plain[key] == pytest.approx(padded[key], rel=1e-6), (
+            key, plain, padded,
+        )
