@@ -13,8 +13,11 @@ Axes:
 - ``tp``   — tensor parallel (attention heads / MLP hidden).  The reference
   has no TP; we add it so the frozen 9B weights can shard when per-chip HBM
   requires it (SURVEY.md §2.5).
-- ``sp``   — sequence axis.  Plumbed-but-unused in v1 per SURVEY.md §5.7 so
-  ring/blockwise attention can be added without an API change.
+- ``sp``   — sequence axis, load-bearing: ring attention shards Q/K/V over
+  ``sp`` with ``shard_map`` + ``ppermute`` (parallel/ring.py) and the Trainer
+  runs it under ``strategy=dp_sp`` / ``dp_tp_sp``.  (B, S) batch leaves
+  seq-shard as ``P(dp, sp)``.  The reference has no sequence parallelism at
+  all (SURVEY.md §5.7).
 """
 
 from __future__ import annotations

@@ -11,8 +11,10 @@ GSPMD inserts the collectives over ICI:
   output projections (input features), so each block needs one all-reduce.
   Norms/embeddings replicate.  This is what lets the 9B frozen model exceed
   one chip's HBM.
-- ``sp``: named but unused in v1 (SURVEY.md §5.7) — plumbed so sequence
-  sharding can be added without an API change.
+- ``sp``: sequence dim of (B, S) batch leaves (``P(dp, sp)``); ring attention
+  (parallel/ring.py) rotates K/V shards around the ``sp`` axis with
+  ``ppermute`` so no device ever holds the full sequence.  Model params never
+  shard over ``sp``.
 """
 
 from __future__ import annotations
