@@ -37,17 +37,20 @@ BASELINE_TOKENS_PER_SEC = 15.0
 PROMPT_LEN = 64
 MAX_NEW = 32
 
-# (n_layers, quantize, batch, kv8, per-variant budget seconds), in order.
+# (child spec, per-variant budget seconds), in order.
 # 16L bf16 measured good on hardware in round 1 (486 tok/s) → banked first;
 # 32L int8 is the flagship full depth on one v5e (425.8 tok/s at bs=8);
 # bs=64 + int8 KV cache amortizes the weight stream 8× and halves cache
 # traffic (serving-throughput headline: 1206.2 tok/s/chip measured on v5e;
-# bs=32 measured 973.1).
+# bs=32 measured 973.1).  The LAST variant is the reference's own eval shape
+# (bs=1, num_beams=3, max_new_tokens=5 — config/inference.yaml:11,26-30) in
+# questions/sec/chip — printed last so it is the round's parsed headline.
 VARIANTS = (
-    (16, False, 8, False, int(os.environ.get("BENCH_BUDGET_V0", 720))),
-    (32, True, 8, False, int(os.environ.get("BENCH_BUDGET_V1", 720))),
-    (32, True, 64, True, int(os.environ.get("BENCH_BUDGET_V2", 600))),
-    (8, False, 8, False, int(os.environ.get("BENCH_BUDGET_V3", 300))),
+    ("16:bf16:bs8", int(os.environ.get("BENCH_BUDGET_V0", 720))),
+    ("32:int8:bs8", int(os.environ.get("BENCH_BUDGET_V1", 720))),
+    ("32:int8:bs64:kv8", int(os.environ.get("BENCH_BUDGET_V2", 600))),
+    ("8:bf16:bs8", int(os.environ.get("BENCH_BUDGET_V3", 300))),
+    ("32:int8:bs1:eval", int(os.environ.get("BENCH_BUDGET_V4", 600))),
 )
 
 
@@ -164,40 +167,174 @@ def run(n_layers: int, quantize: bool = False, bs: int = 8, kv8: bool = False) -
         "value": round(tok_per_sec, 2),
         "unit": "tokens/s/chip",
         "vs_baseline": round(tok_per_sec / BASELINE_TOKENS_PER_SEC, 2),
+        "baseline_estimated": True,  # 15 tok/s is an estimate; ref publishes none
         "roofline_tokens_per_sec": round(ceiling, 1),
         "pct_of_hbm_roofline": round(100.0 * tok_per_sec / ceiling, 1),
         "weight_stream_gb_per_step": round((stream_bytes + kv_bytes) / 1e9, 3),
     }
 
 
+def _stream_bytes(params) -> int:
+    """Decoder+xattn+head weight bytes read once per decode step."""
+    import jax
+
+    from licv_vqa_tpu.ops.quantize import is_quantized_leaf
+
+    def leaf_bytes(x):
+        if isinstance(x, dict) and "q" in x and "s" in x:
+            return x["q"].size + x["s"].size * x["s"].dtype.itemsize
+        return x.size * x.dtype.itemsize
+
+    return sum(
+        leaf_bytes(l)
+        for key in ("layers", "xattn", "final_norm", "lm_head")
+        for l in jax.tree.leaves(params[key], is_leaf=is_quantized_leaf)
+    )
+
+
+def run_eval_shape(n_layers: int = 32, bs: int = 1) -> dict:
+    """The reference's own eval workload, end-to-end on device: image encode
+    → gated-xattn KV bind → prefill → beam-3 decode of 5 tokens (reference:
+    config/inference.yaml:11,26-30; inference.py:300-321).  Value is
+    questions/sec/chip; host prompt assembly + detokenize are <1 ms/question
+    (pure-Python string work) and excluded."""
+    import jax
+    import jax.numpy as jnp
+
+    from licv_vqa_tpu.infer.decode import beam_generate
+
+    NUM_BEAMS, EVAL_MAX_NEW = 3, 5
+    cfg, params, bind_decode = build(n_layers, quantize=True, kv8=False)
+    rng = np.random.default_rng(0)
+    ids = rng.integers(3, 32000, size=(bs, PROMPT_LEN)).astype(np.int32)
+    ids[:, 1] = cfg.image_token_id
+    mask = np.ones_like(ids)
+    pixels = rng.normal(size=(bs, 1, 224, 224, 3)).astype(np.float32)
+    valid = np.ones((bs, 1), bool)
+    icv = (
+        jnp.asarray(rng.normal(size=(cfg.text.n_layers, 4096)).astype(np.float32))
+        * 0.1
+    ).astype(jnp.bfloat16)
+    max_len = PROMPT_LEN + EVAL_MAX_NEW + 1
+
+    @jax.jit
+    def gen(params, ids, mask, pixels, valid, icv):
+        fwd = bind_decode(params, pixels, valid, ids, icv, max_len)
+        return beam_generate(
+            fwd, ids, mask, max_new_tokens=EVAL_MAX_NEW, eos_token_id=-1,
+            pad_token_id=0, num_beams=NUM_BEAMS, length_penalty=0.0,
+        )
+
+    args = (
+        params,
+        jnp.asarray(ids),
+        jnp.asarray(mask),
+        jnp.asarray(pixels),
+        jnp.asarray(valid),
+        icv,
+    )
+
+    def sync(x):
+        return np.asarray(x[:, -1])
+
+    sync(gen(*args))  # compile + warmup
+    reps = 10
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        sync(gen(*args))
+    dt = (time.perf_counter() - t0) / reps
+    qps = bs / dt
+
+    # phase split: a bind+prefill-only program isolates everything before the
+    # 5-step beam scan; decode time = total − bind+prefill.  Best effort —
+    # the headline must survive a failure here.
+    split = {}
+    try:
+        @jax.jit
+        def bind_prefill(params, ids, mask, pixels, valid, icv):
+            fwd = bind_decode(params, pixels, valid, ids, icv, max_len)
+            from licv_vqa_tpu.infer.decode import _positions_from_mask
+
+            logits, _ = fwd(ids, mask, _positions_from_mask(mask), None)
+            return logits[:, -1, :1]
+
+        np.asarray(bind_prefill(*args))  # compile
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            np.asarray(bind_prefill(*args))
+        bp_ms = (time.perf_counter() - t0) / reps * 1e3
+        split = {
+            "bind_prefill_ms": round(bp_ms, 1),
+            "beam_decode_ms": round(dt * 1e3 - bp_ms, 1),
+        }
+    except Exception as e:  # pragma: no cover - hardware-path diagnostics
+        print(f"bench: eval-shape split failed: {e!r}", file=sys.stderr)
+
+    # Roofline per question: vision FLOPs (MXU-bound) + prefill (max of MXU
+    # and weight-stream bounds) + 5 decode steps (weight-stream bound; the
+    # 3 beams share each step's weight read).
+    stream_bytes = _stream_bytes(params)
+    kv_bytes = (
+        n_layers * bs * NUM_BEAMS * max_len * 32 * 128 * 2 * 2
+    )  # bf16 K+V
+    hbm = 819.0e9
+    mxu_bf16 = 197.0e12  # v5e peak
+    vis_flops = bs * 2 * 630e6 * 257  # ViT-H/14: ~630M params × 257 tokens
+    prefill_flops = bs * 2 * 9e9 * PROMPT_LEN
+    t_bound = (
+        vis_flops / mxu_bf16
+        + max(prefill_flops / (2 * mxu_bf16), stream_bytes / hbm)
+        + EVAL_MAX_NEW * (stream_bytes + kv_bytes) / hbm
+    )
+    ceiling = bs / t_bound
+    out = {
+        "metric": f"icv_steered_eval_questions_per_sec_per_chip"
+        f"_idefics{n_layers}L4096d_int8w_bs{bs}_beam3_maxnew5",
+        "value": round(qps, 2),
+        "unit": "questions/s/chip",
+        # baseline at the same shape: 15 tok/s estimate ÷ 5 tokens/question
+        "vs_baseline": round(qps / (BASELINE_TOKENS_PER_SEC / EVAL_MAX_NEW), 2),
+        "baseline_estimated": True,
+        "roofline_questions_per_sec": round(ceiling, 2),
+        "pct_of_hbm_roofline": round(100.0 * qps / ceiling, 1),
+        "tokens_per_sec_per_chip": round(qps * EVAL_MAX_NEW, 2),
+    }
+    out.update(split)
+    return out
+
+
 def _child(spec: str) -> None:
-    """Run one variant ('<layers>:<int8|bf16>[:bs<N>][:kv8]'); print JSON."""
+    """Run one variant ('<layers>:<int8|bf16>[:bs<N>][:kv8][:eval]');
+    print JSON."""
     parts = spec.split(":")
     n_layers, kind = parts[0], parts[1]
     bs = 8
     kv8 = False
+    eval_shape = False
     for p in parts[2:]:
         if p.startswith("bs"):
             bs = int(p[2:])
         elif p == "kv8":
             kv8 = True
-    result = run(int(n_layers), quantize=(kind == "int8"), bs=bs, kv8=kv8)
+        elif p == "eval":
+            eval_shape = True
+    if eval_shape:
+        result = run_eval_shape(int(n_layers), bs=bs)
+    else:
+        result = run(int(n_layers), quantize=(kind == "int8"), bs=bs, kv8=kv8)
     print(json.dumps(result), flush=True)
 
 
 def main() -> None:
     deadline = time.monotonic() + float(os.environ.get("BENCH_BUDGET_S", 1560))
     banked = 0
-    for n_layers, quantize, bs, kv8, budget in VARIANTS:
-        if banked and quantize is False:
+    for spec, budget in VARIANTS:
+        if banked and ":bf16:" in spec:
             continue  # smaller bf16 fallbacks add nothing once one is banked
         remaining = deadline - time.monotonic()
         if remaining < 60:
             print("bench: global budget exhausted, stopping", file=sys.stderr)
             break
-        spec = f"{n_layers}:{'int8' if quantize else 'bf16'}:bs{bs}" + (
-            ":kv8" if kv8 else ""
-        )
         t0 = time.monotonic()
         try:
             proc = subprocess.run(
