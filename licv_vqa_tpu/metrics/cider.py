@@ -28,13 +28,23 @@ _PTB_PUNCT = {
     "''", "'", "``", "`", "-LRB-", "-RRB-", "-LCB-", "-RCB-",
     ".", "?", "!", ",", ":", "-", "--", "...", ";",
 }
+# Stanford PTBTokenizer escapes brackets (and -lowerCase lowercases the
+# escapes, so pycocoevalcap's UPPERCASE filter list never removes them —
+# bracket tokens survive into the n-grams).  nltk's Treebank tokenizer
+# leaves literal brackets; rename to match the Stanford stream.
+_BRACKET_ESCAPES = {
+    "(": "-lrb-", ")": "-rrb-", "{": "-lcb-", "}": "-rcb-",
+    "[": "-lsb-", "]": "-rsb-",
+}
 _SIGMA = 6.0
 _MAX_N = 4
 
 
 def ptb_tokenize(text: str) -> list[str]:
     toks = word_tokenize(text.lower().replace("\n", " "))
-    return [t for t in toks if t not in _PTB_PUNCT]
+    return [
+        _BRACKET_ESCAPES.get(t, t) for t in toks if t not in _PTB_PUNCT
+    ]
 
 
 def _ngram_counts(tokens: list[str]) -> list[Counter]:

@@ -55,8 +55,16 @@ def _nltk_tagger_available() -> bool:
 
 _NOT_PLURAL_SUFFIXES = ("ss", "us", "is", "'s")
 
+# irregular plurals nltk's perceptron tagger tags NNS without an -s suffix
+_IRREGULAR_PLURALS = {
+    "men", "women", "children", "people", "mice", "geese", "feet", "teeth",
+    "oxen",
+}
+
 
 def _heuristic_tag(word: str) -> str:
+    if word in _IRREGULAR_PLURALS:
+        return "NNS"
     if (
         word.endswith("s")
         and len(word) > 3
@@ -95,17 +103,36 @@ _VOWELS = set("aeiou")
 
 
 def lemmatize_ing(word: str) -> str:
+    """WordNet verb lemma when the corpus is installed, else rule fallback.
+
+    Fallback rules (validated against WordNet's output on common VQA-answer
+    verbs — see tests/fixtures/metric_goldens.json):
+
+    - vowel-less base ⇒ not a verb stem: string/swing/bring unchanged;
+    - base ending in a vowel, y, or w: skiing→ski, playing→play, snowing→snow;
+    - doubled final consonant (not l/s/z): running→run, sitting→sit;
+    - consonant cluster: walking→walk — except soft-c clusters which restore
+      the e: dancing→dance;
+    - CVC tail restores the dropped e: taking→take, smiling→smile;
+    - anything else (VVC tails etc.): eating→eat, looking→look.
+    """
     lem = _wordnet_lemmatizer()
     if lem is not None:
         return lem.lemmatize(word, "v")
     if not word.endswith("ing") or len(word) <= 4:
         return word
     base = word[:-3]
+    if not any(c in _VOWELS for c in base):
+        return word  # string, swing, bring — WordNet leaves these alone
+    if base[-1] in _VOWELS or base[-1] in "yw":
+        return base  # ski, play, buy, snow, draw
     if len(base) >= 2 and base[-1] == base[-2] and base[-1] not in "lsz":
         return base[:-1]  # running → run
-    if len(base) >= 2 and base[-1] not in _VOWELS and base[-2] not in _VOWELS:
-        return base  # walking-like clusters → walk
-    return base
+    if len(base) >= 2 and base[-2] not in _VOWELS:
+        return base + "e" if base[-1] == "c" else base  # walk; dance
+    if len(base) >= 3 and base[-2] in _VOWELS and base[-3] not in _VOWELS:
+        return base + "e"  # take, smile, drive (CVC tail)
+    return base  # eat, look, rain (VVC tail)
 
 
 # ---------------------------------------------------------------------------
