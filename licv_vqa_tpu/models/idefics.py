@@ -56,6 +56,20 @@ class IdeficsConfig:
     additional_vocab_size: int = 2
     image_token_id: int = 32001  # <image> in the extended vocab
     use_resampler: bool = True
+    # train-forward rematerialization structure (see idefics_forward),
+    # measured on v5e by tools/bench_train_step_tpu.py:
+    #   "both"   — nested checkpoint on the group body AND the layer body
+    #              (residual per GROUP; cheapest memory).  The DEFAULT: the
+    #              only mode that fits the flagship 32L s_tea=2048 bs=4
+    #              int8 step on one chip (13s AOT compile, 1.60s/step; the
+    #              r2 "28-minute compile" does not reproduce via
+    #              jit(...).lower().compile() — tiny-shape compiles are
+    #              2-13s in every mode);
+    #   "inner"  — checkpoint per layer only (OOMs at the flagship shape);
+    #   "outer"  — checkpoint per group only;
+    #   "policy" — per-layer checkpoint, dots-with-no-batch-dims saved
+    #              (fastest backward, highest memory; OOMs at flagship).
+    remat_mode: str = "both"
 
     @classmethod
     def idefics_9b(cls, dtype=jnp.bfloat16) -> "IdeficsConfig":
@@ -467,6 +481,8 @@ def idefics_forward(
     else:
         icv_xs = jnp.zeros((n_groups, interval, 1), t.dtype)
 
+    mode = (cfg.remat_mode if remat else "none")
+
     def group_body(h, xs):
         xp, lp, icv_g = xs
         h = gated_xattn_block(cfg, xp, h, image_latents, xmask, gate)
@@ -480,12 +496,17 @@ def idefics_forward(
             )
             return h, None
 
-        if remat:
+        if mode in ("both", "inner"):
             layer_body = jax.checkpoint(layer_body)
+        elif mode == "policy":
+            layer_body = jax.checkpoint(
+                layer_body,
+                policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            )
         h, _ = jax.lax.scan(layer_body, h, (lp, icv_g))
         return h, None
 
-    if remat:
+    if mode in ("both", "outer"):
         group_body = jax.checkpoint(group_body)
     h, _ = jax.lax.scan(group_body, h, (params["xattn"], glayers, icv_xs))
 

@@ -374,6 +374,17 @@ def _apply_attention_impl(cfg, model_cfg):
         model_cfg = dataclasses.replace(
             model_cfg, text=dataclasses.replace(model_cfg.text, kv_cache_dtype=kvc)
         )
+    # lmm.remat_mode (inner|both|outer|policy): train-forward remat
+    # structure; see IdeficsConfig.remat_mode.  Only idefics carries the
+    # knob today (the flagship train path).
+    try:
+        rm = cfg.lmm.get("remat_mode")
+    except Exception:
+        rm = None
+    if rm in ("inner", "both", "outer", "policy") and hasattr(
+        model_cfg, "remat_mode"
+    ):
+        model_cfg = dataclasses.replace(model_cfg, remat_mode=rm)
     return model_cfg
 
 
