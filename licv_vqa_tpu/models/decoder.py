@@ -58,9 +58,12 @@ def init_layer_params(key, cfg: DecoderConfig, n_layers: int) -> dict:
         }
     else:
         p["mlp"] = {"w_up": w(ks[4], (d, f)), "w_down": w(ks[5], (f, d))}
-    if cfg.norm_type == "layernorm":
-        p["ln1_b"] = jnp.zeros((n_layers, d), cfg.dtype)
-        p["ln2_b"] = jnp.zeros((n_layers, d), cfg.dtype)
+    # NOTE no ln1_b/ln2_b even for norm_type="layernorm": the only layernorm
+    # decoder is MPT, whose real checkpoints are fully bias-free
+    # (mosaicml/mpt-7b no_bias=true) — convert_mpt emits none, and init must
+    # structurally match converted params (caught at full scale by
+    # tools/fullscale_convert_check.py).  The forward still honors biases via
+    # p.get("ln1_b") if a converted model carries them.
     return p
 
 

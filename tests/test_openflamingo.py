@@ -34,6 +34,7 @@ def _tiny_hf_mpt():
         expansion_ratio=4,
         layer_norm_epsilon=1e-5,
         attn_config={"attn_impl": "eager", "alibi": True},
+        no_bias=True,  # real MPT-7B is fully bias-free
     )
     torch.manual_seed(0)
     return MptForCausalLM(cfg).eval()

@@ -123,14 +123,117 @@ def _hf_idefics2_cfg():
     )
 
 
+def _hf_mpt_cfg(vocab_size: int):
+    """MPT-7B (OpenFlamingo-9B's language encoder), with the vocab already
+    resized the way the flamingo checkpoint's ``wte`` resize leaves it."""
+    from transformers.models.mpt.configuration_mpt import MptConfig
+
+    return MptConfig(
+        vocab_size=vocab_size,
+        d_model=4096,
+        n_heads=32,
+        n_layers=32,
+        expansion_ratio=4,
+        layer_norm_epsilon=1e-5,
+        attn_config={"attn_impl": "eager", "alibi": True},
+        no_bias=True,  # real MPT-7B is fully bias-free
+    )
+
+
+def _openflamingo_delta_shapes(cfg) -> dict:
+    """Key/shape table of the released open_flamingo ``checkpoint.pt`` deltas
+    (perceiver + gated xattn + resized wte) and the open_clip ViT-L tower, in
+    the checkpoint's own naming (transcribed from the published
+    open_flamingo/open_clip module structure; reference: utils.py:51-67)."""
+    t, p, v = cfg.text, cfg.perceiver, cfg.vision
+    inner_p = p.n_heads * p.head_dim
+    inner_x = cfg.xattn_heads * cfg.xattn_head_dim
+    de = p.d_model
+    shapes = {
+        "perceiver.latents": (p.n_latents, de),
+        "perceiver.norm.weight": (de,),
+        "perceiver.norm.bias": (de,),
+        "lang_encoder.transformer.wte.weight": (t.vocab_size, t.d_model),
+    }
+    for i in range(p.n_layers):
+        a, f = f"perceiver.layers.{i}.0.", f"perceiver.layers.{i}.1."
+        shapes.update({
+            a + "norm_media.weight": (de,),
+            a + "norm_media.bias": (de,),
+            a + "norm_latents.weight": (de,),
+            a + "norm_latents.bias": (de,),
+            a + "to_q.weight": (inner_p, de),
+            a + "to_kv.weight": (2 * inner_p, de),
+            a + "to_out.weight": (de, inner_p),
+            f + "0.weight": (de,),
+            f + "0.bias": (de,),
+            f + "1.weight": (p.d_ff, de),
+            f + "3.weight": (de, p.d_ff),
+        })
+    for i in range(t.n_layers // cfg.cross_attn_every_n_layers):
+        x = f"lang_encoder.gated_cross_attn_layers.{i}."
+        shapes.update({
+            x + "attn.norm.weight": (t.d_model,),
+            x + "attn.norm.bias": (t.d_model,),
+            x + "attn.to_q.weight": (inner_x, t.d_model),
+            x + "attn.to_kv.weight": (2 * inner_x, de),
+            x + "attn.to_out.weight": (t.d_model, inner_x),
+            x + "attn_gate": (1,),
+            x + "ff.0.weight": (t.d_model,),
+            x + "ff.0.bias": (t.d_model,),
+            x + "ff.1.weight": (cfg.xattn_ff_mult * t.d_model, t.d_model),
+            x + "ff.3.weight": (t.d_model, cfg.xattn_ff_mult * t.d_model),
+            x + "ff_gate": (1,),
+        })
+    vp = "vision_encoder.visual."
+    shapes.update({
+        vp + "conv1.weight": (v.d_model, 3, v.patch_size, v.patch_size),
+        vp + "class_embedding": (v.d_model,),
+        vp + "positional_embedding": (
+            (v.image_size // v.patch_size) ** 2 + 1, v.d_model,
+        ),
+        vp + "ln_pre.weight": (v.d_model,),
+        vp + "ln_pre.bias": (v.d_model,),
+        vp + "ln_post.weight": (v.d_model,),
+        vp + "ln_post.bias": (v.d_model,),
+    })
+    for i in range(v.n_layers):
+        r = vp + f"transformer.resblocks.{i}."
+        shapes.update({
+            r + "ln_1.weight": (v.d_model,),
+            r + "ln_1.bias": (v.d_model,),
+            r + "ln_2.weight": (v.d_model,),
+            r + "ln_2.bias": (v.d_model,),
+            r + "attn.in_proj_weight": (3 * v.d_model, v.d_model),
+            r + "attn.in_proj_bias": (3 * v.d_model,),
+            r + "attn.out_proj.weight": (v.d_model, v.d_model),
+            r + "attn.out_proj.bias": (v.d_model,),
+            r + "mlp.c_fc.weight": (v.d_ff, v.d_model),
+            r + "mlp.c_fc.bias": (v.d_ff,),
+            r + "mlp.c_proj.weight": (v.d_model, v.d_ff),
+            r + "mlp.c_proj.bias": (v.d_model,),
+        })
+    return shapes
+
+
+_DTYPE = None  # set from --dtype; None = each config's default (bf16)
+
+
 def _our_cfg(family: str):
+    import jax.numpy as jnp
+
+    kw = {"dtype": _DTYPE} if _DTYPE is not None else {}
     if family == "idefics":
         from licv_vqa_tpu.models.idefics import IdeficsConfig
 
-        return IdeficsConfig.idefics_9b()
+        return IdeficsConfig.idefics_9b(**kw)
+    if family == "openflamingo":
+        from licv_vqa_tpu.models.openflamingo import OpenFlamingoConfig
+
+        return OpenFlamingoConfig.openflamingo_9b(**kw)
     from licv_vqa_tpu.models.idefics2 import Idefics2Config
 
-    return Idefics2Config.idefics2_8b()
+    return Idefics2Config.idefics2_8b(**kw)
 
 
 def _convert(family: str, sd):
@@ -138,6 +241,28 @@ def _convert(family: str, sd):
         from licv_vqa_tpu.models.convert import convert_idefics
 
         return convert_idefics(sd, _our_cfg(family))
+    if family == "openflamingo":
+        # the registry's merge flow: init pytree, then overlay the
+        # checkpoint.pt deltas + MPT base + open_clip tower.  A zeros
+        # materialization of eval_shape stands in for the random init —
+        # 9B threefry draws on CPU take tens of minutes and every leaf the
+        # merge keeps (final_norm_b only) is zero-init anyway.
+        import jax
+        import jax.numpy as jnp
+
+        from licv_vqa_tpu.models.convert import convert_openflamingo_checkpoint
+
+        cfg = _our_cfg(family)
+        params = jax.tree.map(
+            lambda s: jnp.zeros(s.shape, s.dtype), _expected_shapes(family)
+        )
+        params, updated = convert_openflamingo_checkpoint(sd, cfg, params)
+        print(f"merge updated: {sorted(updated)}", flush=True)
+        expect = {"embed", "layers", "perceiver", "vision", "xattn"}
+        missing = expect - set(updated)
+        if missing:
+            sys.exit(f"merge path skipped components: {sorted(missing)}")
+        return params
     from licv_vqa_tpu.models.convert import convert_idefics2
 
     return convert_idefics2(sd, _our_cfg(family))
@@ -151,6 +276,10 @@ def _expected_shapes(family: str):
         from licv_vqa_tpu.models.idefics import init_idefics_params
 
         init = lambda: init_idefics_params(jax.random.PRNGKey(0), cfg)
+    elif family == "openflamingo":
+        from licv_vqa_tpu.models.openflamingo import init_openflamingo_params
+
+        init = lambda: init_openflamingo_params(jax.random.PRNGKey(0), cfg)
     else:
         from licv_vqa_tpu.models.idefics2 import init_idefics2_params
 
@@ -160,37 +289,79 @@ def _expected_shapes(family: str):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("family", choices=["idefics", "idefics2"])
+    ap.add_argument("family", choices=["idefics", "idefics2", "openflamingo"])
     ap.add_argument("--forward", action="store_true")
     ap.add_argument("--parity", action="store_true")
+    ap.add_argument(
+        "--dtype", choices=["bf16", "f32"], default=None,
+        help="override model dtype (f32 is much faster on XLA:CPU)",
+    )
     args = ap.parse_args()
 
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    global _DTYPE
+    if args.dtype:
+        _DTYPE = jnp.float32 if args.dtype == "f32" else jnp.bfloat16
     import torch
 
-    if args.family == "idefics":
-        from transformers import IdeficsForVisionText2Text as Ctor
-
-        hf_cfg = _hf_idefics_cfg()
-    else:
-        from transformers import Idefics2ForConditionalGeneration as Ctor
-
-        hf_cfg = _hf_idefics2_cfg()
-
     t0 = time.time()
-    if args.parity:
-        torch.manual_seed(0)
-        print("materializing HF model at full scale (slow)...", flush=True)
-        model = Ctor(hf_cfg).eval()
-        sd = model.state_dict()
+    if args.family == "openflamingo":
+        # no single HF ctor: MPT-7B base (HF, meta/materialized) + the
+        # checkpoint.pt deltas + open_clip tower synthesized in the released
+        # naming (``--parity`` compares the full gate-zero assembly against
+        # HF MptForCausalLM: at init the gated xattn is exactly identity)
+        from transformers import MptForCausalLM
+
+        hf_cfg = _hf_mpt_cfg(_our_cfg(args.family).text.vocab_size)
+        if args.parity:
+            torch.manual_seed(0)
+            print("materializing HF MPT-7B at full scale...", flush=True)
+            model = MptForCausalLM(hf_cfg).eval()
+            sd = {
+                "lang_encoder." + k: v for k, v in model.state_dict().items()
+            }
+        else:
+            shapes = _meta_state_shapes(MptForCausalLM, hf_cfg)
+            sd = {
+                "lang_encoder." + k: np.zeros(s, np.float16)
+                for k, s in shapes.items()
+            }
+        delta = _openflamingo_delta_shapes(_our_cfg(args.family))
+        for k, s in delta.items():
+            # module.-prefixed like the released DDP checkpoints
+            sd.setdefault("module." + k, np.zeros(s, np.float16))
+        if args.parity:
+            # the released checkpoint's wte IS the (resized) trained
+            # embedding; mirror the HF one so parity sees real values
+            sd["module.lang_encoder.transformer.wte.weight"] = sd[
+                "lang_encoder.transformer.wte.weight"
+            ]
+        print(f"state dict: {len(sd)} keys", flush=True)
     else:
-        shapes = _meta_state_shapes(Ctor, hf_cfg)
-        print(f"meta state dict: {len(shapes)} keys", flush=True)
-        # zeros (calloc — lazy and fast): we validate shapes/plumbing, not
-        # values, and a --forward stays finite
-        sd = {k: np.zeros(s, np.float16) for k, s in shapes.items()}
+        if args.family == "idefics":
+            from transformers import IdeficsForVisionText2Text as Ctor
+
+            hf_cfg = _hf_idefics_cfg()
+        else:
+            from transformers import Idefics2ForConditionalGeneration as Ctor
+
+            hf_cfg = _hf_idefics2_cfg()
+
+        if args.parity:
+            torch.manual_seed(0)
+            print("materializing HF model at full scale (slow)...", flush=True)
+            model = Ctor(hf_cfg).eval()
+            sd = model.state_dict()
+        else:
+            shapes = _meta_state_shapes(Ctor, hf_cfg)
+            print(f"meta state dict: {len(shapes)} keys", flush=True)
+            # zeros (calloc — lazy and fast): we validate shapes/plumbing,
+            # not values, and a --forward stays finite
+            sd = {k: np.zeros(s, np.float16) for k, s in shapes.items()}
     print(f"state dict ready {time.time()-t0:.0f}s", flush=True)
 
     params = _convert(args.family, sd)
@@ -237,6 +408,20 @@ def main():
             logits, _ = idefics_forward(
                 cfg, params, jnp.asarray(ids), jnp.asarray(mask), latents, onehot
             )
+        elif args.family == "openflamingo":
+            from licv_vqa_tpu.models.idefics import image_attention_onehot
+            from licv_vqa_tpu.models.openflamingo import (
+                encode_media,
+                openflamingo_forward,
+            )
+
+            ids[:, 1] = cfg.image_token_id
+            pixels = rng.normal(size=(1, 1, 224, 224, 3)).astype(np.float32)
+            latents = encode_media(cfg, params, jnp.asarray(pixels))
+            onehot = image_attention_onehot(jnp.asarray(ids), cfg.image_token_id, 2, 1)
+            logits, _ = openflamingo_forward(
+                cfg, params, jnp.asarray(ids), jnp.asarray(mask), latents, onehot
+            )
         else:
             from licv_vqa_tpu.models.idefics2 import encode_images2, idefics2_forward
 
@@ -264,6 +449,10 @@ def main():
                             np.asarray(onehot)
                         ).long(),
                     )
+                elif args.family == "openflamingo":
+                    # HF MptForCausalLM is text-only: gate-zero makes the
+                    # flamingo assembly exactly the MPT backbone
+                    kw = {}
                 else:
                     kw = dict(
                         pixel_values=torch.tensor(pixels).permute(0, 1, 4, 2, 3),
