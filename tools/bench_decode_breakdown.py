@@ -18,6 +18,7 @@ variants of the same 32-iteration layer scan at identical weight layout:
 Run: python tools/bench_decode_breakdown.py [modes...]
 """
 
+import os
 import sys
 import time
 from functools import partial
@@ -27,8 +28,10 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-BS = 8
-CACHE = 97
+# BRK_BS=64 BRK_KV=int8 reproduce the bs=64 serving variant's shape
+BS = int(os.environ.get("BRK_BS", 8))
+CACHE = int(os.environ.get("BRK_CACHE", 97))
+KV_DTYPE = os.environ.get("BRK_KV", "bf16")  # bf16 | int8 (full variant)
 STEPS = 32
 L = 32
 
@@ -51,6 +54,7 @@ def build_params(quantize=True):
         activation="silu_glu",
         positional="rope",
         dtype=jnp.bfloat16,
+        kv_cache_dtype=KV_DTYPE,
     )
 
     def init():
@@ -97,9 +101,20 @@ def main(modes):
     wbytes = sum(
         leaf_bytes(l) for l in jax.tree.leaves(layers, is_leaf=is_quantized_leaf)
     )
-    kvbytes = L * BS * CACHE * 32 * 128 * 2 * 2
-    print(f"layer-stack bytes/step: {wbytes/1e9:.3f} GB; kv cache: "
-          f"{kvbytes/1e9:.3f} GB", flush=True)
+    per_head = 128 + 4 if KV_DTYPE == "int8" else 128 * 2
+    kvbytes = L * BS * CACHE * 32 * per_head * 2
+    # per-step matmul FLOPs (projections + SwiGLU): 2 × layer weights × BS
+    n_weights = sum(
+        (x["q"].size if isinstance(x, dict) else x.size)
+        for x in jax.tree.leaves(layers, is_leaf=is_quantized_leaf)
+    )
+    flops_step = 2.0 * n_weights * BS
+    print(
+        f"bs={BS} cache={CACHE} kv={KV_DTYPE}; layer-stack bytes/step: "
+        f"{wbytes/1e9:.3f} GB; kv cache: {kvbytes/1e9:.3f} GB; "
+        f"matmul {flops_step/1e9:.0f} GFLOP/step",
+        flush=True,
+    )
 
     results = {}
 
@@ -160,7 +175,12 @@ def main(modes):
 
         dt = timeit(matmul_only, (layers, x0))
         results["matmul"] = dt
-        print(f"matmul : {dt*1e3/STEPS:7.2f} ms/step", flush=True)
+        print(
+            f"matmul : {dt*1e3/STEPS:7.2f} ms/step  "
+            f"({STEPS*wbytes/dt/1e9:.0f} GB/s weight stream, "
+            f"MXU-MFU {100*STEPS*flops_step/dt/394e12:.1f}% of int8 peak)",
+            flush=True,
+        )
 
     if "attn" in modes:
         from licv_vqa_tpu.models import layers as LY
@@ -231,8 +251,12 @@ def main(modes):
 
         dt = timeit(full, (params, cache0, icv))
         results["full"] = dt
-        print(f"full   : {dt*1e3/STEPS:7.2f} ms/step "
-              f"({BS*STEPS/dt:.1f} tok/s)", flush=True)
+        print(
+            f"full   : {dt*1e3/STEPS:7.2f} ms/step ({BS*STEPS/dt:.1f} tok/s; "
+            f"{STEPS*(wbytes+kvbytes)/dt/1e9:.0f} GB/s effective, "
+            f"MXU-MFU {100*STEPS*flops_step/dt/394e12:.1f}%)",
+            flush=True,
+        )
 
     return results
 
