@@ -50,7 +50,9 @@ VARIANTS = (
     ("32:int8:bs8", int(os.environ.get("BENCH_BUDGET_V1", 720))),
     ("32:int8:bs64:kv8", int(os.environ.get("BENCH_BUDGET_V2", 600))),
     ("8:bf16:bs8", int(os.environ.get("BENCH_BUDGET_V3", 300))),
-    ("32:int8:bs1:eval", int(os.environ.get("BENCH_BUDGET_V4", 600))),
+    # the beam-decode compile can take several minutes through the tunnel;
+    # give the headline variant room (measured ~mid-hundreds of seconds)
+    ("32:int8:bs1:eval", int(os.environ.get("BENCH_BUDGET_V4", 900))),
 )
 
 
