@@ -447,13 +447,16 @@ def idefics_forward(
                 jnp.arange(t.n_layers),
             ),
         )
-        new_cache = {
-            "k": kv_out[0],
-            "v": kv_out[1],
-            "pos": cache_pos,
-            "valid": cache_valid,
-            "index": index + s,
-        }
+        # kv_out stacks each layer's NEW rows; one bulk write (see
+        # decoder.apply_kv_rows — avoids re-materializing the full cache)
+        from .decoder import apply_kv_rows
+
+        new_cache = dict(
+            apply_kv_rows(cache, kv_out[0], kv_out[1]),
+            pos=cache_pos,
+            valid=cache_valid,
+            index=index + s,
+        )
         h = L.rms_norm(params["final_norm"], h, t.norm_eps)
         if last_logit_only:
             # prompts are LEFT-padded for decode, so the last position is the

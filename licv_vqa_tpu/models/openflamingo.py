@@ -370,13 +370,16 @@ def openflamingo_forward(
                 jnp.arange(t.n_layers),
             ),
         )
-        new_cache = {
-            "k": kv_out[0],
-            "v": kv_out[1],
-            "pos": cache_pos,
-            "valid": cache_valid,
-            "index": index + s,
-        }
+        # kv_out stacks each layer's NEW rows; one bulk write (see
+        # decoder.apply_kv_rows — avoids re-materializing the full cache)
+        from .decoder import apply_kv_rows
+
+        new_cache = dict(
+            apply_kv_rows(cache, kv_out[0], kv_out[1]),
+            pos=cache_pos,
+            valid=cache_valid,
+            index=index + s,
+        )
         h = L.layer_norm(params["final_norm"], params["final_norm_b"], h, t.norm_eps)
         if last_logit_only:
             h = h[:, -1:, :]  # left-padded decode prompts: last pos is live

@@ -115,10 +115,10 @@ def main():
     print(f"bhsd : {dt*1e3/STEPS:7.2f} ms/step "
           f"({STEPS*read_gb/dt:.0f} GB/s effective)", flush=True)
 
-    # ---- production pattern: inner scan ys = FULL updated cache -------
-    # (what decoder.py does today: write_kv_cache then attend the update;
-    # the ys stacking materializes a brand-new (L,B,S,H,D) K and V every
-    # decode step even though only one row changed)
+    # ---- round-2 production pattern: inner scan ys = FULL updated cache
+    # (write the row then attend the update; the ys stacking materializes a
+    # brand-new (L,B,S,H,D) K and V every decode step even though only one
+    # row changed — replaced in decoder.py by the row-update pattern below)
     kn = jnp.asarray(rng.normal(size=(BS, 1, H, D)).astype(np.float32), jnp.bfloat16)
 
     @jax.jit
