@@ -38,13 +38,15 @@ PROMPT_LEN = 64
 MAX_NEW = 32
 
 # (child spec, per-variant budget seconds), in order.
-# 16L bf16 measured good on hardware in round 1 (486 tok/s) → banked first;
-# 32L int8 is the flagship full depth on one v5e (425.8 tok/s at bs=8);
-# bs=64 + int8 KV cache amortizes the weight stream 8× and halves cache
-# traffic (serving-throughput headline: 1206.2 tok/s/chip measured on v5e;
-# bs=32 measured 973.1).  The LAST variant is the reference's own eval shape
-# (bs=1, num_beams=3, max_new_tokens=5 — config/inference.yaml:11,26-30) in
-# questions/sec/chip — printed last so it is the round's parsed headline.
+# 16L bf16 measured good on hardware since round 1 → banked first (547.9
+# tok/s on v5e with the round-3 row-update KV cache); 32L int8 is the
+# flagship full depth on one v5e (509.8 tok/s at bs=8 — 100.9% of the
+# measured-bandwidth ceiling); bs=64 + int8 KV cache amortizes the weight
+# stream 8× and halves cache traffic (serving-throughput headline: 1446.9
+# tok/s/chip measured on v5e, 70.1% of the corrected ceiling).  The LAST
+# variant is the reference's own eval shape (bs=1, num_beams=3,
+# max_new_tokens=5 — config/inference.yaml:11,26-30) in questions/sec/chip
+# (9.14 q/s measured) — printed last so it is the round's parsed headline.
 VARIANTS = (
     ("16:bf16:bs8", int(os.environ.get("BENCH_BUDGET_V0", 720))),
     ("32:int8:bs8", int(os.environ.get("BENCH_BUDGET_V1", 720))),
