@@ -337,21 +337,27 @@ def build_draft_decode(bundle: ModelBundle, draft_layers: int):
 
 
 def _maybe_quantize(cfg, bundle: ModelBundle) -> ModelBundle:
-    """``lmm.quantize=int8``: weight-only int8 on the decoder (+xattn) stacks
-    — halves decode HBM traffic; NOT bit-identical to bf16 (opt-in)."""
+    """``lmm.quantize=int8|int4``: weight-only quantization on the decoder
+    (+xattn) stacks — int8 halves decode HBM traffic, int4 (group-wise
+    scales, G=64, nibble-packed uint8) quarters it at ~10× the weight
+    error; NOT bit-identical to bf16 (opt-in)."""
     q = "none"
     if cfg is not None:
         try:
             q = str(cfg.lmm.get("quantize", "none"))
         except Exception:
             q = "none"
-    if q == "int8":
+    if q in ("int8", "int4"):
         from ..ops.quantize import quantize_layer_stack
 
-        bundle.params["layers"] = quantize_layer_stack(bundle.params["layers"])
+        bundle.params["layers"] = quantize_layer_stack(
+            bundle.params["layers"], mode=q
+        )
         if "xattn" in bundle.params:
-            bundle.params["xattn"] = quantize_layer_stack(bundle.params["xattn"])
-        logger.info("int8 weight-only quantization applied to decoder stacks")
+            bundle.params["xattn"] = quantize_layer_stack(
+                bundle.params["xattn"], mode=q
+            )
+        logger.info("%s weight-only quantization applied to decoder stacks", q)
     return bundle
 
 

@@ -91,12 +91,44 @@ def int8_matmul_pallas(
 
 
 def qdot(x: jax.Array, w, preferred_element_type=None):
-    """``x @ w`` where ``w`` is a plain array OR a ``{"q", "s"}`` quantized
-    leaf.  Leading dims of ``x`` are flattened.  Quantized decode-shaped
-    matmuls take the Pallas kernel; everything else falls back to
-    dequant(+scale-on-output)+dot, which is differentiable."""
-    from .quantize import is_quantized_leaf
+    """``x @ w`` where ``w`` is a plain array OR a ``{"q", "s"}`` int8 /
+    ``{"q4", "s"}`` int4 quantized leaf.  Leading dims of ``x`` are
+    flattened.  Quantized decode-shaped matmuls take the Pallas kernel;
+    everything else falls back to dequant(+scale-on-output)+dot, which is
+    differentiable."""
+    from .quantize import dequantize_int4, is_quantized4_leaf, is_quantized_leaf
 
+    if is_quantized4_leaf(w):
+        packed, s = w["q4"], w["s"]
+        lead = x.shape[:-1]
+        m = 1
+        for d in lead:
+            m *= d
+        if packed.ndim == 2:
+            from .int4_matmul import int4_matmul_pallas, int4_matmul_usable
+
+            k2, n = packed.shape
+            k, kg = 2 * k2, s.shape[-3]
+            g = k // kg
+            mp = -(-m // 8) * 8  # kernel wants sublane-aligned M; beam
+            if int4_matmul_usable(mp, k, n, g):  # decode is M=beams (e.g. 3)
+                xm = x.reshape(m, k)
+                if mp != m:
+                    xm = jnp.pad(xm, ((0, mp - m), (0, 0)))
+                y = int4_matmul_pallas(
+                    xm,
+                    packed,
+                    s.reshape(kg, n),
+                    g,
+                    out_dtype=preferred_element_type or x.dtype,
+                )
+                return y[:m].reshape(*lead, n)
+        # fallback: dequantize on the weight read.  Group scales vary along
+        # the contraction so scale-on-output is impossible, and XLA
+        # materializes the widened weight — slower than bf16; the Pallas
+        # kernel above is the production decode path.
+        wdq = dequantize_int4(w, x.dtype)
+        return jnp.dot(x, wdq, preferred_element_type=preferred_element_type)
     if not is_quantized_leaf(w):
         return jnp.dot(x, w, preferred_element_type=preferred_element_type)
     out_dtype = preferred_element_type or x.dtype

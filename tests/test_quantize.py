@@ -243,3 +243,147 @@ def test_qdot_matches_dequant_dot():
         np.abs(np.asarray(ref8)).max() + 1e-9
     )
     assert rel < 2e-2, rel
+
+
+# ---------------------------------------------------------------------------
+# int4 (group-wise scales)
+# ---------------------------------------------------------------------------
+
+
+def test_int4_roundtrip_error_bounded():
+    from licv_vqa_tpu.ops.quantize import quantize_array_int4, dequantize_int4
+
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.normal(size=(4, 256, 512)).astype(np.float32)) * 0.02
+    assert quantization_error(w, mode="int4") < 0.11  # 15 levels, G=64+clip
+    # int8 stays an order of magnitude tighter
+    assert quantization_error(w, mode="int8") < 0.01
+    # shapes: scales are per (group, out-channel); q4 is nibble-packed uint8
+    leaf = quantize_array_int4(w)
+    assert leaf["q4"].dtype == jnp.uint8
+    assert leaf["q4"].shape == (4, 256 // 2, 512)
+    assert leaf["s"].shape == (4, 256 // 64, 1, 512)
+    assert leaf["s"].dtype == jnp.bfloat16
+    back = dequantize_int4(leaf, jnp.float32)
+    assert back.shape == w.shape
+
+
+def test_int4_group_fallback_non_divisible():
+    from licv_vqa_tpu.ops.quantize import quantize_array_int4, _int4_group
+
+    assert _int4_group(4096) == 64
+    assert _int4_group(88) == 88  # whole-column single group
+    rng = np.random.default_rng(1)
+    w = jnp.asarray(rng.normal(size=(88, 40)).astype(np.float32))
+    leaf = quantize_array_int4(w)
+    assert leaf["s"].shape == (1, 1, 40)
+    assert leaf["q4"].shape == (44, 40)
+    assert quantization_error(w, mode="int4") < 0.13  # coarse single group
+    import pytest
+
+    with pytest.raises(ValueError):
+        quantize_array_int4(jnp.zeros((87, 40)))  # odd in-features
+
+
+def test_int4_qdot_matches_dequant_dot_and_grads():
+    from licv_vqa_tpu.ops.int8_matmul import qdot
+    from licv_vqa_tpu.ops.quantize import quantize_array_int4
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 5, 256)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(256, 96)).astype(np.float32)) * 0.02
+    leaf = quantize_array_int4(w)
+    ref = jnp.dot(x, dequantize_tree(leaf, jnp.float32))
+    got = qdot(x, leaf)
+    assert np.allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+    g = jax.grad(lambda x: jnp.sum(qdot(x, leaf) ** 2))(x)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_int4_layer_stack_and_forward_fidelity():
+    hf = _tiny_hf_llama()
+    cfg = _our_cfg()
+    params = convert_llama(hf_state_dict(hf), cfg, dtype=jnp.float32)
+    q = quantize_layer_stack(params["layers"], mode="int4")
+    from licv_vqa_tpu.ops.quantize import is_quantized4_leaf
+
+    assert is_quantized4_leaf(q["attn"]["wq"])
+    assert is_quantized4_leaf(q["mlp"]["w_down"])
+    assert not is_quantized4_leaf(q["ln1"])
+
+    rng = np.random.default_rng(1)
+    ids = jnp.asarray(rng.integers(1, V, size=(2, 10)))
+    mask = jnp.ones_like(ids)
+    full, _ = causal_lm_forward(cfg, params, ids, mask)
+    qparams = dict(params)
+    qparams["layers"] = q
+    qlogits, _ = causal_lm_forward(cfg, qparams, ids, mask)
+    a = np.asarray(full).reshape(-1, V)
+    b = np.asarray(qlogits).reshape(-1, V)
+    cos = np.sum(a * b, -1) / (
+        np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1)
+    )
+    assert cos.min() > 0.93, cos.min()  # int4 trades fidelity for bytes
+
+
+def test_int4_registry_plumbing():
+    """lmm.quantize=int4 through build_model quantizes the decoder stack."""
+    from types import SimpleNamespace
+
+    from licv_vqa_tpu.models.registry import _maybe_quantize
+    from licv_vqa_tpu.ops.quantize import is_quantized4_leaf
+
+    cfg = _our_cfg()
+    from licv_vqa_tpu.models import init_decoder_params
+
+    params = init_decoder_params(jax.random.PRNGKey(0), cfg)
+
+    class _Bundle:
+        pass
+
+    b = _Bundle()
+    b.params = dict(params)
+    lmm = {"quantize": "int4"}
+    ns = SimpleNamespace(lmm=SimpleNamespace(get=lambda k, d=None: lmm.get(k, d)))
+    out = _maybe_quantize(ns, b)
+    assert is_quantized4_leaf(out.params["layers"]["attn"]["wq"])
+
+
+def test_int4_matmul_pallas_interpret_matches_dequant():
+    """Kernel (interpret mode) == dequant+dot for multi-group shapes."""
+    from licv_vqa_tpu.ops.int4_matmul import int4_matmul_pallas, _pick_tiles
+    from licv_vqa_tpu.ops.quantize import quantize_array_int4, dequantize_int4
+
+    rng = np.random.default_rng(7)
+    for m, k, n, g in [(8, 256, 256, 64), (16, 512, 384, 64), (8, 128, 128, 32)]:
+        x = jnp.asarray(rng.normal(size=(m, k)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(k, n)).astype(np.float32)) * 0.02
+        leaf = quantize_array_int4(w, group=g)
+        kg = leaf["s"].shape[-3]
+        assert kg * g == k
+        ref = np.asarray(
+            jnp.dot(x, dequantize_int4(leaf, jnp.float32)), dtype=np.float32
+        )
+        got = np.asarray(
+            int4_matmul_pallas(
+                x,
+                leaf["q4"],
+                leaf["s"].reshape(kg, n),
+                g,
+                out_dtype=jnp.float32,
+                interpret=True,
+            ),
+            dtype=np.float32,
+        )
+        # kernel computes in bf16 x bf16 -> f32; compare loosely
+        scale = np.abs(ref).max() + 1e-9
+        assert np.abs(got - ref).max() / scale < 2e-2, (m, k, n, g)
+
+
+def test_int4_pick_tiles_flagship_shapes():
+    from licv_vqa_tpu.ops.int4_matmul import _pick_tiles
+
+    # (K2, N): wq/wo 4096x4096, w_gate/up 4096x11008, w_down 11008x4096
+    assert _pick_tiles(2048, 4096, 64) == (512, 512)
+    assert _pick_tiles(2048, 11008, 64) == (512, 256)
+    assert _pick_tiles(5504, 4096, 64) == (128, 512)  # 5504 = 43*128

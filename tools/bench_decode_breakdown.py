@@ -32,6 +32,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 BS = int(os.environ.get("BRK_BS", 8))
 CACHE = int(os.environ.get("BRK_CACHE", 97))
 KV_DTYPE = os.environ.get("BRK_KV", "bf16")  # bf16 | int8 (full variant)
+QUANT = os.environ.get("BRK_Q", "int8")  # int8 | int4 | none (weight quant)
 STEPS = 32
 L = 32
 
@@ -59,8 +60,8 @@ def build_params(quantize=True):
 
     def init():
         p = init_decoder_params(jax.random.PRNGKey(0), cfg)
-        if quantize:
-            p["layers"] = quantize_layer_stack(p["layers"])
+        if quantize and QUANT != "none":
+            p["layers"] = quantize_layer_stack(p["layers"], mode=QUANT)
         return p
 
     p = jax.jit(init)()
@@ -94,9 +95,11 @@ def main(modes):
     def leaf_bytes(x):
         if isinstance(x, dict) and set(x) == {"q", "s"}:
             return x["q"].size + x["s"].size * 4
+        if isinstance(x, dict) and set(x) == {"q4", "s"}:
+            return x["q4"].size + x["s"].size * 2
         return x.size * x.dtype.itemsize
 
-    from licv_vqa_tpu.ops.quantize import is_quantized_leaf
+    from licv_vqa_tpu.ops.quantize import is_any_quantized_leaf as is_quantized_leaf
 
     wbytes = sum(
         leaf_bytes(l) for l in jax.tree.leaves(layers, is_leaf=is_quantized_leaf)
@@ -105,7 +108,13 @@ def main(modes):
     kvbytes = L * BS * CACHE * 32 * per_head * 2
     # per-step matmul FLOPs (projections + SwiGLU): 2 × layer weights × BS
     n_weights = sum(
-        (x["q"].size if isinstance(x, dict) else x.size)
+        (
+            x["q"].size
+            if isinstance(x, dict) and "q" in x
+            else 2 * x["q4"].size
+            if isinstance(x, dict)
+            else x.size
+        )
         for x in jax.tree.leaves(layers, is_leaf=is_quantized_leaf)
     )
     flops_step = 2.0 * n_weights * BS
@@ -129,9 +138,11 @@ def main(modes):
                 for x in jax.tree.leaves(
                     p_l,
                     is_leaf=lambda y: isinstance(y, dict)
-                    and set(y) == {"q", "s"},
+                    and set(y) in ({"q", "s"}, {"q4", "s"}),
                 ):
-                    payload = x["q"] if isinstance(x, dict) else x
+                    payload = (
+                        x.get("q", x.get("q4")) if isinstance(x, dict) else x
+                    )
                     s = s + jnp.max(payload).astype(jnp.float32)
                 return acc + s, None
 
