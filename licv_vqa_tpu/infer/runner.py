@@ -48,11 +48,12 @@ def make_generate_fn(bundle, generate_kwargs: dict) -> Callable:
     eos, pad = bundle.eos_token_id, bundle.pad_token_id
 
     draft = None
-    if draft_layers > 0 and num_beams == 1:
-        if bundle.n_layers != bundle.model_cfg.text.n_layers:
+    if draft_layers > 0:
+        if num_beams > 1:
             logger.warning(
-                "speculative decoding is unsupported with subset-layer "
-                "intervention — falling back to plain greedy"
+                "speculative decoding requires num_beams == 1 (exact greedy "
+                "verification; no beam-verification scheme is implemented) — "
+                "falling back to plain beam search"
             )
         else:
             from ..models.registry import build_draft_decode
@@ -82,12 +83,24 @@ def make_generate_fn(bundle, generate_kwargs: dict) -> Callable:
 
             draft_params, draft_bind = draft
             # draft drafts WITH the ICV on its truncated depth (best guess of
-            # the steered target); rows sliced to the draft's layer count
-            draft_icv = (
-                jax.tree.map(lambda x: x[:draft_layers], icv_scaled)
-                if icv_scaled is not None
-                else None
-            )
+            # the steered target).  Under subset-layer intervention the K ICV
+            # rows are expanded to per-layer (rows, flags) first — the draft
+            # bind is the raw (unwrapped) forward — then truncated; draft ICV
+            # fidelity only affects acceptance, never correctness (the target
+            # verifies every token)
+            if icv_scaled is None:
+                draft_icv = None
+            elif bundle.intervention_layers is not None:
+                from ..icv.encoder import expand_icv_to_layers
+
+                full = expand_icv_to_layers(
+                    icv_scaled,
+                    bundle.intervention_layers,
+                    bundle.model_cfg.text.n_layers,
+                )
+                draft_icv = jax.tree.map(lambda x: x[:draft_layers], full)
+            else:
+                draft_icv = jax.tree.map(lambda x: x[:draft_layers], icv_scaled)
             dfwd = draft_bind(
                 draft_params, pixels, pixel_valid, input_ids, draft_icv,
                 input_ids.shape[1] + max_new + margin + 1, **bind_kw,

@@ -49,6 +49,10 @@ class ModelBundle:
     bind_decode: Callable  # (pixels, valid, prompt_ids, icv, max_len) -> fwd_fn
     hidden_size: int
     n_layers: int
+    # subset-layer intervention (lmm.intervention_layer int/list): the K
+    # decoder layers the K ICV rows map to; None when the ICV covers every
+    # layer (reference icv_intervention.py:39-42 semantics)
+    intervention_layers: Optional[list] = None
 
     @property
     def pad_token_id(self) -> int:
@@ -96,7 +100,7 @@ def _wrap_intervention(cfg, n_layers: int, train_forward, bind_decode):
             intervention = -1
     layers = prepare_intervention_layers(intervention, n_layers)
     if layers == list(range(n_layers)):
-        return train_forward, bind_decode, n_layers
+        return train_forward, bind_decode, n_layers, None
 
     def expand(icv):
         return expand_icv_to_layers(icv, layers, n_layers)
@@ -109,7 +113,7 @@ def _wrap_intervention(cfg, n_layers: int, train_forward, bind_decode):
             model_params, pixels, valid, ids, expand(icv_scaled), max_len, **kw
         )
 
-    return tf, bd, len(layers)
+    return tf, bd, len(layers), layers
 
 
 def _load_hf_weights(model_dir: Path) -> Optional[dict]:
@@ -187,7 +191,7 @@ def _idefics_bundle(cfg, model_cfg: IdeficsConfig, name: str) -> ModelBundle:
     train_forward, bind_decode = _wrap_pixel_normalize(
         train_forward, bind_decode, CLIP_MEAN, CLIP_STD
     )
-    train_forward, bind_decode, n_icv_layers = _wrap_intervention(
+    train_forward, bind_decode, n_icv_layers, icv_layer_ids = _wrap_intervention(
         cfg, model_cfg.text.n_layers, train_forward, bind_decode
     )
     return ModelBundle(
@@ -200,6 +204,7 @@ def _idefics_bundle(cfg, model_cfg: IdeficsConfig, name: str) -> ModelBundle:
         bind_decode=bind_decode,
         hidden_size=model_cfg.text.d_model,
         n_layers=n_icv_layers,
+        intervention_layers=icv_layer_ids,
     )
 
 
@@ -254,7 +259,7 @@ def _idefics2_bundle(cfg, model_cfg, name: str) -> ModelBundle:
     train_forward, bind_decode = _wrap_pixel_normalize(
         train_forward, bind_decode, SIGLIP_MEAN, SIGLIP_STD
     )
-    train_forward, bind_decode, n_icv_layers = _wrap_intervention(
+    train_forward, bind_decode, n_icv_layers, icv_layer_ids = _wrap_intervention(
         cfg, model_cfg.text.n_layers, train_forward, bind_decode
     )
     return ModelBundle(
@@ -267,6 +272,7 @@ def _idefics2_bundle(cfg, model_cfg, name: str) -> ModelBundle:
         bind_decode=bind_decode,
         hidden_size=model_cfg.text.d_model,
         n_layers=n_icv_layers,
+        intervention_layers=icv_layer_ids,
     )
 
 
@@ -533,7 +539,7 @@ def _openflamingo_bundle(cfg, model_cfg, name: str) -> ModelBundle:
     train_forward, bind_decode = _wrap_pixel_normalize(
         train_forward, bind_decode, CLIP_MEAN, CLIP_STD
     )
-    train_forward, bind_decode, n_icv_layers = _wrap_intervention(
+    train_forward, bind_decode, n_icv_layers, icv_layer_ids = _wrap_intervention(
         cfg, model_cfg.text.n_layers, train_forward, bind_decode
     )
     return ModelBundle(
@@ -546,4 +552,5 @@ def _openflamingo_bundle(cfg, model_cfg, name: str) -> ModelBundle:
         bind_decode=bind_decode,
         hidden_size=model_cfg.text.d_model,
         n_layers=n_icv_layers,
+        intervention_layers=icv_layer_ids,
     )

@@ -476,17 +476,38 @@ def test_subset_intervention_cli_roundtrip(env):
     assert state["icv_encoder.icv"].shape == (1, 2, 64)  # K=2 rows
     assert state["lmm_args"]["intervention_layer"] == [1, 3]
 
-    result = infer_cli.main(
-        common
-        + [
-            "test_icv=true",
-            "test_num=2",
-            "bs=2",
-            "generate_kwargs.max_new_tokens=2",
-            "generate_kwargs.num_beams=1",
-        ]
-    )
+    infer_args = [
+        "test_icv=true",
+        "test_num=2",
+        "bs=2",
+        "generate_kwargs.max_new_tokens=2",
+        "generate_kwargs.num_beams=1",
+    ]
+    result = infer_cli.main(common + infer_args)
     assert any("icv result" in k for k in result)
+
+    # speculative decoding composes with subset-layer intervention: the K ICV
+    # rows are expanded to per-layer (rows, flags) for the raw draft bind and
+    # truncated to the draft depth; predictions must equal plain greedy
+    # exactly (target verification)
+    import shutil
+
+    shutil.copytree(save_path, save_path.parent / "e2e_subspec")
+    infer_cli.main(
+        [a.replace("e2e_subset", "e2e_subspec") for a in common]
+        + infer_args
+        + ["generate_kwargs.speculative_draft_layers=2"]
+    )
+    import json as _json
+
+    base = env / "results" / "inference" / "tiny-idefics" / "vqav2"
+
+    def preds(run):
+        f = next((base / run / "meta_info").glob("*icv.json"))
+        p = _json.load(open(f))
+        return [p[k]["prediction"] for k in sorted(p)]
+
+    assert preds("e2e_subspec") == preds("e2e_subset")
 
 
 def test_re_eval_appends_results(env):
