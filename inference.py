@@ -29,6 +29,7 @@ from licv_vqa_tpu.models.registry import build_model
 from licv_vqa_tpu.train.checkpoint import load_icv_checkpoint
 from licv_vqa_tpu.utils import (
     compose,
+    enable_compilation_cache,
     get_icv_cpk_path,
     get_inference_paths,
     get_logger,
@@ -70,6 +71,7 @@ def main(argv: list[str] | None = None):
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    enable_compilation_cache()  # beam/eval compiles are minutes; pay them once
     # Multi-chip serving mesh (beyond the reference, which always evals on
     # one GPU): infer_dp shards eval batches (-1 = all devices); infer_tp>1
     # Megatron-shards the frozen weights so a bf16 9B serves across chips.

@@ -33,7 +33,13 @@ from licv_vqa_tpu.icv.module import ICVModuleConfig
 from licv_vqa_tpu.models.registry import build_model
 from licv_vqa_tpu.train.loader import DataLoader
 from licv_vqa_tpu.train.trainer import Trainer, TrainerConfig
-from licv_vqa_tpu.utils import compose, get_icv_cpk_path, get_logger, load_dotenv
+from licv_vqa_tpu.utils import (
+    compose,
+    enable_compilation_cache,
+    get_icv_cpk_path,
+    get_logger,
+    load_dotenv,
+)
 
 logger = get_logger("train_cli")
 
@@ -41,6 +47,7 @@ logger = get_logger("train_cli")
 def main(argv: list[str] | None = None) -> Path | None:
     cfg = compose("config", "train", list(sys.argv[1:] if argv is None else argv))
     _select_platform(cfg)
+    enable_compilation_cache()  # flagship compiles are minutes; pay them once
     from licv_vqa_tpu.core.distributed import maybe_initialize_distributed
 
     maybe_initialize_distributed()
