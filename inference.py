@@ -187,6 +187,7 @@ def main(argv: list[str] | None = None):
             instruction=str(cfg.prompt.instruction),
             icv_scaled=icv_scaled,
             mesh=mesh,
+            pipeline_depth=int(cfg.get("infer_pipeline", 2)),
         )
         evaluate_and_store(results, "icv result")
         with open(meta_info_dir / f"{base_info}icv.json", "w") as f:
@@ -230,6 +231,7 @@ def main(argv: list[str] | None = None):
                 generate_kwargs=gen_kwargs,
                 instruction=str(cfg.prompt.instruction),
                 mesh=mesh,
+                pipeline_depth=int(cfg.get("infer_pipeline", 2)),
             )
             # reference key wording includes the metric (inference.py:226,236)
             metric_word = "ACC" if task_name == "vqa" else "CIDEr"

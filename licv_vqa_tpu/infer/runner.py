@@ -135,19 +135,12 @@ def make_generate_fn(bundle, generate_kwargs: dict) -> Callable:
     return jax.jit(gen)
 
 
-def generate_answers(
-    bundle,
-    gen_fn: Callable,
-    prompts: list[list],
-    icv_scaled,
-    mesh=None,
-) -> list[str]:
-    """Tokenize → generate → decode ONLY the continuation
-    (reference: inference.py:300-321).
-
-    With ``mesh``, the batch dim shards over its ``dp`` axis (rows padded to
-    a dp multiple) — multi-chip batch-parallel serving with GSPMD running
-    the whole decode loop; outputs are identical to single-device."""
+def _dispatch_generate(bundle, gen_fn: Callable, prompts: list[list],
+                       icv_scaled, mesh=None):
+    """Tokenize + launch one generation; returns ``(device_out, rows,
+    prompt_len)`` WITHOUT blocking on the result (JAX async dispatch) so the
+    eval loop can overlap host prompt assembly of batch k+1 with device
+    compute of batch k."""
     proc = bundle.processor
     enc = proc.prepare_input(prompts, padding=True, padding_side="left")
     arrays = [
@@ -174,10 +167,34 @@ def generate_answers(
         arrays = [jnp.asarray(a) for a in arrays]
     ids, mask, px, pv, *extra = arrays
     out = gen_fn(bundle.params, ids, mask, px, pv, icv_scaled, *extra)
+    return out, rows, enc["input_ids"].shape[1]
+
+
+def _collect_generate(bundle, pending) -> list[str]:
+    """Block on a ``_dispatch_generate`` handle and decode ONLY the
+    continuation (reference: inference.py:300-321)."""
+    out, rows, prompt_len = pending
     out = np.asarray(out)[:rows]
-    prompt_len = enc["input_ids"].shape[1]
     return bundle.tokenizer.batch_decode(
         [row[prompt_len:] for row in out], skip_special_tokens=True
+    )
+
+
+def generate_answers(
+    bundle,
+    gen_fn: Callable,
+    prompts: list[list],
+    icv_scaled,
+    mesh=None,
+) -> list[str]:
+    """Tokenize → generate → decode ONLY the continuation
+    (reference: inference.py:300-321).
+
+    With ``mesh``, the batch dim shards over its ``dp`` axis (rows padded to
+    a dp multiple) — multi-chip batch-parallel serving with GSPMD running
+    the whole decode loop; outputs are identical to single-device."""
+    return _collect_generate(
+        bundle, _dispatch_generate(bundle, gen_fn, prompts, icv_scaled, mesh=mesh)
     )
 
 
@@ -191,16 +208,34 @@ def icv_inference(
     icv_scaled: Optional[jax.Array] = None,
     progress: bool = True,
     mesh=None,
+    pipeline_depth: int = 2,
 ) -> dict:
     """Zero-shot (+ optional ICV) eval loop (reference: inference.py:246-297).
 
-    ``mesh``: shard each eval batch over the dp axis (multi-chip serving)."""
+    ``mesh``: shard each eval batch over the dp axis (multi-chip serving).
+    ``pipeline_depth``: number of in-flight generations (JAX async dispatch)
+    — batch k+1's host tokenization and dispatch overlap batch k's device
+    compute, hiding the per-call host→device round trip at small batch
+    sizes.  Depth 1 restores strictly serial dispatch→sync; outputs are
+    identical either way (collection order is FIFO)."""
     gen_fn = make_generate_fn(bundle, generate_kwargs)
     if mesh is not None:
         _replicate_bundle_params(bundle, mesh)
     results: dict = {}
     index = 0
     it = _maybe_tqdm(val_ds, progress)
+    depth = max(1, int(pipeline_depth))
+    pending: list = []  # FIFO of (handle, real_batch) at most `depth` deep
+
+    def collect_one():
+        nonlocal index
+        handle, b = pending.pop(0)
+        generated = _collect_generate(bundle, handle)
+        for i in range(len(b)):
+            row = {k: v for k, v in b[i].items() if k != "image"}
+            results[index] = {"prediction": generated[i], **row}
+            index += 1
+
     for batch in _chunked(it, bs):
         real = len(batch)
         padded = batch + [batch[-1]] * (bs - real)
@@ -209,12 +244,14 @@ def icv_inference(
             p = [instruction] if instruction else []
             p += [sample["image"], prompt_manager.gen_query_text_without_label(sample)]
             prompts.append(p)
-        generated = generate_answers(bundle, gen_fn, prompts, icv_scaled,
-                                     mesh=mesh)
-        for i in range(real):
-            row = {k: v for k, v in batch[i].items() if k != "image"}
-            results[index] = {"prediction": generated[i], **row}
-            index += 1
+        pending.append(
+            (_dispatch_generate(bundle, gen_fn, prompts, icv_scaled, mesh=mesh),
+             batch)
+        )
+        if len(pending) >= depth:
+            collect_one()
+    while pending:
+        collect_one()
     return results
 
 
@@ -229,16 +266,34 @@ def icl_inference(
     instruction: str = "",
     progress: bool = True,
     mesh=None,
+    pipeline_depth: int = 2,
 ) -> dict:
-    """True few-shot ICL eval (reference: inference.py:324-378)."""
+    """True few-shot ICL eval (reference: inference.py:324-378).
+
+    Pipelined like ``icv_inference``: up to ``pipeline_depth`` generations
+    in flight, so shot assembly/tokenization overlaps device compute."""
     gen_fn = make_generate_fn(bundle, generate_kwargs)
     if mesh is not None:
         _replicate_bundle_params(bundle, mesh)
     results: dict = {}
-    index = 0
+    index = 0  # next result index to WRITE (collection is FIFO)
+    cursor = 0  # next ice_idx_list row to CONSUME (dispatch side)
+    depth = max(1, int(pipeline_depth))
+    pending: list = []
+
+    def collect_one():
+        nonlocal index
+        handle, b = pending.pop(0)
+        generated = _collect_generate(bundle, handle)
+        for i in range(len(b)):
+            row = {k: v for k, v in b[i].items() if k != "image"}
+            results[index] = {"prediction": generated[i], **row}
+            index += 1
+
     for batch in _chunked(_maybe_tqdm(val_ds, progress), bs):
         real = len(batch)
-        ice_ids = ice_idx_list[index : index + real]
+        ice_ids = ice_idx_list[cursor : cursor + real]
+        cursor += real
         ice_ids = ice_ids + [ice_ids[-1]] * (bs - real)
         padded = batch + [batch[-1]] * (bs - real)
         prompts = []
@@ -252,11 +307,13 @@ def icl_inference(
                 ]
             p += [sample["image"], prompt_manager.gen_query_text_without_label(sample)]
             prompts.append(p)
-        generated = generate_answers(bundle, gen_fn, prompts, None, mesh=mesh)
-        for i in range(real):
-            row = {k: v for k, v in batch[i].items() if k != "image"}
-            results[index] = {"prediction": generated[i], **row}
-            index += 1
+        pending.append(
+            (_dispatch_generate(bundle, gen_fn, prompts, None, mesh=mesh), batch)
+        )
+        if len(pending) >= depth:
+            collect_one()
+    while pending:
+        collect_one()
     return results
 
 

@@ -152,7 +152,10 @@ def test_dp_sharded_inference_matches_single_device(env):
         "generate_kwargs.max_new_tokens=3",
         "generate_kwargs.num_beams=1",
     ]
-    infer_cli.main(args + ["run_name=e2e_dp1"])
+    # e2e_dp1 runs strictly serial (infer_pipeline=1); the others use the
+    # default pipelined dispatch (depth 2) — so the equality asserts below
+    # also prove pipelined == serial, on top of dp8/dptp == single-device
+    infer_cli.main(args + ["run_name=e2e_dp1", "infer_pipeline=1"])
     infer_cli.main(args + ["run_name=e2e_dp8", "infer_dp=-1"])
     # dp=4 × tp=2: Megatron-sharded frozen weights through the same decode
     infer_cli.main(args + ["run_name=e2e_dptp", "infer_dp=4", "infer_tp=2"])
