@@ -354,8 +354,41 @@ def _child(spec: str) -> None:
     print(json.dumps(result), flush=True)
 
 
+def _preflight(timeout_s: int = 240) -> bool:
+    """One cheap device probe before spending variant budgets: a dead TPU
+    tunnel (relay exited → remote-compile port refuses) otherwise burns the
+    full budget across variants with opaque per-variant tracebacks."""
+    code = (
+        "import jax, jax.numpy as jnp; "
+        "print(jax.devices()); "
+        "print(float(jnp.ones((8, 8)).sum()))"
+    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        print(
+            f"bench: device preflight hung >{timeout_s}s — TPU tunnel wedged "
+            "or dead; aborting before spending variant budgets",
+            file=sys.stderr, flush=True,
+        )
+        return False
+    if proc.returncode != 0:
+        print(
+            "bench: device preflight failed — TPU unreachable (dead tunnel "
+            f"relay?):\n{proc.stderr[-1000:]}",
+            file=sys.stderr, flush=True,
+        )
+        return False
+    return True
+
+
 def main() -> None:
     deadline = time.monotonic() + float(os.environ.get("BENCH_BUDGET_S", 1560))
+    if not _preflight():
+        raise SystemExit("bench aborted: no usable accelerator (see stderr)")
     banked = 0
     for spec, budget in VARIANTS:
         if banked and ":bf16:" in spec:
