@@ -387,8 +387,13 @@ def _preflight(timeout_s: int = 240) -> bool:
 
 def main() -> None:
     deadline = time.monotonic() + float(os.environ.get("BENCH_BUDGET_S", 1560))
+    # two attempts: a tunnel merely WEDGED (1-5 min after a killed process)
+    # recovers; a dead relay does not — abort only after the retry fails
     if not _preflight():
-        raise SystemExit("bench aborted: no usable accelerator (see stderr)")
+        print("bench: preflight retry in 90s (wedge vs dead)", file=sys.stderr)
+        time.sleep(90)
+        if not _preflight():
+            raise SystemExit("bench aborted: no usable accelerator (see stderr)")
     banked = 0
     for spec, budget in VARIANTS:
         if banked and ":bf16:" in spec:
