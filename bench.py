@@ -37,6 +37,16 @@ BASELINE_TOKENS_PER_SEC = 15.0
 PROMPT_LEN = 64
 MAX_NEW = 32
 
+# Roofline constants, shared by run() and run_eval_shape() so a
+# recalibration cannot leave one of the two reporting a stale ceiling.
+DATASHEET_HBM_GBPS = 819.0  # v5e datasheet
+MEASURED_STREAM_BPS = 615.0e9  # measured sustained stream (v5e, this repo;
+# tools/bench_decode_breakdown.py `stream`/`matmul`: 503-615 GB/s)
+MXU_BF16_FLOPS = 197.0e12  # v5e peak
+VIT_H_FLOPS_PER_IMAGE = 2 * 630e6 * 257  # ViT-H/14: ~630M params × 257 toks
+LM_FLOPS_PER_TOKEN = 2 * 9e9  # flagship 9B decoder prefill
+KV_HEADS, KV_HEAD_DIM = 32, 128  # flagship KV geometry (K and V each)
+
 # (child spec, per-variant budget seconds), in order.
 # 16L bf16 measured good on hardware since round 1 → banked first (547.9
 # tok/s on v5e with the round-3 row-update KV cache); 32L int8 is the
@@ -154,17 +164,14 @@ def run(n_layers: int, quantize: bool = False, bs: int = 8, kv8: bool = False) -
     # — most of the "gap" was an unachievable denominator.)
     stream_bytes = _stream_bytes(params)
     cache_len = PROMPT_LEN + MAX_NEW + 1
-    # k+v per (token, head): 128 dims × (1B int8 + 4B scale | 2B bf16)
-    per_head = 128 * 1 + 4 if kv8 else 128 * 2
-    kv_bytes = n_layers * bs * cache_len * 32 * per_head * 2
-    hbm_gbps = 819.0
-    ceiling = bs * hbm_gbps * 1e9 / (stream_bytes + kv_bytes)
-    achieved_bw = 615.0e9  # measured sustained stream (v5e, this repo)
-    mxu_bf16 = 197.0e12
-    vis_flops = bs * 2 * 630e6 * 257  # ViT-H/14 per image
-    prefill_flops = bs * 2 * 9e9 * PROMPT_LEN
-    t_step_bound = (stream_bytes + kv_bytes) / achieved_bw
-    t_bind_bound = (vis_flops + prefill_flops) / mxu_bf16
+    # k+v per (token, head): head_dim × (1B int8 + 4B scale | 2B bf16)
+    per_head = KV_HEAD_DIM * 1 + 4 if kv8 else KV_HEAD_DIM * 2
+    kv_bytes = n_layers * bs * cache_len * KV_HEADS * per_head * 2
+    ceiling = bs * DATASHEET_HBM_GBPS * 1e9 / (stream_bytes + kv_bytes)
+    vis_flops = bs * VIT_H_FLOPS_PER_IMAGE
+    prefill_flops = bs * LM_FLOPS_PER_TOKEN * PROMPT_LEN
+    t_step_bound = (stream_bytes + kv_bytes) / MEASURED_STREAM_BPS
+    t_bind_bound = (vis_flops + prefill_flops) / MXU_BF16_FLOPS
     achievable = bs * MAX_NEW / (MAX_NEW * t_step_bound + t_bind_bound)
     return {
         "metric": f"icv_steered_greedy_decode_tokens_per_sec_per_chip"
@@ -199,7 +206,7 @@ def _stream_bytes(params) -> int:
     )
 
 
-def run_eval_shape(n_layers: int = 32, bs: int = 1) -> dict:
+def run_eval_shape(n_layers: int = 32, bs: int = 1, quantize: bool = True) -> dict:
     """The reference's own eval workload, end-to-end on device: image encode
     → gated-xattn KV bind → prefill → beam-3 decode of 5 tokens (reference:
     config/inference.yaml:11,26-30; inference.py:300-321).  Value is
@@ -211,7 +218,7 @@ def run_eval_shape(n_layers: int = 32, bs: int = 1) -> dict:
     from licv_vqa_tpu.infer.decode import beam_generate
 
     NUM_BEAMS, EVAL_MAX_NEW = 3, 5
-    cfg, params, bind_decode = build(n_layers, quantize=True, kv8=False)
+    cfg, params, bind_decode = build(n_layers, quantize=quantize, kv8=False)
     rng = np.random.default_rng(0)
     ids = rng.integers(3, 32000, size=(bs, PROMPT_LEN)).astype(np.int32)
     ids[:, 1] = cfg.image_token_id
@@ -300,21 +307,20 @@ def run_eval_shape(n_layers: int = 32, bs: int = 1) -> dict:
     # streaming bandwidth (tools/bench_decode_breakdown.py), not datasheet.
     stream_bytes = _stream_bytes(params)
     kv_bytes = (
-        n_layers * bs * NUM_BEAMS * max_len * 32 * 128 * 2 * 2
+        n_layers * bs * NUM_BEAMS * max_len * KV_HEADS * KV_HEAD_DIM * 2 * 2
     )  # bf16 K+V
-    hbm = 615.0e9  # measured sustained stream (v5e, this repo)
-    mxu_bf16 = 197.0e12  # v5e peak
-    vis_flops = bs * 2 * 630e6 * 257  # ViT-H/14: ~630M params × 257 tokens
-    prefill_flops = bs * 2 * 9e9 * PROMPT_LEN
+    vis_flops = bs * VIT_H_FLOPS_PER_IMAGE
+    prefill_flops = bs * LM_FLOPS_PER_TOKEN * PROMPT_LEN
     t_bound = (
-        vis_flops / mxu_bf16
-        + max(prefill_flops / (2 * mxu_bf16), stream_bytes / hbm)
-        + EVAL_MAX_NEW * (stream_bytes + kv_bytes) / hbm
+        vis_flops / MXU_BF16_FLOPS
+        + max(prefill_flops / (2 * MXU_BF16_FLOPS), stream_bytes / MEASURED_STREAM_BPS)
+        + EVAL_MAX_NEW * (stream_bytes + kv_bytes) / MEASURED_STREAM_BPS
     )
     ceiling = bs / t_bound
+    variant = "int8w" if quantize else "bf16"
     out = {
         "metric": f"icv_steered_eval_questions_per_sec_per_chip"
-        f"_idefics{n_layers}L4096d_int8w_bs{bs}_beam3_maxnew5",
+        f"_idefics{n_layers}L4096d_{variant}_bs{bs}_beam3_maxnew5",
         "value": round(qps, 2),
         "unit": "questions/s/chip",
         # baseline at the same shape: 15 tok/s estimate ÷ 5 tokens/question
@@ -348,7 +354,7 @@ def _child(spec: str) -> None:
         elif p == "eval":
             eval_shape = True
     if eval_shape:
-        result = run_eval_shape(int(n_layers), bs=bs)
+        result = run_eval_shape(int(n_layers), bs=bs, quantize=(kind == "int8"))
     else:
         result = run(int(n_layers), quantize=(kind == "int8"), bs=bs, kv8=kv8)
     print(json.dumps(result), flush=True)
@@ -361,6 +367,10 @@ def _preflight(timeout_s: int = 240) -> bool:
     code = (
         "import jax, jax.numpy as jnp; "
         "print(jax.devices()); "
+        # a CPU fallback (e.g. plugin fails at platform registration) must
+        # NOT pass preflight — its timings would be banked as per-chip TPU
+        # metrics
+        "assert jax.default_backend() == 'tpu', jax.default_backend(); "
         "print(float(jnp.ones((8, 8)).sum()))"
     )
     try:

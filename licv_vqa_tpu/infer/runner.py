@@ -198,6 +198,39 @@ def generate_answers(
     )
 
 
+class _EvalPipeline:
+    """FIFO of in-flight generations, at most ``depth`` deep (JAX async
+    dispatch) — batch k+1's host tokenization/dispatch overlaps batch k's
+    device compute.  Collecting a handle decodes ONLY the continuation and
+    writes the real rows (dp-padding rows skipped) into ``results`` keyed by
+    dispatch order, so outputs are identical to serial (depth=1)."""
+
+    def __init__(self, bundle, depth: int):
+        self.bundle = bundle
+        self.depth = max(1, int(depth))
+        self.results: dict = {}
+        self._pending: list = []  # (handle, real_batch) FIFO
+        self._index = 0
+
+    def push(self, handle, batch) -> None:
+        self._pending.append((handle, batch))
+        if len(self._pending) >= self.depth:
+            self._collect_one()
+
+    def drain(self) -> dict:
+        while self._pending:
+            self._collect_one()
+        return self.results
+
+    def _collect_one(self) -> None:
+        handle, b = self._pending.pop(0)
+        generated = _collect_generate(self.bundle, handle)
+        for i in range(len(b)):
+            row = {k: v for k, v in b[i].items() if k != "image"}
+            self.results[self._index] = {"prediction": generated[i], **row}
+            self._index += 1
+
+
 def icv_inference(
     val_ds,
     bundle,
@@ -221,22 +254,8 @@ def icv_inference(
     gen_fn = make_generate_fn(bundle, generate_kwargs)
     if mesh is not None:
         _replicate_bundle_params(bundle, mesh)
-    results: dict = {}
-    index = 0
-    it = _maybe_tqdm(val_ds, progress)
-    depth = max(1, int(pipeline_depth))
-    pending: list = []  # FIFO of (handle, real_batch) at most `depth` deep
-
-    def collect_one():
-        nonlocal index
-        handle, b = pending.pop(0)
-        generated = _collect_generate(bundle, handle)
-        for i in range(len(b)):
-            row = {k: v for k, v in b[i].items() if k != "image"}
-            results[index] = {"prediction": generated[i], **row}
-            index += 1
-
-    for batch in _chunked(it, bs):
+    pipe = _EvalPipeline(bundle, pipeline_depth)
+    for batch in _chunked(_maybe_tqdm(val_ds, progress), bs):
         real = len(batch)
         padded = batch + [batch[-1]] * (bs - real)
         prompts = []
@@ -244,15 +263,11 @@ def icv_inference(
             p = [instruction] if instruction else []
             p += [sample["image"], prompt_manager.gen_query_text_without_label(sample)]
             prompts.append(p)
-        pending.append(
-            (_dispatch_generate(bundle, gen_fn, prompts, icv_scaled, mesh=mesh),
-             batch)
+        pipe.push(
+            _dispatch_generate(bundle, gen_fn, prompts, icv_scaled, mesh=mesh),
+            batch,
         )
-        if len(pending) >= depth:
-            collect_one()
-    while pending:
-        collect_one()
-    return results
+    return pipe.drain()
 
 
 def icl_inference(
@@ -275,21 +290,8 @@ def icl_inference(
     gen_fn = make_generate_fn(bundle, generate_kwargs)
     if mesh is not None:
         _replicate_bundle_params(bundle, mesh)
-    results: dict = {}
-    index = 0  # next result index to WRITE (collection is FIFO)
+    pipe = _EvalPipeline(bundle, pipeline_depth)
     cursor = 0  # next ice_idx_list row to CONSUME (dispatch side)
-    depth = max(1, int(pipeline_depth))
-    pending: list = []
-
-    def collect_one():
-        nonlocal index
-        handle, b = pending.pop(0)
-        generated = _collect_generate(bundle, handle)
-        for i in range(len(b)):
-            row = {k: v for k, v in b[i].items() if k != "image"}
-            results[index] = {"prediction": generated[i], **row}
-            index += 1
-
     for batch in _chunked(_maybe_tqdm(val_ds, progress), bs):
         real = len(batch)
         ice_ids = ice_idx_list[cursor : cursor + real]
@@ -307,14 +309,8 @@ def icl_inference(
                 ]
             p += [sample["image"], prompt_manager.gen_query_text_without_label(sample)]
             prompts.append(p)
-        pending.append(
-            (_dispatch_generate(bundle, gen_fn, prompts, None, mesh=mesh), batch)
-        )
-        if len(pending) >= depth:
-            collect_one()
-    while pending:
-        collect_one()
-    return results
+        pipe.push(_dispatch_generate(bundle, gen_fn, prompts, None, mesh=mesh), batch)
+    return pipe.drain()
 
 
 def _replicate_bundle_params(bundle, mesh) -> None:

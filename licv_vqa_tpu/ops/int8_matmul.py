@@ -49,8 +49,8 @@ def int8_matmul_usable(m: int, k: int, n: int) -> bool:
     dequantize_tree).  The winning in-scan schedule is the scale-on-output
     fallback in ``qdot`` below; set ``LICV_INT8_PALLAS=1`` to re-enable the
     kernel for experiments.  m <= 64: decode steps only — prefill/training
-    matmuls are compute-bound (and may need autodiff, which this kernel does
-    not define)."""
+    matmuls are compute-bound (autodiff through the kernel path is handled
+    by ``_frozen_weight_vjp`` in ``qdot``)."""
     import os
 
     return (
@@ -90,12 +90,41 @@ def int8_matmul_pallas(
     )(x.astype(jnp.bfloat16), q, s.astype(jnp.float32))
 
 
+def _frozen_weight_vjp(matmul, dense_weight):
+    """Make a Pallas quantized-weight matmul differentiable w.r.t. ``x``.
+
+    The kernels define no VJP rule, but the quantized weight stacks are
+    frozen in ICV training (only the encoder trains — reference
+    icv_src/icv_module.py), so the only cotangent ever needed is the
+    activation one: ``gx = gy @ W^T`` with ``W`` the exact dequantized
+    weight — the same linear map the kernel applies, up to bf16 rounding.
+    ``dense_weight`` is a thunk so the widened weight is materialized only
+    on the backward pass; inference pays nothing.
+    """
+
+    @jax.custom_vjp
+    def f(xm):
+        return matmul(xm)
+
+    def fwd(xm):
+        return matmul(xm), jnp.zeros((), xm.dtype)
+
+    def bwd(x_proto, gy):
+        wdq = dense_weight().astype(jnp.float32)
+        gx = jnp.dot(gy.astype(jnp.float32), wdq.T)
+        return (gx.astype(x_proto.dtype),)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
 def qdot(x: jax.Array, w, preferred_element_type=None):
     """``x @ w`` where ``w`` is a plain array OR a ``{"q", "s"}`` int8 /
     ``{"q4", "s"}`` int4 quantized leaf.  Leading dims of ``x`` are
-    flattened.  Quantized decode-shaped matmuls take the Pallas kernel;
+    flattened.  Quantized decode-shaped matmuls take the Pallas kernel
+    (wrapped with an activation-only VJP so ``jax.grad`` works through it);
     everything else falls back to dequant(+scale-on-output)+dot, which is
-    differentiable."""
+    natively differentiable."""
     from .quantize import dequantize_int4, is_quantized4_leaf, is_quantized_leaf
 
     if is_quantized4_leaf(w):
@@ -115,14 +144,14 @@ def qdot(x: jax.Array, w, preferred_element_type=None):
                 xm = x.reshape(m, k)
                 if mp != m:
                     xm = jnp.pad(xm, ((0, mp - m), (0, 0)))
-                y = int4_matmul_pallas(
-                    xm,
-                    packed,
-                    s.reshape(kg, n),
-                    g,
-                    out_dtype=preferred_element_type or x.dtype,
+                odt = preferred_element_type or x.dtype
+                mm = _frozen_weight_vjp(
+                    lambda xv: int4_matmul_pallas(
+                        xv, packed, s.reshape(kg, n), g, out_dtype=odt
+                    ),
+                    lambda: dequantize_int4(w, jnp.bfloat16),
                 )
-                return y[:m].reshape(*lead, n)
+                return mm(xm)[:m].reshape(*lead, n)
         # fallback: dequantize on the weight read.  Group scales vary along
         # the contraction so scale-on-output is impossible, and XLA
         # materializes the widened weight — slower than bf16; the Pallas
@@ -138,8 +167,11 @@ def qdot(x: jax.Array, w, preferred_element_type=None):
     for d in lead:
         m *= d
     if int8_matmul_usable(m, q.shape[0], q.shape[1]):
-        y = int8_matmul_pallas(x.reshape(m, q.shape[0]), q, s, out_dtype=out_dtype)
-        return y.reshape(*lead, q.shape[1])
+        mm = _frozen_weight_vjp(
+            lambda xv: int8_matmul_pallas(xv, q, s, out_dtype=out_dtype),
+            lambda: q.astype(jnp.float32) * s,
+        )
+        return mm(x.reshape(m, q.shape[0])).reshape(*lead, q.shape[1])
     # scale-on-output: per-output-channel scales commute with the contraction,
     # so the int8->compute-dtype widening feeds the dot without an extra
     # full-weight f32 multiply pass

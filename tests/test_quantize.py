@@ -387,3 +387,54 @@ def test_int4_pick_tiles_flagship_shapes():
     assert _pick_tiles(2048, 4096, 64) == (512, 512)
     assert _pick_tiles(2048, 11008, 64) == (512, 256)
     assert _pick_tiles(5504, 4096, 64) == (128, 512)  # 5504 = 43*128
+
+
+def test_qdot_kernel_paths_are_differentiable(monkeypatch):
+    """jax.grad works through BOTH Pallas kernel branches of qdot.
+
+    lmm.quantize=int4 is default-ON for decode-shaped matmuls; ICV training
+    traces the student forward under grad, so the kernel branch must carry a
+    VJP (activation-only — the quantized stacks are frozen).  Force the
+    kernel branches on CPU via interpret mode and compare the x-gradient
+    against the natively differentiable dequant fallback.
+    """
+    import functools
+
+    from licv_vqa_tpu.ops import int4_matmul as i4
+    from licv_vqa_tpu.ops import int8_matmul as i8
+    from licv_vqa_tpu.ops.int8_matmul import qdot
+    from licv_vqa_tpu.ops.quantize import (
+        dequantize_int4,
+        quantize_array,
+        quantize_array_int4,
+    )
+
+    rng = np.random.default_rng(11)
+    m, k, n, g = 8, 256, 256, 64
+    x = jnp.asarray(rng.normal(size=(m, k)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(k, n)).astype(np.float32)) * 0.02
+    leaf4 = quantize_array_int4(w, group=g)
+    leaf8 = quantize_array(w)
+
+    # reference grads via the differentiable fallbacks (kernel gates off)
+    g4_ref = jax.grad(lambda xv: jnp.dot(xv, dequantize_int4(leaf4, jnp.float32)).sum())(x)
+    g8_ref = jax.grad(
+        lambda xv: (jnp.dot(xv, leaf8["q"].astype(xv.dtype)) * leaf8["s"]).sum()
+    )(x)
+
+    monkeypatch.setattr(i4, "int4_matmul_usable", lambda *a: True)
+    monkeypatch.setattr(
+        i4, "int4_matmul_pallas", functools.partial(i4.int4_matmul_pallas, interpret=True)
+    )
+    monkeypatch.setattr(i8, "int8_matmul_usable", lambda *a: True)
+    monkeypatch.setattr(
+        i8, "int8_matmul_pallas", functools.partial(i8.int8_matmul_pallas, interpret=True)
+    )
+
+    y4, g4 = jax.value_and_grad(lambda xv: qdot(xv, leaf4).astype(jnp.float32).sum())(x)
+    y8, g8 = jax.value_and_grad(lambda xv: qdot(xv, leaf8).astype(jnp.float32).sum())(x)
+    assert np.isfinite(float(y4)) and np.isfinite(float(y8))
+    s4 = np.abs(np.asarray(g4_ref)).max() + 1e-9
+    s8 = np.abs(np.asarray(g8_ref)).max() + 1e-9
+    assert np.abs(np.asarray(g4) - np.asarray(g4_ref)).max() / s4 < 2e-2
+    assert np.abs(np.asarray(g8) - np.asarray(g8_ref)).max() / s8 < 2e-2
