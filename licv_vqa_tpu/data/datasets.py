@@ -36,14 +36,27 @@ class _FewShotDataset:
         self.prompt_manager = prompt_manager
         self.instruction = instruction
         self.few_shot_num = few_shot_num
-        self.rng = np.random.default_rng(seed)
+        self._base_seed = 0 if seed is None else int(seed)
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        """Fresh shot draws each epoch (the loaders call this per epoch)."""
+        self._epoch = int(epoch)
 
     def __len__(self) -> int:
         return len(self.query_ds)
 
-    def _sample_shots(self, query_idx_global) -> list[int]:
+    def _sample_shots(self, query_idx_global, index: int) -> list[int]:
+        # A fresh generator per (seed, epoch, query index): draws are a pure
+        # function of those three, NOT of call order — loader worker threads
+        # and grain mp workers would otherwise race a shared Generator
+        # (non-thread-safe, and nondeterministic under interleaving), which
+        # breaks the trainer's seed-determined resume fast-forward.
+        rng = np.random.default_rng(
+            np.random.SeedSequence((self._base_seed, self._epoch, int(index)))
+        )
         while True:
-            shots = self.rng.integers(
+            shots = rng.integers(
                 0, len(self.select_ds), size=self.few_shot_num
             ).tolist()
             if query_idx_global not in {self.select_ds.raw(i)["idx"] for i in shots}:
@@ -51,7 +64,7 @@ class _FewShotDataset:
 
     def __getitem__(self, index: int) -> dict:
         query = self.query_ds[index]
-        shot_ids = self._sample_shots(query["idx"])
+        shot_ids = self._sample_shots(query["idx"], index)
         ice_prompt: list = [self.instruction] if self.instruction else []
         for i in shot_ids:
             shot = self.select_ds[i]

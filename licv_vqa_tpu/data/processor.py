@@ -109,6 +109,24 @@ class ImageTransform:
         # move_to_end + popitem interleavings are not safe without a lock
         self._lock = threading.Lock()
 
+    # Grain's mp_prefetch pickles the whole pipeline (including this
+    # transform, closed over by the batch collator) into worker processes;
+    # the lock and cache are per-process state, not data — drop on pickle,
+    # recreate fresh on unpickle.
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state.pop("_cache", None)
+        state.pop("_lock", None)
+        return state
+
+    def __setstate__(self, state):
+        import threading
+        from collections import OrderedDict
+
+        self.__dict__.update(state)
+        self._cache = OrderedDict()
+        self._lock = threading.Lock()
+
     def __call__(self, image: Any) -> np.ndarray:
         """Decode+resize → uint8 (H, W, 3).  Normalization happens ONCE per
         batch in ``normalize`` — per-view normalization was the host
@@ -267,7 +285,7 @@ class PromptProcessor:
         )
         if add_eos_token:
             ids.append(self.tokenizer.eos_token_id)
-        return ids[: self.max_length], images
+        return ids, images  # truncation (+ warning) happens in prepare_input
 
     # -- single prompt → (ids, images) ------------------------------------
     def _encode_prompt(
@@ -304,7 +322,34 @@ class PromptProcessor:
                 last_was_image = False
         if add_eos_token:
             ids.append(self.tokenizer.eos_token_id)
-        return ids[: self.max_length], images
+        return ids, images  # truncation (+ warning) happens in prepare_input
+
+    def _truncate(self, ids: list, images: list) -> tuple:
+        """Clip to ``max_length``, dropping images whose tokens were cut so
+        pixel count stays consistent with the surviving image tokens, and
+        warn LOUDLY — a truncated teacher view silently destroys the KL
+        target (the answer region falls off the end), so this must never
+        pass unnoticed.  Raise ``max_length`` via ``lmm.max_length``."""
+        if len(ids) <= self.max_length:
+            return ids, images
+        kept = ids[: self.max_length]
+        n_img_kept = sum(1 for t in kept if t == self.image_token_id)
+        if self.family == "idefics2":
+            n_img_kept = -(-n_img_kept // max(1, self.image_seq_len))
+        if not hasattr(self, "_warned_truncation"):
+            self._warned_truncation = True
+            from ..utils.log import get_logger
+
+            get_logger("processor").warning(
+                "prompt of %d tokens TRUNCATED to max_length=%d (family=%s); "
+                "if this is the teacher ICL view the answer region is cut off "
+                "and the KL objective is corrupted — raise lmm.max_length or "
+                "lower few_shot_num",
+                len(ids),
+                self.max_length,
+                self.family,
+            )
+        return kept, images[:n_img_kept]
 
     # -- batch API ----------------------------------------------------------
     def prepare_input(
@@ -323,7 +368,7 @@ class PromptProcessor:
         del truncation, return_tensors  # always truncates at max_length; numpy out
         side = padding_side or self.padding_side
         encoded = [
-            self._encode_prompt(p, add_eos_token, with_pixels=with_pixels)
+            self._truncate(*self._encode_prompt(p, add_eos_token, with_pixels=with_pixels))
             for p in prompts
         ]
         b = len(encoded)

@@ -98,8 +98,9 @@ def icv_loss_fn(
     pad_token_id: int,
 ) -> tuple[jax.Array, dict]:
     """Reference forward semantics (icv_src/icv_module.py:71-119)."""
-    enc_out = encoder(trainable["encoder"])
-    icv_scaled = enc_out.alpha[:, None] * enc_out.in_context_vector  # (L, D)
+    # THE injection-tensor formula lives in one place (encoder.scaled_icv);
+    # re-deriving it here could silently diverge from the inference path
+    icv_scaled = encoder.scaled_icv(trainable["encoder"])  # (L, D)
 
     query_inputs = batch["query_inputs"]
     stu_logits = forward_fn(model_params, query_inputs, icv_scaled)  # (B,Ss,V) f32
@@ -209,10 +210,7 @@ def make_optimizer(cfg: ICVModuleConfig, total_steps: int) -> optax.GradientTran
     schedules = make_lr_schedules(cfg, total_steps)
 
     def adamw(schedule, weight_decay):
-        return optax.chain(
-            optax.clip_by_global_norm(cfg.gradient_clip_val),
-            optax.adamw(learning_rate=schedule, weight_decay=weight_decay),
-        )
+        return optax.adamw(learning_rate=schedule, weight_decay=weight_decay)
 
     def label_fn(tree):
         # reference groups: any param named *alpha* at alpha_lr, rest at icv_lr
@@ -221,7 +219,7 @@ def make_optimizer(cfg: ICVModuleConfig, total_steps: int) -> optax.GradientTran
             "temperature": "temp",
         }
 
-    tx = optax.multi_transform(
+    groups = optax.multi_transform(
         {
             "icv": adamw(schedules["icv"], cfg.weight_decay),
             "alpha": adamw(schedules["alpha"], cfg.weight_decay),
@@ -235,6 +233,17 @@ def make_optimizer(cfg: ICVModuleConfig, total_steps: int) -> optax.GradientTran
             "temp": adamw(schedules["icv"], 0.0),
         },
         label_fn,
+    )
+    # clip the JOINT global norm over all trainable params BEFORE splitting
+    # into groups — PL's gradient_clip_val clips all trainable params
+    # together (reference: config/trainer/*.yaml:7); clipping per group
+    # would allow a combined norm up to sqrt(#groups)x the bound and distort
+    # the icv/alpha update ratio whenever only one group spikes
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.gradient_clip_val)
+        if cfg.gradient_clip_val and cfg.gradient_clip_val > 0
+        else optax.identity(),
+        groups,
     )
     if cfg.accumulate_grad_batches > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=cfg.accumulate_grad_batches)
@@ -283,9 +292,18 @@ def decay_temperature(state: TrainState, cfg: ICVModuleConfig) -> TrainState:
     not once per micro-batch."""
     if cfg.decay_ratio < 0:
         return state
+    if cfg.decay_per_step <= 0:
+        # the reference crashes here too (on_train_start returns before
+        # setting self.decay_per_step, icv_src/icv_module.py:55-56, so
+        # decay_temperature hits an AttributeError) — fail loudly instead of
+        # silently decaying every optimizer step
+        raise ValueError(
+            "decay_ratio is set but decay_per_step is not: give a positive "
+            "int (optimizer steps) or a float in (0,1) (fraction of total)"
+        )
     accum = max(int(cfg.accumulate_grad_batches), 1)
     opt_step = state.step // accum
-    dps = jnp.int32(max(int(cfg.decay_per_step), 1))
+    dps = jnp.int32(int(cfg.decay_per_step))
     should = (
         (opt_step % dps == 0) & (opt_step != 0) & (state.step % accum == 0)
     )

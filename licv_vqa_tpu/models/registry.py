@@ -85,6 +85,20 @@ def _wrap_pixel_normalize(train_forward, bind_decode, mean, std):
     return tf, bd
 
 
+def _max_length(cfg, default: int) -> int:
+    """Processor truncation bound: ``lmm.max_length`` override or the model
+    family's context length.  Too-small values silently cut the teacher ICL
+    view (the processor warns; the collator rejects a cut answer region)."""
+    if cfg is not None:
+        try:
+            v = cfg.lmm.get("max_length")
+            if v is not None:
+                return int(v)
+        except Exception:
+            pass
+    return default
+
+
 def _wrap_intervention(cfg, n_layers: int, train_forward, bind_decode):
     """Apply the reference's ``intervention_layer`` semantics (int/list/-1,
     icv_intervention.py:39-42): the encoder owns K = len(layers) rows; the
@@ -178,6 +192,7 @@ def _idefics_bundle(cfg, model_cfg: IdeficsConfig, name: str) -> ModelBundle:
         tokenizer,
         ImageTransform(model_cfg.vision.image_size, CLIP_MEAN, CLIP_STD),
         family="idefics",
+        max_length=_max_length(cfg, default=2048),  # LLaMA-7B context
     )
     # make the whitespace-tokenizer smoke path self-consistent
     if isinstance(tokenizer, WhitespaceTokenizer):
@@ -243,6 +258,10 @@ def _idefics2_bundle(cfg, model_cfg, name: str) -> ModelBundle:
         ),
         family="idefics2",
         image_seq_len=model_cfg.image_seq_len,
+        # Mistral-7B backbone: long context; 64 inline tokens/image means
+        # 32-shot teacher views run to thousands of tokens — a 2048 default
+        # would silently truncate the teacher and corrupt the KL target
+        max_length=_max_length(cfg, default=8192),
     )
     import dataclasses as _dc
 
@@ -528,6 +547,7 @@ def _openflamingo_bundle(cfg, model_cfg, name: str) -> ModelBundle:
         tokenizer,
         ImageTransform(model_cfg.vision.image_size, CLIP_MEAN, CLIP_STD),
         family="flamingo",
+        max_length=_max_length(cfg, default=2048),  # MPT-7B context
     )
     if isinstance(tokenizer, WhitespaceTokenizer):
         model_cfg = dataclasses.replace(

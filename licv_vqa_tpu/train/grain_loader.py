@@ -105,6 +105,10 @@ class GrainDataLoader:
             return it
         # fresh shuffle order per epoch (matches the threaded loader)
         self._cur_epoch = self.epoch
+        if hasattr(self.dataset, "set_epoch"):
+            # before _build: mp_prefetch pickles the dataset (with the epoch
+            # baked in) into the worker processes at iterator creation
+            self.dataset.set_epoch(self.epoch)
         self._iter_ds = self._build(self.seed + self.epoch)
         self.epoch += 1
         self._it = iter(self._iter_ds)
@@ -133,6 +137,8 @@ class GrainDataLoader:
 
         d = pickle.loads(state)
         self._cur_epoch = int(d["epoch"])
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(self._cur_epoch)
         self._iter_ds = self._build(self.seed + self._cur_epoch)
         it = iter(self._iter_ds)
         it.set_state(d["it"])

@@ -56,6 +56,8 @@ class DataLoader:
         return batches
 
     def __iter__(self) -> Iterator[dict]:
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(self.epoch)  # fresh per-epoch shot draws
         batches = self._index_batches()
         self.epoch += 1
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)

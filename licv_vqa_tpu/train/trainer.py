@@ -58,6 +58,20 @@ def _pad_batch_to_multiple(batch, multiple: int):
     return jax.tree.map(pad, batch)
 
 
+def _sync_should_stop(local: bool) -> bool:
+    """Global OR of the per-host preemption flag.
+
+    SIGTERM lands on hosts at different times; acting on a host-local flag
+    would let hosts enter the (collective) preemption save at different
+    micro steps and deadlock the Orbax barrier.  Single-host: a no-op."""
+    if jax.process_count() == 1:
+        return bool(local)
+    from jax.experimental import multihost_utils
+
+    flags = multihost_utils.process_allgather(np.asarray(bool(local)))
+    return bool(np.max(flags))
+
+
 def _is_seq_leaf(path, x) -> bool:
     """(B, S) token/mask leaf — the single predicate shared by seq padding
     and sp sharding so the two can never drift apart."""
@@ -216,6 +230,19 @@ class Trainer:
         use_sigmoid: bool = False,
     ) -> TrainState:
         cfg = self.cfg
+        if jax.process_count() > 1 and (
+            getattr(loader, "shard_count", 1) != jax.process_count()
+        ):
+            # the threaded DataLoader has no per-host sharding: every host
+            # would build the SAME seed-determined order and
+            # make_array_from_process_local_data would stitch P identical
+            # copies into the "global" batch — P-fold reported scale with
+            # single-host gradients, silently
+            raise ValueError(
+                "multi-host training needs per-host disjoint batches: use "
+                "data_cfg.loader=grain (shard_index/shard_count are wired "
+                "through train.py), not the threaded loader"
+            )
         steps_per_epoch = len(loader)
         if cfg.limit_train_batches and cfg.limit_train_batches > 0:
             steps_per_epoch = min(steps_per_epoch, cfg.limit_train_batches)
@@ -306,8 +333,11 @@ class Trainer:
                 # loader state saved here is the pre-fetch snapshot, so a
                 # set_state resume replays exactly the untrained remainder
                 # (fetching first would advance the iterator past a batch
-                # that never trains, silently dropping it)
-                if guard.should_stop:
+                # that never trains, silently dropping it).  Multi-host: the
+                # flag is synced so every host stops at the SAME micro step
+                # — the save below is a collective Orbax call and mismatched
+                # steps would deadlock it.
+                if _sync_should_stop(guard.should_stop):
                     logger.warning(
                         "preemption requested — checkpointing at micro %d",
                         micro_step,

@@ -404,3 +404,98 @@ def test_prepare_input_variable_resolution_padding_and_mask():
     assert not enc["pixel_valid"][0, 1] and pm[0, 1].all()
     assert enc["pixel_valid"][1, 1]
     np.testing.assert_array_equal(pv[0, 0, :56, :28], img_a)
+
+
+def test_processor_pickles_for_grain_mp_workers(tmp_path):
+    """Grain's mp_prefetch pickles the pipeline (incl. the processor and its
+    ImageTransform) into worker processes; the transform's lock/cache are
+    dropped on pickle and recreated on unpickle."""
+    import pickle
+
+    proc = _processor()
+    img = tmp_path / "x.jpg"
+    Image.fromarray(np.zeros((20, 20, 3), np.uint8)).save(img)
+    proc.image_transform(str(img))  # populate the cache
+    clone = pickle.loads(pickle.dumps(proc))
+    assert len(clone.image_transform._cache) == 0  # fresh per process
+    out = clone.prepare_input([[clone.image_transform(str(img)), "Q: hi A:"]])
+    assert out["input_ids"].shape[0] == 1
+
+
+def test_truncated_teacher_view_raises(tmp_path):
+    """A teacher ICL view that hits max_length loses its answer region; the
+    collator must reject it (silent truncation corrupts the KL target)."""
+    ds = _vqa_dataset(tmp_path, few_shot=2)
+    tok = WhitespaceTokenizer()
+    proc = PromptProcessor(
+        tok,
+        ImageTransform(image_size=16),
+        family="idefics",
+        pad_to_multiple=8,
+        max_length=24,  # far below the 2-shot ICL view length
+    )
+    with pytest.raises(ValueError, match="truncated"):
+        collate_icv_batch([ds[0], ds[1]], proc)
+
+
+def test_truncation_drops_cut_images():
+    """prepare_input keeps pixel count consistent with surviving image
+    tokens when a prompt is clipped at max_length."""
+    tok = WhitespaceTokenizer()
+    proc = PromptProcessor(
+        tok,
+        ImageTransform(image_size=16),
+        family="idefics",
+        pad_to_multiple=8,
+        max_length=8,
+    )
+    img = np.zeros((16, 16, 3), np.uint8)
+    # bos + (fake,image,fake) + ~5 words + second image markup would exceed 8
+    out = proc.prepare_input([[img, "one two three four five", img, "tail"]])
+    kept_img_tokens = int((out["input_ids"][0] == proc.image_token_id).sum())
+    assert int(out["pixel_valid"][0].sum()) == kept_img_tokens == 1
+
+
+def test_shot_sampling_is_order_independent_and_epoch_varying(tmp_path):
+    """Draws are a pure function of (seed, epoch, index): identical whatever
+    order worker threads touch the items, and fresh across epochs."""
+    ds = _vqa_dataset(tmp_path)
+    a = [ds[i]["ice_prompt"][1:] for i in range(len(ds))]
+    b = [ds[i]["ice_prompt"][1:] for i in reversed(range(len(ds)))][::-1]
+    for x, y in zip(a, b):
+        assert [t for t in x if isinstance(t, str)] == [
+            t for t in y if isinstance(t, str)
+        ]
+    ds.set_epoch(1)
+    c = [ds[i]["ice_prompt"][1:] for i in range(len(ds))]
+    assert any(
+        [t for t in x if isinstance(t, str)] != [t for t in z if isinstance(t, str)]
+        for x, z in zip(a, c)
+    )
+
+
+def test_threaded_loader_deterministic_across_worker_counts(tmp_path):
+    """The same (seed, epoch) yields identical batches with 1 or 4 worker
+    threads — shot draws must not depend on thread interleaving."""
+    from licv_vqa_tpu.train.loader import DataLoader
+
+    ds = _vqa_dataset(tmp_path)
+    proc = _processor()
+
+    def run(workers):
+        loader = DataLoader(
+            ds,
+            batch_size=2,
+            collate_fn=lambda items: collate_icv_batch(items, proc),
+            shuffle=True,
+            seed=3,
+            num_workers=workers,
+        )
+        ds.set_epoch(0)
+        loader.epoch = 0
+        return [b["inputs"]["input_ids"].copy() for b in loader]
+
+    one, four = run(1), run(4)
+    assert len(one) == len(four) > 0
+    for x, y in zip(one, four):
+        np.testing.assert_array_equal(x, y)
