@@ -31,9 +31,9 @@ NEG_INF = -1.0e7  # plain float: a module-level jnp constant would
 # initialize the default backend at import time (before device selection)
 
 
-def _positions_from_mask(attention_mask: jax.Array) -> jax.Array:
-    pos = jnp.cumsum(attention_mask.astype(jnp.int32), axis=-1) - 1
-    return jnp.maximum(pos, 0)
+# single source of truth for the HF position-id convention (re-exported
+# here for the generate loops and speculative.py)
+from ..models.decoder import _positions_from_mask  # noqa: E402
 
 
 # ---------------------------------------------------------------------------

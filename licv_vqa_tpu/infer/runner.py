@@ -55,6 +55,14 @@ def make_generate_fn(bundle, generate_kwargs: dict) -> Callable:
                 "verification; no beam-verification scheme is implemented) — "
                 "falling back to plain beam search"
             )
+        elif min_new > 0:
+            logger.warning(
+                "speculative decoding does not implement min_new_tokens "
+                "(EOS suppression for the first %d steps) — falling back to "
+                "plain greedy so the contract 'equals greedy token-for-token' "
+                "holds",
+                min_new,
+            )
         else:
             from ..models.registry import build_draft_decode
 

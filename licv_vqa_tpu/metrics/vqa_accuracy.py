@@ -1,11 +1,19 @@
 """VQA accuracy: official normalization + 10-annotator consensus.
 
-Behavioral spec (reference: icv_src/metrics/vqa_metric.py — itself the
-official VQA eval): normalize punctuation (conditional space/removal rule),
-strip periods, map number words, drop articles, restore contractions; then
-accuracy per question = mean over leave-one-out annotator subsets of
-``min(#matching_other_annotators / 3, 1)``; report ``overall`` /
+Behavioral spec (reference: icv_src/metrics/vqa_metric.py — the reference's
+VENDORED copy of the official VQA eval): normalize punctuation (conditional
+space/removal rule), strip periods, map number words, drop articles, restore
+contractions; then accuracy per question = mean over leave-one-out annotator
+subsets of ``min(#matching_other_annotators / 3, 1)``; report ``overall`` /
 ``perQuestionType`` / ``perAnswerType`` as percentages rounded to 2 places.
+
+KNOWN DEVIATION FROM UPSTREAM (deliberate, for reference parity): the
+ORIGINAL VQA eval normalizes pred/GT only when the 10 GT answers disagree
+(``len(set(gtAnswers)) > 1``); the reference's vendored copy normalizes
+UNCONDITIONALLY (vqa_metric.py:404-420 — no such guard), and so does this
+module (and the C++ scorer).  On unanimous-GT questions whose match depends
+on normalization (pred "two" vs GT "2"), this scores 1.0 where upstream
+scores 0.0 — matching what the reference actually computes.
 
 The entry point consumes in-memory predictions plus the standard question /
 annotation JSON files (same file contract as the reference,

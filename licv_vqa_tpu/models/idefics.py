@@ -225,13 +225,25 @@ def image_attention_onehot(
     input_ids: jax.Array, image_token_id: int, eos_token_id: int, n_images: int
 ) -> jax.Array:
     """(B, S, N_img) one-hot: each token attends to the most recent preceding
-    ``<image>`` token (HF idefics processor semantics; tokens strictly after
-    an EOS attend to none)."""
-    is_img = (input_ids == image_token_id).astype(jnp.int32)
-    count = jnp.cumsum(is_img, axis=1) - 1  # -1 before any image
-    after_eos = jnp.cumsum((input_ids == eos_token_id).astype(jnp.int32), axis=1)
-    after_eos = after_eos - (input_ids == eos_token_id).astype(jnp.int32)  # exclusive
-    valid = (count >= 0) & (after_eos == 0)
+    ``<image>`` token (HF ``image_attention_mask_for_packed_input_ids``
+    semantics): tokens strictly after an EOS attend to none UNTIL the next
+    ``<image>`` token resets the EOS state (``seen_eod = False`` in the HF
+    loop) — so EOS-packed multi-episode sequences keep per-episode image
+    attention."""
+    b, s = input_ids.shape
+    is_img = input_ids == image_token_id
+    count = jnp.cumsum(is_img.astype(jnp.int32), axis=1) - 1  # -1 before any
+    pos = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None, :], (b, s))
+    img_pos = jax.lax.cummax(jnp.where(is_img, pos, -1), axis=1)
+    eos_cm = jax.lax.cummax(
+        jnp.where(input_ids == eos_token_id, pos, -1), axis=1
+    )
+    # the EOS position itself still attends (HF checks seen_eod BEFORE
+    # setting it) — compare against the most recent eos STRICTLY before t
+    eos_excl = jnp.concatenate(
+        [jnp.full((b, 1), -1, jnp.int32), eos_cm[:, :-1]], axis=1
+    )
+    valid = img_pos > eos_excl  # also false while img_pos == -1 (no image)
     onehot = jax.nn.one_hot(jnp.maximum(count, 0), n_images, dtype=jnp.float32)
     return onehot * valid[:, :, None].astype(jnp.float32)
 

@@ -258,7 +258,19 @@ class MMTopkRetriever:
             torch.save(feats, cache_file)
 
     def retrieve(self, ice_num: int) -> list[list[int]]:
-        """Exact top-``ice_num`` inner-product search on the accelerator."""
-        sims = jnp.asarray(self.test_feats) @ jnp.asarray(self.index_feats).T
-        _, idx = jax.lax.top_k(sims, ice_num)
-        return np.asarray(idx).tolist()
+        """Exact top-``ice_num`` inner-product search on the accelerator.
+
+        The eval loop calls this once per ``few_shot_list`` entry (reference:
+        inference.py:193-216); the similarity matmul + top-k are cached at
+        the largest k seen so far and smaller requests slice the cached
+        ranking (identical results — top-k of a fixed scoring is prefix
+        monotone)."""
+        cached = getattr(self, "_topk_cache", None)
+        if cached is None or cached.shape[1] < ice_num:
+            k = max(ice_num, 32 if self.index_feats.shape[0] >= 32 else ice_num)
+            k = min(k, self.index_feats.shape[0])
+            sims = jnp.asarray(self.test_feats) @ jnp.asarray(self.index_feats).T
+            _, idx = jax.lax.top_k(sims, k)
+            self._topk_cache = np.asarray(idx)
+            cached = self._topk_cache
+        return cached[:, :ice_num].tolist()

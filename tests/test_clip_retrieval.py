@@ -113,3 +113,29 @@ def test_rice_retrieve_with_jax_features(tiny_pair):
     top = r.retrieve(2)
     # the identical image must be rank-0 for each query
     assert top[0][0] == 2 and top[1][0] == 5
+
+
+def test_rice_retrieve_caches_topk_across_shot_counts(tiny_pair):
+    """few_shot_list drives one retrieve() per shot count; the similarity
+    matmul+top-k is computed once and smaller k slice the cached ranking —
+    results must equal fresh per-k computation."""
+    hf, cfg, params = tiny_pair
+    from licv_vqa_tpu.retrieval.rice import MMTopkRetriever
+
+    class Enc:
+        def encode_images(self, images):
+            px = np.stack([np.asarray(im, np.float32) for im in images])
+            return np.asarray(clip_image_features(cfg, params, jnp.asarray(px)))
+
+        def encode_texts(self, texts):
+            raise AssertionError("i2i mode never encodes texts")
+
+    rng = np.random.default_rng(4)
+    imgs = [rng.normal(size=(32, 32, 3)).astype(np.float32) for _ in range(8)]
+    index_ds = [{"image": imgs[i]} for i in range(8)]
+    test_ds = [{"image": imgs[1]}, {"image": imgs[6]}]
+    r = MMTopkRetriever(index_ds, test_ds, mode="i2i", encoder=Enc())
+    fresh = MMTopkRetriever(index_ds, test_ds, mode="i2i", encoder=Enc())
+    for k in (1, 4, 8):
+        np.testing.assert_array_equal(r.retrieve(k), fresh.retrieve(k))
+    assert r._topk_cache.shape[1] == 8  # one ranking serves every k

@@ -340,3 +340,28 @@ def test_idefics2_navit_generate_end_to_end():
         generate_answers(bundle, gen_fn, [[img_wide, "and this"]], None)[0],
     ]
     assert answers == solo, (answers, solo)
+
+
+def test_navit_bucketize_matches_torch_exactly():
+    """Our floor-based bucketization == HF's torch.bucketize(right=True) on
+    eps-scaled fractional coords, INCLUDING grids that hit exact bucket
+    boundaries (nb dividing the table side, e.g. the 980px long edge → nb=70
+    = table side).  Pins the float32 rounding behavior both sides rely on."""
+    import torch
+
+    from licv_vqa_tpu.models.vision import navit_position_ids
+
+    side = 70
+    boundaries = torch.arange(1 / side, 1.0, 1 / side)
+    for nb_h, nb_w in [(70, 70), (35, 70), (45, 27), (7, 10), (64, 69), (28, 50)]:
+        idx_h = torch.arange(nb_h, dtype=torch.float32)
+        idx_w = torch.arange(nb_w, dtype=torch.float32)
+        bh = torch.bucketize(idx_h / nb_h * (1 - 1e-6), boundaries, right=True)
+        bw = torch.bucketize(idx_w / nb_w * (1 - 1e-6), boundaries, right=True)
+        want = (bh[:, None] * side + bw).flatten().numpy()
+
+        mask = np.zeros((1, 70, 70), bool)
+        mask[0, :nb_h, :nb_w] = True
+        pos = np.asarray(navit_position_ids(70, 70, side, jnp.asarray(mask)))
+        got = pos[0].reshape(70, 70)[:nb_h, :nb_w].flatten()
+        np.testing.assert_array_equal(got, want, err_msg=f"nb=({nb_h},{nb_w})")

@@ -245,3 +245,40 @@ def test_idefics_greedy_decode_matches_hf_generate():
 # transformers' own Idefics beam path crashes expanding image_attention_mask
 # (RuntimeError reshape in generation/utils.py). The composition is covered
 # by greedy==HF (multimodal), beam-3==HF (text machinery), ICV==hooks (logits).
+
+
+def test_idefics_image_mask_matches_hf_packed_loop():
+    """EOS-packed multi-episode sequences: compare against HF's own
+    image_attention_mask_for_packed_input_ids_pt loop (seen_eod RESETS at a
+    new <image> token, so the second episode attends its image)."""
+    from transformers.models.idefics.processing_idefics import (
+        image_attention_mask_for_packed_input_ids_pt,
+    )
+
+    cfg = IdeficsConfig.tiny()
+    img = cfg.image_token_id
+
+    class _Tok:
+        eos_token_id = EOS
+
+        def convert_tokens_to_ids(self, t):
+            return img
+
+    cases = [
+        [5, img, 7, 8, EOS, img, 9, 4],        # reset after EOS
+        [img, 7, EOS, 8, 9],                   # no reset: tail attends none
+        [5, 6, EOS, img, 7, EOS, img, 8],      # two resets
+        [EOS, img, 7],                         # leading EOS
+        [5, img, EOS, EOS, img, 7, 8],         # consecutive EOS
+    ]
+    for ids_list in cases:
+        ids = np.array([ids_list])
+        n_img = int((ids == img).sum())
+        hf_mask, _ = image_attention_mask_for_packed_input_ids_pt(
+            torch.tensor(ids), _Tok()
+        )
+        oh = np.asarray(
+            image_attention_onehot(jnp.asarray(ids), img, EOS, max(n_img, 1))
+        )
+        got = np.where(oh.sum(-1) > 0, oh.argmax(-1), -1)
+        np.testing.assert_array_equal(got, hf_mask.numpy(), err_msg=str(ids_list))

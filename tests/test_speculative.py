@@ -176,3 +176,23 @@ def test_speculative_eos_handling():
         )
     )
     np.testing.assert_array_equal(got, want)
+
+
+def test_speculative_min_new_tokens_falls_back_to_greedy():
+    """min_new_tokens>0 with speculative_draft_layers must route to plain
+    greedy (which implements EOS suppression) instead of silently dropping
+    the constraint — the draft is never built in that case."""
+    from licv_vqa_tpu.infer.runner import make_generate_fn
+
+    class _Bundle:
+        eos_token_id, pad_token_id = 2, 0
+        bind_decode = None
+        intervention_layers = None
+
+    # fallback: build_draft_decode is never reached, so the stub survives
+    make_generate_fn(_Bundle(), {"speculative_draft_layers": 2,
+                                 "min_new_tokens": 1})
+    # sanity: with min_new_tokens=0 the draft path IS taken and the stub
+    # bundle is rejected by build_draft_decode
+    with pytest.raises(Exception):
+        make_generate_fn(_Bundle(), {"speculative_draft_layers": 2})
