@@ -83,18 +83,36 @@ def local_mesh() -> Mesh:
 def with_sharding(mesh: Mesh, tree: Any, spec_tree: Any) -> Any:
     """Apply ``NamedSharding(mesh, spec)`` leaf-wise via ``device_put``.
 
-    ``spec_tree`` may be a single PartitionSpec (broadcast to all leaves) or a
-    pytree prefix of ``tree``.
-    """
+    ``spec_tree`` may be a single PartitionSpec (broadcast to all leaves),
+    an exact-structure pytree of specs, or a container PREFIX of ``tree``
+    whose PartitionSpec leaves each apply to the whole corresponding
+    subtree (``jax.tree.map`` alone cannot express that — its prefix rule
+    runs the other way)."""
     if isinstance(spec_tree, P):
         return jax.tree.map(
             lambda x: jax.device_put(x, NamedSharding(mesh, spec_tree)), tree
         )
-    return jax.tree.map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
-        tree,
-        spec_tree,
-    )
+
+    def resolve(path, x):
+        node = spec_tree
+        for entry in path:
+            if isinstance(node, P):
+                break  # spec covers this whole subtree
+            key = getattr(entry, "key", getattr(entry, "idx", None))
+            try:
+                node = node[key]
+            except (KeyError, IndexError, TypeError) as e:
+                raise ValueError(
+                    f"spec_tree has no spec covering tree path {path}"
+                ) from e
+        if not isinstance(node, P):
+            raise ValueError(
+                f"spec_tree entry at {path} is {type(node).__name__}, "
+                "expected PartitionSpec"
+            )
+        return jax.device_put(x, NamedSharding(mesh, node))
+
+    return jax.tree_util.tree_map_with_path(resolve, tree)
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -56,9 +56,12 @@ def _round_up(x: int, m: int) -> int:
 def _icv_inject_pallas(
     h: jax.Array, shift: jax.Array, block_rows: int = 256, interpret: bool = False
 ):
-    """h: (B, S, D); shift: (B, D) or (D,). Rows tiled over (B, S-tiles)."""
+    """h: (B, S, D); shift: (D,), (B, D) or (B, 1, D) — row-constant only
+    (the dispatch gate sends per-position shifts to the jnp fallback)."""
     b, s, d = h.shape
-    shift = jnp.broadcast_to(shift, (b, d)) if shift.ndim <= 2 else shift[:, 0]
+    if shift.ndim == 3:
+        shift = shift[:, 0]  # (B, 1, D) → (B, D); gate guarantees S dim == 1
+    shift = jnp.broadcast_to(shift, (b, d))
     shift = shift[:, None, :]  # (B, 1, D) so the block can equal the array dims
     ts = min(block_rows, _round_up(s, 8))
     grid = (b, pl.cdiv(s, ts))
@@ -89,7 +92,16 @@ def icv_inject(h: jax.Array, shift: jax.Array) -> jax.Array:
 
 
 def _dispatch(h, shift):
-    if h.ndim == 3 and jax.default_backend() == "tpu" and h.shape[-1] % 128 == 0:
+    # the kernel broadcasts ONE shift row per batch element; a per-position
+    # (B, S>1, D) shift must take the jnp path or position 0's row would be
+    # silently applied everywhere
+    row_constant = shift.ndim <= 2 or shift.shape[-2] == 1
+    if (
+        h.ndim == 3
+        and row_constant
+        and jax.default_backend() == "tpu"
+        and h.shape[-1] % 128 == 0
+    ):
         return _icv_inject_pallas(h, shift)
     return icv_inject_reference(h, shift)
 

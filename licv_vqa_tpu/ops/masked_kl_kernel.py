@@ -135,8 +135,8 @@ def masked_kl_pallas(
     """Masked mean of per-row KLs (×T² applied by the caller)."""
     b, s, v = student_scaled.shape
     n = b * s
-    # pad rows to a tile multiple; padded rows carry zero weight
-    r = _tile_rows(max(n, 8)) if n % 8 == 0 else 8
+    # pad rows to a sublane multiple; padded rows carry zero weight (the
+    # fwd/bwd impls pick their own row-tile size via _tile_rows(n, v))
     pad = (-n) % 8
     stu2d = student_scaled.reshape(n, v)
     tea2d = teacher_scaled.reshape(n, v)

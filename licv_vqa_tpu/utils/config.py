@@ -192,6 +192,17 @@ def _set_dotted(d: dict, dotted: str, value: Any) -> None:
     d[parts[-1]] = value
 
 
+def _del_dotted(d: dict, dotted: str) -> None:
+    parts = dotted.split(".")
+    for p in parts[:-1]:
+        if not isinstance(d, dict) or p not in d:
+            raise KeyError(f"cannot delete {dotted!r}: {p!r} not in config")
+        d = d[p]
+    if not isinstance(d, dict) or parts[-1] not in d:
+        raise KeyError(f"cannot delete {dotted!r}: key not in config")
+    del d[parts[-1]]
+
+
 def _parse_value(s: str) -> Any:
     try:
         return yaml.load(s, Loader=_YamlLoader)
@@ -284,23 +295,51 @@ def compose(
 
     group_overrides: dict[str, str] = {}
     value_overrides: list[tuple[str, Any]] = []
+    additive_groups: list[tuple[str, str]] = []
+    deletes: list[str] = []
     for ov in overrides:
+        if ov.startswith("~"):
+            # Hydra delete syntax: `~key` or `~key=value`
+            deletes.append(ov[1:].partition("=")[0])
+            continue
         if "=" not in ov:
             raise ValueError(f"override {ov!r} must be key=value")
         key, _, val = ov.partition("=")
         additive = key.startswith("+")
-        key = key.lstrip("+~")
+        key = key.lstrip("+")
         # A group override is `path/with/slashes=opt` or a bare group name that
         # has a matching config directory.
         gpath = key.replace(".", "/")
-        if not additive and (config_dir / gpath).is_dir():
-            group_overrides[gpath] = val
+        if (config_dir / gpath).is_dir():
+            if additive:
+                # Hydra `+group=option`: ADD a group absent from the defaults
+                # list by composing config/<group>/<option>.yaml — NOT a
+                # literal value set (that would leave e.g. cfg.lmm a string)
+                additive_groups.append((gpath, val))
+            else:
+                group_overrides[gpath] = val
         else:
+            # plain and `+`/`++` value overrides all set the key (deliberate
+            # permissive deviation: Hydra errors on key=val for absent keys)
             value_overrides.append((key, _parse_value(val)))
 
     choices: dict[str, str] = dict(group_overrides)
     tree = _compose_node(config_dir, "", config_name, choices, group_overrides)
     tree.pop("hydra", None)  # run-dir management is handled by our CLIs
+    for gpath, opt in additive_groups:
+        choices[gpath] = opt
+        sub = _compose_node(config_dir, gpath, opt, choices, group_overrides)
+        target = tree
+        parts = gpath.split("/")
+        for p in parts[:-1]:
+            target = target.setdefault(p, {})
+        existing = target.get(parts[-1])
+        if isinstance(existing, dict) and isinstance(sub, dict):
+            _deep_merge(existing, sub)
+        else:
+            target[parts[-1]] = sub
     for key, val in value_overrides:
         _set_dotted(tree, key, val)
+    for key in deletes:
+        _del_dotted(tree, key)
     return Config(tree)

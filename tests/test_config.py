@@ -160,3 +160,19 @@ def test_reference_idefics2_recipe_composes():
     assert "mlp" in cfg.lmm.layer_format
     # prompt group follows the lmm choice
     assert cfg.prompt.prompt_template == "Question:<Q> Short answer:<A>."
+
+
+def test_additive_group_override_composes_yaml():
+    """Hydra `+group=option` composes config/<group>/<option>.yaml instead of
+    setting the key to the literal option string."""
+    cfg = compose(CONFIG_DIR, "train", ["+lmm=tiny-idefics"])
+    assert not isinstance(cfg.lmm, str)
+    assert cfg.lmm.model_name == "tiny-idefics"
+
+
+def test_delete_override():
+    """Hydra `~key` removes the key; deleting a missing key raises."""
+    cfg = compose(CONFIG_DIR, "train", ["~seed"])
+    assert "seed" not in cfg.to_dict()
+    with pytest.raises(KeyError):
+        compose(CONFIG_DIR, "train", ["~definitely.not.a.key"])

@@ -46,3 +46,26 @@ def test_precision_policy():
     cast = pol.cast_params(tree)
     assert cast["w"].dtype == jnp.bfloat16
     assert cast["i"].dtype == jnp.int32
+
+
+def test_with_sharding_prefix_spec_tree():
+    """A spec_tree that is a container PREFIX of the param tree applies each
+    PartitionSpec leaf to the whole corresponding subtree."""
+    import numpy as np
+    from licv_vqa_tpu.core.mesh import MeshConfig, create_mesh, with_sharding
+    from jax.sharding import PartitionSpec as P
+
+    mesh = create_mesh(MeshConfig(dp=-1, tp=1, sp=1))
+    tree = {
+        "a": {"x": jnp.zeros((8, 4)), "y": jnp.zeros((8, 2))},
+        "b": jnp.zeros((3,)),
+    }
+    out = with_sharding(mesh, tree, {"a": P("dp"), "b": P()})
+    for leaf in (out["a"]["x"], out["a"]["y"]):
+        assert leaf.sharding.spec == P("dp")
+    assert out["b"].sharding.spec == P()
+
+    import pytest
+
+    with pytest.raises(ValueError, match="no spec"):
+        with_sharding(mesh, tree, {"a": P("dp")})  # "b" uncovered

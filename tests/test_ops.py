@@ -280,3 +280,46 @@ def test_flash_alibi_kernel_interpret():
     finally:
         fa._flash_alibi_fwd_impl = orig
     assert err < 1e-5, err
+
+
+def test_icv_inject_per_position_shift_matches_reference():
+    """A per-position (B, S>1, D) shift must take the jnp path (the Pallas
+    kernel broadcasts one row per batch element) — value AND grads equal the
+    reference formulation."""
+    from licv_vqa_tpu.ops.icv_inject import icv_inject, icv_inject_reference
+
+    rng = np.random.default_rng(3)
+    h = jnp.asarray(rng.normal(size=(2, 4, 256)).astype(np.float32))
+    shift = jnp.asarray(rng.normal(size=(2, 4, 256)).astype(np.float32)) * 0.1
+    got = icv_inject(h, shift)
+    want = icv_inject_reference(h, shift)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+    g1 = jax.grad(lambda a, b: icv_inject(a, b).sum(), (0, 1))(h, shift)
+    g2 = jax.grad(lambda a, b: icv_inject_reference(a, b).sum(), (0, 1))(h, shift)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4)
+
+
+def test_icv_inject_pallas_row_constant_shapes_interpret():
+    """Kernel (interpret) == reference for every row-constant shift layout
+    the dispatch gate admits: (D,), (B, D), (B, 1, D)."""
+    from licv_vqa_tpu.ops.icv_inject import (
+        _icv_inject_pallas,
+        icv_inject_reference,
+    )
+
+    rng = np.random.default_rng(4)
+    b, s, d = 2, 5, 256
+    h = jnp.asarray(rng.normal(size=(b, s, d)).astype(np.float32))
+    base = rng.normal(size=(b, d)).astype(np.float32) * 0.1
+    # kernel layouts → the equivalent broadcastable layout for the reference
+    cases = [
+        (jnp.asarray(base[0]), jnp.asarray(base[0])),  # (D,)
+        (jnp.asarray(base), jnp.asarray(base[:, None, :])),  # (B,D) ≡ (B,1,D)
+        (jnp.asarray(base[:, None, :]), jnp.asarray(base[:, None, :])),
+    ]
+    for shift_kernel, shift_ref in cases:
+        got = np.asarray(_icv_inject_pallas(h, shift_kernel, interpret=True))
+        want = np.asarray(icv_inject_reference(h, shift_ref))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)

@@ -192,9 +192,7 @@ def main(mode="both"):
                 )
                 return (h, k_all, v_all), None
 
-            kvs = jax.tree.map(
-                lambda x: x.reshape((n_groups,) + x.shape[1:]), xattn_kv
-            ) if False else xattn_kv
+            kvs = xattn_kv  # already grouped (G, ...) by the bind
             (h, k_all, v_all), _ = jax.lax.scan(
                 group_body, (h, k_all, v_all),
                 (params["xattn"], glayers, gicv, kvs, jnp.arange(n_groups)),

@@ -35,8 +35,15 @@ def main():
     def loss(impl, stu, tea):
         return masked_kl_divergence(stu, tea, mask, t, impl=impl)
 
+    import functools
+
+    # bind impl by VALUE: jit traces at first call, after the comprehension
+    # ends — a late-binding `lambda a, b: loss(impl, a, b)` would make both
+    # entries compute "pallas" and the check compare the kernel to itself
     vg = {
-        impl: jax.jit(jax.value_and_grad(lambda a, b: loss(impl, a, b), (0, 1)))
+        impl: jax.jit(
+            jax.value_and_grad(functools.partial(loss, impl), (0, 1))
+        )
         for impl in ("xla", "pallas")
     }
     (v_x, (gs_x, gt_x)) = jax.block_until_ready(vg["xla"](stu, tea))
