@@ -146,6 +146,81 @@ def run_training(
     return icv, (seen_epoch0, sorted(ds.seen))
 
 
+class _FlipAfterPolls:
+    """Fake PreemptionGuard: should_stop turns True from the (n+1)-th poll."""
+
+    def __init__(self, n):
+        self.n = n
+        self.polls = 0
+
+    @property
+    def should_stop(self):
+        self.polls += 1
+        return self.polls > self.n
+
+
+def run_preemption(run_dir, shard_index: int, shard_count: int):
+    """One host (rank 0) is 'preempted' after 2 polls; the other never is.
+
+    Exercises ``_sync_should_stop``: without the cross-host flag sync, rank 1
+    would train on while rank 0 enters the COLLECTIVE Orbax save — mismatched
+    steps, distributed deadlock (this test would time out).  With it, both
+    hosts stop at the same micro step and the save completes.  Then both
+    resume with a REAL guard and finish; returns (final_icv, stop_step)."""
+    import jax
+    import numpy as np
+
+    import licv_vqa_tpu.train.trainer as trainer_mod
+    from licv_vqa_tpu.icv.encoder import GlobalICVEncoder
+    from licv_vqa_tpu.icv.module import ICVModuleConfig
+    from licv_vqa_tpu.models.idefics import (
+        IdeficsConfig,
+        init_idefics_params,
+        make_idefics_forward_fns,
+    )
+    from licv_vqa_tpu.train.grain_loader import GrainDataLoader
+    from licv_vqa_tpu.train.trainer import Trainer, TrainerConfig
+
+    cfg = IdeficsConfig.tiny()
+    params = init_idefics_params(jax.random.PRNGKey(0), cfg)
+    train_forward, _ = make_idefics_forward_fns(cfg, eos_token_id=2)
+    ds, collate = build_components()
+
+    def make_loader():
+        return GrainDataLoader(
+            ds, batch_size=2, collate_fn=collate, num_workers=0,
+            seed=0, shard_index=shard_index, shard_count=shard_count,
+        )
+
+    def make_trainer():
+        return Trainer(
+            TrainerConfig(max_epochs=2, checkpoint_every_n_steps=0,
+                          log_every_n_steps=1, limit_train_batches=-1),
+            ICVModuleConfig(icv_lr=1e-2, warm_steps=0),
+            GlobalICVEncoder(cfg.text.d_model, cfg.text.n_layers),
+            train_forward,
+            params,
+            pad_token_id=0,
+        )
+
+    real_guard = trainer_mod.PreemptionGuard
+    if shard_index == 0:
+        # stop mid-epoch (micro 1 of 4) so the resume leg also exercises the
+        # grain mid-epoch iterator replay under multi-host
+        trainer_mod.PreemptionGuard = lambda: _FlipAfterPolls(1)
+    try:
+        state = make_trainer().fit(make_loader(), run_dir, lmm_args={})
+    finally:
+        trainer_mod.PreemptionGuard = real_guard
+    stop_step = int(np.asarray(state.step))
+    total = 2 * 2  # 2 epochs × (8/2 hosts / bs 2) batches
+    assert stop_step < total, (stop_step, total)  # actually preempted
+
+    state2 = make_trainer().fit(make_loader(), run_dir, lmm_args={})
+    assert int(np.asarray(state2.step)) == total
+    return np.asarray(state2.params["encoder"]["icv"]), stop_step
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--process-id", type=int, required=True)
@@ -153,6 +228,7 @@ def main() -> None:
     ap.add_argument("--coordinator", required=True)
     ap.add_argument("--run-dir", required=True)
     ap.add_argument("--out", required=True)
+    ap.add_argument("--mode", default="train", choices=["train", "preempt"])
     args = ap.parse_args()
 
     # platform pins must precede the first jax import
@@ -175,6 +251,16 @@ def main() -> None:
     assert len(jax.devices()) == 4 * args.num_processes, jax.devices()
 
     import numpy as np
+
+    if args.mode == "preempt":
+        icv, stop_step = run_preemption(
+            args.run_dir,
+            shard_index=args.process_id,
+            shard_count=args.num_processes,
+        )
+        np.savez(args.out, icv=icv, stop_step=np.int64(stop_step))
+        print(f"worker {args.process_id}: preempt ok stop={stop_step}", flush=True)
+        return
 
     icv, (seen0, seen1) = run_training(
         args.run_dir,

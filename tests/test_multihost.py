@@ -108,3 +108,57 @@ def test_two_process_training_matches_single_process(tmp_path):
     # measured reduction-order noise (host-split row order): ~2e-7 abs on
     # N(0, 0.01)-scale entries — atol is the meaningful bound near zero
     np.testing.assert_allclose(w0["icv"], golden_icv, rtol=1e-4, atol=1e-6)
+
+
+def test_preemption_flag_is_synced_across_hosts(tmp_path):
+    """One host receives a (fake) preemption mid-epoch, the other never does.
+    Without the cross-host flag sync in Trainer.fit, the un-preempted host
+    keeps training while the preempted one enters the COLLECTIVE Orbax save
+    — mismatched steps, deadlock (this test would time out).  With it, both
+    stop at the SAME micro step, the save completes, and a resume with real
+    guards finishes with identical ICVs on both hosts."""
+    pytest.importorskip("grain.python")
+    port = _free_port()
+    run_dir = tmp_path / "mh_preempt"
+    procs, outs = [], []
+    for pid in range(2):
+        out = tmp_path / f"pre{pid}.npz"
+        outs.append(out)
+        env = dict(
+            os.environ,
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=4",
+            PYTHONPATH=str(REPO) + os.pathsep + os.environ.get("PYTHONPATH", ""),
+        )
+        procs.append(
+            subprocess.Popen(
+                [
+                    sys.executable, str(WORKER),
+                    "--process-id", str(pid),
+                    "--num-processes", "2",
+                    "--coordinator", f"localhost:{port}",
+                    "--run-dir", str(run_dir),
+                    "--out", str(out),
+                    "--mode", "preempt",
+                ],
+                cwd=REPO, env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            )
+        )
+    logs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("preemption workers timed out (collective desync?)")
+        logs.append(stdout)
+    for pid, (p, log) in enumerate(zip(procs, logs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{log[-4000:]}"
+
+    w0, w1 = np.load(outs[0]), np.load(outs[1])
+    # ONLY host 0 was preempted, yet both stopped at the same micro step
+    assert int(w0["stop_step"]) == int(w1["stop_step"]) == 1
+    np.testing.assert_array_equal(w0["icv"], w1["icv"])
+    assert (run_dir / "icv_cpk.pth").exists()
