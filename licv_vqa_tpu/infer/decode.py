@@ -12,7 +12,13 @@ config/inference.yaml:26-30): top-2K candidate expansion, EOS candidates
 retired to a finished pool, live beams merged into the pool at the end,
 best-by-score wins.  Running all ``max_new_tokens`` steps (no dynamic early
 exit) is score-equivalent because per-step logprobs are ≤ 0, so late
-finishers can never beat the pool once HF's stop condition holds.
+finishers can never beat the pool once HF's stop condition holds.  That
+argument assumes ``length_penalty <= 0`` (the reference's 0.0): for lp > 0
+a later EOS divides by a larger length and can score HIGHER than a
+hypothesis HF's inexact ``is_done`` bound would have frozen the pool
+against — this implementation then behaves like HF ``early_stopping=
+"never"`` (pinned vs HF at lp=1.0/-0.5 on the tested seeds, but the
+parameter space beyond the reference settings is not exhaustively matched).
 
 ``forward_fn(input_ids, attention_mask, positions, cache) -> (logits, cache)``
 is the only model contract; multimodal extras (image latents, ICV) are bound
@@ -21,8 +27,7 @@ by the caller via closure.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Callable, Optional
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
@@ -57,8 +62,7 @@ def greedy_generate(
     last_logits = logits[:, -1, :].astype(jnp.float32)
     next_pos = positions[:, -1] + 1
 
-    def step(carry, t):
-        last_logits, cache, next_pos, finished = carry
+    def emit(last_logits, finished, t):
         lg = jnp.where(
             (t < min_new_tokens),
             last_logits.at[:, eos_token_id].set(NEG_INF),
@@ -66,7 +70,11 @@ def greedy_generate(
         )
         token = jnp.argmax(lg, axis=-1).astype(jnp.int32)
         token = jnp.where(finished, pad_token_id, token)
-        new_finished = finished | (token == eos_token_id)
+        return token, finished | (token == eos_token_id)
+
+    def step(carry, t):
+        last_logits, cache, next_pos, finished = carry
+        token, new_finished = emit(last_logits, finished, t)
         step_mask = jnp.ones((b, 1), jnp.int32)
         logits, cache = forward_fn(
             token[:, None], step_mask, next_pos[:, None], cache
@@ -79,12 +87,17 @@ def greedy_generate(
         ), token
 
     finished0 = jnp.zeros((b,), bool)
-    (_, _, _, _), tokens = jax.lax.scan(
+    # token t comes from step t-1's logits, so the LAST token needs no
+    # forward — scan max_new-1 steps and emit the final token outside (at
+    # the reference eval shape max_new=5 this is 1/5 of decode compute)
+    (last_logits, _, _, finished), tokens = jax.lax.scan(
         step,
         (last_logits, cache, next_pos, finished0),
-        jnp.arange(max_new_tokens),
+        jnp.arange(max_new_tokens - 1),
     )
-    return jnp.concatenate([input_ids, tokens.T], axis=1)
+    final_tok, _ = emit(last_logits, finished, max_new_tokens - 1)
+    tokens = jnp.concatenate([tokens.T, final_tok[:, None]], axis=1)
+    return jnp.concatenate([input_ids, tokens], axis=1)
 
 
 # ---------------------------------------------------------------------------
@@ -148,10 +161,10 @@ def beam_generate(
     fin_tokens = jnp.full((b, k, max_new_tokens), pad_token_id, jnp.int32)
     last_logp = rep(last_logp[:, None, :], 1)  # (B, K, V)
 
-    def step(carry, t):
-        live_scores, live_tokens, fin_scores, fin_tokens, last_logp, cache, next_pos = (
-            carry
-        )
+    def transition(live_scores, live_tokens, fin_scores, fin_tokens, last_logp, t):
+        """One beam-search transition from the current step's logprobs:
+        update finished pool + select the K live continuations.  Pure
+        bookkeeping — no model forward."""
         logp = jnp.where(t < min_new_tokens, last_logp.at[..., eos_token_id].set(NEG_INF), last_logp)
         cand = live_scores[:, :, None] + logp  # (B, K, V)
         flat = cand.reshape(b, k * vocab)
@@ -188,7 +201,17 @@ def beam_generate(
         new_beam = jnp.take_along_axis(src_beam, sel, axis=1)
         new_token = jnp.take_along_axis(token, sel, axis=1)
         live_tokens = jnp.take_along_axis(cand_hist, sel[:, :, None], axis=1)
-        live_scores = new_scores
+        return (new_scores, live_tokens, fin_scores, fin_tokens, new_beam,
+                new_token)
+
+    def step(carry, t):
+        live_scores, live_tokens, fin_scores, fin_tokens, last_logp, cache, next_pos = (
+            carry
+        )
+        live_scores, live_tokens, fin_scores, fin_tokens, new_beam, new_token = (
+            transition(live_scores, live_tokens, fin_scores, fin_tokens,
+                       last_logp, t)
+        )
 
         # gather beam-major state: flat index = b * K + beam
         flat_sel = (
@@ -214,8 +237,14 @@ def beam_generate(
         ), None
 
     carry = (live_scores, live_tokens, fin_scores, fin_tokens, last_logp, cache, next_pos)
-    carry, _ = jax.lax.scan(step, carry, jnp.arange(max_new_tokens))
-    live_scores, live_tokens, fin_scores, fin_tokens = carry[0], carry[1], carry[2], carry[3]
+    # the LAST transition needs no cache gather or forward (its logits are
+    # already in hand) — scan max_new-1 full steps, transition once outside
+    carry, _ = jax.lax.scan(step, carry, jnp.arange(max_new_tokens - 1))
+    live_scores, live_tokens, fin_scores, fin_tokens, last_logp = carry[:5]
+    live_scores, live_tokens, fin_scores, fin_tokens, _, _ = transition(
+        live_scores, live_tokens, fin_scores, fin_tokens, last_logp,
+        max_new_tokens - 1,
+    )
 
     # merge live beams into the pool (HF finalize) and pick the best
     lp_len = jnp.float32(s + max_new_tokens)

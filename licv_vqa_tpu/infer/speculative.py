@@ -5,8 +5,13 @@ PAPERS.md): a cheap DRAFT model — e.g. the same network truncated to its
 first K layers — proposes ``gamma`` tokens autoregressively; the full TARGET
 model scores the whole block in ONE forward and the longest agreeing prefix
 is accepted plus the target's own correction token.  Outputs are
-bit-identical to plain greedy decoding by construction; draft quality only
-determines how much target work is amortized per emitted token.
+token-identical to plain greedy decoding in exact arithmetic (the target
+verifies every position); in finite precision the verify forward attends
+the same keys with a different cache/local split than greedy's s=1 steps,
+so reduction order differs and a near-tie argmax could in principle flip —
+the equality tests pin it empirically at f32, and any flip is between
+candidates the target scores as equal to within rounding.  Draft quality
+only determines how much target work is amortized per emitted token.
 
 Acceptance is PER-ROW by default: each batch row advances by its own
 accepted count, tracked by a per-row ``(B,)`` cache index

@@ -14,8 +14,6 @@ prefill/decode loop jits once per (batch, bucket) shape.
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
 from typing import Any, Optional
 
 import jax
@@ -377,9 +375,15 @@ def decoder_layer(
             logit_softcap=cfg.attn_logit_softcap,
         )
     elif use_flash:
-        # local (pre-cache) k/v == the full keys for self-contained blocks
+        # local (pre-cache) k/v == the full keys for self-contained blocks.
+        # k_local/v_local (NOT raw k/v): with an int8 KV cache they are the
+        # int8 round-trip, so prefill attention sees exactly the keys later
+        # decode steps will read back — same invariant as _cached_attention
         attn = L.flash_attention_tpu(
-            q, L.repeat_kv(k, nh // nkv), L.repeat_kv(v, nh // nkv), flash_valid
+            q,
+            L.repeat_kv(k_local, nh // nkv),
+            L.repeat_kv(v_local, nh // nkv),
+            flash_valid,
         )
     elif use_flash_alibi:
         # MPT/ALiBi flash: bias computed in-kernel from the per-head slope
@@ -388,8 +392,8 @@ def decoder_layer(
 
         attn = flash_alibi_attention(
             q,
-            L.repeat_kv(k, nh // nkv),
-            L.repeat_kv(v, nh // nkv),
+            L.repeat_kv(k_local, nh // nkv),  # int8-KV round-trip invariant
+            L.repeat_kv(v_local, nh // nkv),
             flash_valid,
             L.alibi_slopes(nh),
             float(dh) ** -0.5,

@@ -438,3 +438,59 @@ def test_qdot_kernel_paths_are_differentiable(monkeypatch):
     s8 = np.abs(np.asarray(g8_ref)).max() + 1e-9
     assert np.abs(np.asarray(g4) - np.asarray(g4_ref)).max() / s4 < 2e-2
     assert np.abs(np.asarray(g8) - np.asarray(g8_ref)).max() / s8 < 2e-2
+
+
+def test_flash_prefill_attends_int8_roundtrip_keys(monkeypatch):
+    """int8-KV invariant on the FLASH prefill branch: attention must see the
+    int8 round-trip of the local K/V (what later decode steps read back),
+    not the raw full-precision keys — same contract as _cached_attention.
+
+    Flash doesn't lower on CPU, so stub the kernel to CAPTURE its K operand
+    and assert it is a fixed point of quantize∘dequantize (a raw-K capture
+    is not)."""
+    from licv_vqa_tpu.models import (
+        DecoderConfig,
+        causal_lm_forward,
+        init_decoder_params,
+        init_kv_cache,
+    )
+    from licv_vqa_tpu.models import layers as L
+    from licv_vqa_tpu.ops.quantize import dequantize_kv, quantize_kv_rows
+
+    cfg = dataclasses_replace_kv(
+        DecoderConfig(
+            vocab_size=64, d_model=32, n_layers=1, n_heads=2, n_kv_heads=2,
+            d_ff=64, dtype=jnp.float32,
+        )
+    )
+    params = init_decoder_params(jax.random.PRNGKey(0), cfg)
+    captured = []
+
+    def fake_flash(q, k, v, valid):
+        captured.append(np.asarray(k, np.float32))
+        return jnp.zeros_like(q)
+
+    monkeypatch.setattr(L, "flash_attention_usable", lambda *a: True)
+    monkeypatch.setattr(L, "flash_attention_tpu", fake_flash)
+
+    ids = np.arange(2 * 8, dtype=np.int32).reshape(2, 8) % 60
+    mask = np.ones_like(ids)
+    cache = init_kv_cache(cfg, 2, 16)
+    assert isinstance(cache["k"], dict)  # int8 cache
+    with jax.disable_jit():  # the python stub must actually run
+        causal_lm_forward(
+            cfg, params, jnp.asarray(ids), jnp.asarray(mask),
+            cache=cache, positions=jnp.asarray(mask).cumsum(-1) - 1,
+            prefill_flash=jnp.asarray(mask),
+        )
+    assert captured, "flash stub never called"
+    k = jnp.asarray(captured[0])
+    kq, ks = quantize_kv_rows(k)
+    roundtrip = np.asarray(dequantize_kv(kq, ks, jnp.float32))
+    np.testing.assert_allclose(np.asarray(k), roundtrip, rtol=0, atol=1e-6)
+
+
+def dataclasses_replace_kv(cfg):
+    import dataclasses
+
+    return dataclasses.replace(cfg, kv_cache_dtype="int8", attention_impl="flash")
