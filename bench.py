@@ -172,7 +172,9 @@ def run(n_layers: int, quantize: bool = False, bs: int = 8, kv8: bool = False) -
     prefill_flops = bs * LM_FLOPS_PER_TOKEN * PROMPT_LEN
     t_step_bound = (stream_bytes + kv_bytes) / MEASURED_STREAM_BPS
     t_bind_bound = (vis_flops + prefill_flops) / MXU_BF16_FLOPS
-    achievable = bs * MAX_NEW / (MAX_NEW * t_step_bound + t_bind_bound)
+    # MAX_NEW-1 decode forwards emit MAX_NEW tokens (the first token comes
+    # from prefill logits; the last needs no forward — infer/decode.py)
+    achievable = bs * MAX_NEW / ((MAX_NEW - 1) * t_step_bound + t_bind_bound)
     return {
         "metric": f"icv_steered_greedy_decode_tokens_per_sec_per_chip"
         f"_idefics{n_layers}L4096d_{variant}_bs{bs}",
@@ -314,7 +316,9 @@ def run_eval_shape(n_layers: int = 32, bs: int = 1, quantize: bool = True) -> di
     t_bound = (
         vis_flops / MXU_BF16_FLOPS
         + max(prefill_flops / (2 * MXU_BF16_FLOPS), stream_bytes / MEASURED_STREAM_BPS)
-        + EVAL_MAX_NEW * (stream_bytes + kv_bytes) / MEASURED_STREAM_BPS
+        # EVAL_MAX_NEW-1 beam-step forwards emit EVAL_MAX_NEW tokens (the
+        # last beam transition reuses in-hand logits — infer/decode.py)
+        + (EVAL_MAX_NEW - 1) * (stream_bytes + kv_bytes) / MEASURED_STREAM_BPS
     )
     ceiling = bs / t_bound
     variant = "int8w" if quantize else "bf16"
