@@ -43,6 +43,17 @@ def enable_compilation_cache(cache_dir: Optional[str] = None) -> Optional[str]:
     )
     import jax
 
+    # TPU-only by default: XLA:CPU entries are machine-feature-specific AOT
+    # code, and containers migrate hosts — a cross-host load warns "could
+    # lead to execution errors such as SIGILL" (observed).  CPU compiles are
+    # cheap anyway; LICV_COMPILE_CACHE_CPU=1 opts back in.
+    if (
+        jax.default_backend() != "tpu"
+        and os.environ.get("LICV_COMPILE_CACHE_CPU") != "1"
+    ):
+        logger.info("compilation cache skipped on %s", jax.default_backend())
+        return None
+
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)

@@ -34,6 +34,12 @@ def _run_cache_assertions(tmp_path, monkeypatch, jax, enable_compilation_cache):
     target = str(tmp_path / "xla")
     monkeypatch.setenv("LICV_COMPILE_CACHE_DIR", target)
     monkeypatch.delenv("LICV_COMPILE_CACHE", raising=False)
+    # CPU backend is default-OFF (machine-feature-specific AOT entries are
+    # not portable across container hosts) ...
+    monkeypatch.delenv("LICV_COMPILE_CACHE_CPU", raising=False)
+    assert enable_compilation_cache() is None
+    # ... and the opt-in reenables it for the rest of the test
+    monkeypatch.setenv("LICV_COMPILE_CACHE_CPU", "1")
     assert enable_compilation_cache() == target
     assert os.path.isdir(target)
     assert jax.config.jax_compilation_cache_dir == target
