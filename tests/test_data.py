@@ -499,3 +499,15 @@ def test_threaded_loader_deterministic_across_worker_counts(tmp_path):
     assert len(one) == len(four) > 0
     for x, y in zip(one, four):
         np.testing.assert_array_equal(x, y)
+
+
+def test_shot_draws_are_with_replacement(tmp_path):
+    """Reference quirk (SURVEY §2.2, vqa_dataset.py:90-92): shot indices are
+    drawn WITH replacement — duplicates must be possible.  Draw more shots
+    than the pool holds: a without-replacement sampler would raise or
+    dedupe; the reference semantics fill all slots."""
+    ds = _vqa_dataset(tmp_path, few_shot=12)  # pool is only 6 queries
+    item = ds[0]
+    shot_texts = [t for t in item["ice_prompt"][1:] if isinstance(t, str)]
+    assert len(shot_texts) == 12
+    assert len(set(shot_texts)) < 12  # pigeonhole: duplicates occurred
