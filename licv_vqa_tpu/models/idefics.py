@@ -440,7 +440,19 @@ def idefics_forward(
                     cfg, xp, hh, image_latents, xmask, gate, kv=kv_g
                 )
 
-            h = jax.lax.cond(li % interval == 0, do_xattn, lambda hh: hh, h)
+            # a config with n_layers < interval has ZERO xattn groups — the
+            # cond body would index an empty stack (slice of shape (0,));
+            # skip xattn entirely (static: group count is a trace constant).
+            # The li//interval < n_groups guard covers non-divisible depths,
+            # where dynamic_index_in_dim would otherwise CLAMP and silently
+            # reuse the last group's weights.
+            if n_groups > 0:
+                h = jax.lax.cond(
+                    (li % interval == 0) & (li // interval < n_groups),
+                    do_xattn,
+                    lambda hh: hh,
+                    h,
+                )
             icv_arg = icv_row if have_icv else None
             h, new_kv = decoder_layer(
                 cfg.text, p_l, h, cos, sin, mask, None, icv_arg,
@@ -479,6 +491,13 @@ def idefics_forward(
 
     # TRAIN/no-cache: grouped scan (memory-efficient with remat) — the
     # cached/decode path returned above.
+    if n_groups * interval != t.n_layers:
+        raise ValueError(
+            f"idefics train forward needs n_layers ({t.n_layers}) divisible "
+            f"by cross_layer_interval ({interval}) — the grouped remat scan "
+            "stacks layers as (groups, interval, ...)"
+        )
+
     # group-stack the per-layer leaves: (L, ...) → (G, interval, ...)
     def regroup(x):
         return x.reshape((n_groups, interval) + x.shape[1:])
