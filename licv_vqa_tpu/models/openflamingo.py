@@ -350,8 +350,15 @@ def openflamingo_forward(
                     cfg, xp, hh, media_latents, xmask, gate, kv_pre=kv_g
                 )
 
-            # flamingo: xattn BEFORE the block that closes each group
-            h = jax.lax.cond(li % every == every - 1, do_xattn, lambda hh: hh, h)
+            # flamingo: xattn BEFORE the block that closes each group.
+            # n_layers < every has ZERO groups: cond traces BOTH branches,
+            # so do_xattn would index an empty stack — skip statically.
+            # (Unlike idefics, the every-1 phase means g = li//every never
+            # exceeds n_groups-1 for any depth, so no clamp guard needed.)
+            if n_groups > 0:
+                h = jax.lax.cond(
+                    li % every == every - 1, do_xattn, lambda hh: hh, h
+                )
             icv_arg = icv_row if have_icv else None
             h, new_kv = decoder_layer(
                 t, p_l, h, None, None, mask, bias, icv_arg,
@@ -387,6 +394,12 @@ def openflamingo_forward(
         return logits, new_cache
 
     # TRAIN/no-cache grouped scan — the cached/decode path returned above.
+    if n_groups * every != t.n_layers:
+        raise ValueError(
+            f"openflamingo train forward needs n_layers ({t.n_layers}) "
+            f"divisible by cross_attn_every_n_layers ({every})"
+        )
+
     def regroup(x):
         return x.reshape((n_groups, every) + x.shape[1:])
 
