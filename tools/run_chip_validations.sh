@@ -1,0 +1,31 @@
+#!/usr/bin/env bash
+# Queued chip work for the next session with a LIVE TPU tunnel, in priority
+# order (see TODO.md).  Each step is independently budgeted; the script
+# stops early if the tunnel dies mid-run (every tool asserts the backend).
+#
+# Pre-flight: the tunnel is alive iff port 8083 accepts (the remote-compile
+# hop) AND `python3 -u /root/.tpu_init.py` is in the process table.
+set -u
+cd "$(dirname "$0")/.."
+
+if ! timeout 5 bash -c 'exec 3<>/dev/tcp/localhost/8083' 2>/dev/null; then
+  echo "ABORT: TPU tunnel dead (port 8083 refused) — see verify skill notes"
+  exit 1
+fi
+
+echo "=== 1/3 flagship train-step bench (compile + step per remat mode) ==="
+# the round-3 open item: 32L s_tea=2048 bs=4 int8; ~25-50 min/mode through
+# the tunnel (the r2 nested-remat compile was ~28 min)
+timeout 7200 python tools/bench_train_step_tpu.py --flagship --budget 3000
+
+echo "=== 2/3 masked-KL Mosaic-lowering validation (first REAL run) ==="
+# the tool compared pallas-vs-pallas until the late-binding fix; this is
+# the first execution that actually validates the kernel on hardware
+timeout 1200 python tools/validate_kl_tpu.py
+
+echo "=== 3/3 eval-shape spot-bench (measure the decode-loop gain) ==="
+# the restructured loops dropped 1 of 5 decode forwards at max_new=5;
+# r3-banked baseline: 9.14 questions/s/chip
+timeout 900 python bench.py --run 32:int8:bs1:eval
+
+echo "ALL CHIP VALIDATIONS DONE — record results in STATUS.md/PARITY.md"
