@@ -86,6 +86,8 @@ def run_training(
     shard_index: int = 0,
     shard_count: int = 1,
     per_host_bs: int = 2,
+    strategy: str = "dp",
+    tp: int = 1,
 ):
     """Two fits: 1-epoch (collective checkpoint) then 2-epoch resume.
     Returns (final_icv ndarray, sorted seen indices)."""
@@ -119,6 +121,8 @@ def run_training(
                 checkpoint_every_n_steps=1,
                 log_every_n_steps=1,
                 limit_train_batches=-1,
+                strategy=strategy,
+                tp=tp,
             ),
             ICVModuleConfig(icv_lr=1e-2, warm_steps=0),
             GlobalICVEncoder(cfg.text.d_model, cfg.text.n_layers),
@@ -127,7 +131,25 @@ def run_training(
             pad_token_id=0,
         )
 
-    state1 = make_trainer(max_epochs=1).fit(loader, run_dir, lmm_args={})
+    trainer1 = make_trainer(max_epochs=1)
+    if tp > 1:
+        # the frozen params must REALLY be tp-sharded on the global mesh —
+        # a silent fallback to replication would still pass the numerics
+        from licv_vqa_tpu.core.mesh import AXIS_TP
+
+        def _has_tp(spec):
+            for axes in spec:
+                axes = axes if isinstance(axes, tuple) else (axes,)
+                if AXIS_TP in axes:
+                    return True
+            return False
+
+        specs = {
+            leaf.sharding.spec
+            for leaf in jax.tree.leaves(trainer1.model_params)
+        }
+        assert any(_has_tp(s) for s in specs), specs
+    state1 = trainer1.fit(loader, run_dir, lmm_args={})
     assert int(np.asarray(state1.step)) == len(loader)
     # per-EPOCH shard disjointness is the invariant (each epoch reshuffles,
     # so a host's union across epochs overlaps the other host's by design)
@@ -228,7 +250,9 @@ def main() -> None:
     ap.add_argument("--coordinator", required=True)
     ap.add_argument("--run-dir", required=True)
     ap.add_argument("--out", required=True)
-    ap.add_argument("--mode", default="train", choices=["train", "preempt"])
+    ap.add_argument(
+        "--mode", default="train", choices=["train", "preempt", "tp"]
+    )
     args = ap.parse_args()
 
     # platform pins must precede the first jax import
@@ -262,10 +286,18 @@ def main() -> None:
         print(f"worker {args.process_id}: preempt ok stop={stop_step}", flush=True)
         return
 
+    # mode "tp": dp shards across hosts (grain per-host batches), tp shards
+    # the frozen model params WITHIN each host (tp=2 — the tiny model's
+    # first-seen vocab isn't 4-divisible; the realistic layout is the same:
+    # tp rides the fast intra-host links, dp crosses hosts); GSPMD emits the
+    # tp collectives, multi-host assembly is unchanged.
+    strategy, tp = ("dp_tp", 2) if args.mode == "tp" else ("dp", 1)
     icv, (seen0, seen1) = run_training(
         args.run_dir,
         shard_index=args.process_id,
         shard_count=args.num_processes,
+        strategy=strategy,
+        tp=tp,
     )
     np.savez(
         args.out,

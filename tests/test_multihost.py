@@ -110,6 +110,68 @@ def test_two_process_training_matches_single_process(tmp_path):
     np.testing.assert_allclose(w0["icv"], golden_icv, rtol=1e-4, atol=1e-6)
 
 
+def test_two_process_dp_tp_training_matches_dp(tmp_path):
+    """strategy=dp_tp across 2 hosts: dp crosses hosts (grain per-host
+    shards + make_array_from_process_local_data), tp=2 shards the frozen
+    params within each host (the realistic layout — tp rides intra-host
+    links).  The worker asserts the params are REALLY tp-sharded
+    on the global mesh; here we assert both hosts produce identical final
+    ICVs that match the plain single-process run (tp only changes reduction
+    order, never the math)."""
+    pytest.importorskip("grain.python")
+    port = _free_port()
+    run_dir = tmp_path / "mh_tp"
+    procs, outs = [], []
+    for pid in range(2):
+        out = tmp_path / f"tp{pid}.npz"
+        outs.append(out)
+        env = dict(
+            os.environ,
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=4",
+            PYTHONPATH=str(REPO) + os.pathsep + os.environ.get("PYTHONPATH", ""),
+        )
+        procs.append(
+            subprocess.Popen(
+                [
+                    sys.executable, str(WORKER),
+                    "--process-id", str(pid),
+                    "--num-processes", "2",
+                    "--coordinator", f"localhost:{port}",
+                    "--run-dir", str(run_dir),
+                    "--out", str(out),
+                    "--mode", "tp",
+                ],
+                cwd=REPO, env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            )
+        )
+    logs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("dp_tp multi-host workers timed out")
+        logs.append(stdout)
+    for pid, (p, log) in enumerate(zip(procs, logs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{log[-4000:]}"
+
+    w0, w1 = np.load(outs[0]), np.load(outs[1])
+    np.testing.assert_array_equal(w0["icv"], w1["icv"])
+
+    sys.path.insert(0, str(WORKER.parent))
+    try:
+        from _multihost_worker import run_training
+    finally:
+        sys.path.pop(0)
+    golden_icv, _ = run_training(
+        tmp_path / "golden_tp", shard_index=0, shard_count=1, per_host_bs=4
+    )
+    np.testing.assert_allclose(w0["icv"], golden_icv, rtol=1e-4, atol=1e-6)
+
+
 def test_preemption_flag_is_synced_across_hosts(tmp_path):
     """One host receives a (fake) preemption mid-epoch, the other never does.
     Without the cross-host flag sync in Trainer.fit, the un-preempted host
