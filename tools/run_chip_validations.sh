@@ -8,7 +8,29 @@
 set -u
 cd "$(dirname "$0")/.."
 
-if ! timeout 5 bash -c 'exec 3<>/dev/tcp/localhost/8083' 2>/dev/null; then
+tunnel_alive() {
+  timeout 5 bash -c 'exec 3<>/dev/tcp/localhost/8083' 2>/dev/null
+}
+
+# --wait [SECONDS]: poll for the tunnel (default 6h) and proceed the moment
+# it returns — lets a dead-tunnel session queue this in the background.
+if [ "${1:-}" = "--wait" ]; then
+  budget="${2:-21600}"
+  waited=0
+  until tunnel_alive; do
+    if [ "$waited" -ge "$budget" ]; then
+      echo "ABORT: tunnel never returned within ${budget}s of --wait"
+      exit 1
+    fi
+    sleep 60
+    waited=$((waited + 60))
+  done
+  echo "tunnel returned after ${waited}s — starting chip validations"
+  # settle: the relay can take a moment to bring up all forwarded ports
+  sleep 30
+fi
+
+if ! tunnel_alive; then
   echo "ABORT: TPU tunnel dead (port 8083 refused) — see verify skill notes"
   exit 1
 fi
