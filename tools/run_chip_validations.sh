@@ -45,9 +45,18 @@ echo "=== 2/3 masked-KL Mosaic-lowering validation (first REAL run) ==="
 # the first execution that actually validates the kernel on hardware
 timeout 1200 python tools/validate_kl_tpu.py
 
-echo "=== 3/3 eval-shape spot-bench (measure the decode-loop gain) ==="
+echo "=== 3/4 eval-shape spot-bench (measure the decode-loop gain) ==="
 # the restructured loops dropped 1 of 5 decode forwards at max_new=5;
 # r3-banked baseline: 9.14 questions/s/chip
 timeout 900 python bench.py --run 32:int8:bs1:eval
+
+echo "=== 4/4 bs=64 serving-gap sweep (optional; data for the next push) ==="
+# banked: 1446.9 tok/s = 70.1% of the corrected ceiling.  Hypotheses for the
+# remaining 30%: per-step lm_head cost, XLA-vs-Pallas int8 matmul at M=64,
+# cache-read layout.  This brackets them at the serving shape.
+BRK_BS=64 BRK_KV=int8 timeout 1500 python tools/bench_decode_breakdown.py \
+  stream matmul attn full
+LICV_INT8_PALLAS=1 BRK_BS=64 BRK_KV=int8 timeout 900 \
+  python tools/bench_decode_breakdown.py matmul
 
 echo "ALL CHIP VALIDATIONS DONE — record results in STATUS.md/PARITY.md"
