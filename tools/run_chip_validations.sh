@@ -59,4 +59,10 @@ BRK_BS=64 BRK_KV=int8 timeout 1500 python tools/bench_decode_breakdown.py \
 LICV_INT8_PALLAS=1 BRK_BS=64 BRK_KV=int8 timeout 900 \
   python tools/bench_decode_breakdown.py matmul
 
+echo "=== 5/5 prefill/vision MFU bench (optional; first MXU-MFU numbers) ==="
+# compute-bound phase accounting: ViT-H encode + bind+prefill at the eval
+# prompt length and the 32-shot teacher length (flash at 2048 may pay a
+# long first compile through the tunnel; the compile cache keeps it once)
+timeout 2400 python tools/bench_prefill_tpu.py 1:64 1:2048 8:2048
+
 echo "ALL CHIP VALIDATIONS DONE — record results in STATUS.md/PARITY.md"
