@@ -1,0 +1,259 @@
+"""Parity vs the reference's own EXECUTED data-pipeline code.
+
+Most parity tests in this suite check behavior this repo transcribed from
+reading the reference.  These run the reference's actual modules (imported
+read-only from /root/reference) side by side with ours on the same synthetic
+fixtures, so a transcription error cannot hide:
+
+- ``load_vqav2_ds`` / ``load_okvqa_ds`` row-for-row (join, sort, renames,
+  image paths, gen_question_type derivation) — reference:
+  icv_src/icv_datasets/load_ds_utils.py:8-188;
+- ``VQADataset`` prompt ASSEMBLY (instruction placement, per-shot
+  [image, text] interleave, query views) with the reference's own sampled
+  shots forced into our dataset — reference: vqa_dataset.py:75-129;
+- the 4-view training collator (``collator_data``) executed with a torch
+  facade over OUR processor vs our ``collate_icv_batch`` — in particular
+  the KL-mask lengths ``in_context_length``/``query_x_length`` —
+  reference: icv_datamodule.py:73-130.
+
+The reference's uninstallable deps (loguru, lmm_icl_interface,
+pytorch_lightning) are stubbed: the imported modules only use them for a
+logger and for names referenced in type annotations / base classes.
+"""
+
+import importlib
+import sys
+import types
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from licv_vqa_tpu.data import (
+    ImageTransform,
+    PromptManager,
+    PromptProcessor,
+    VQADataset,
+    WhitespaceTokenizer,
+    collate_icv_batch,
+)
+from licv_vqa_tpu.data.loaders import load_okvqa_ds, load_vqav2_ds
+from tests.test_data import VQA_PM, make_vqav2_fixture
+
+REFERENCE = Path("/root/reference")
+
+
+def _stub(name: str, **attrs):
+    if name in sys.modules:
+        return
+    mod = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    sys.modules[name] = mod
+
+
+def _import_reference(dotted: str):
+    if not REFERENCE.exists():
+        pytest.skip("reference tree not available")
+    _noop = lambda *a, **k: None
+    _stub(
+        "loguru",
+        logger=types.SimpleNamespace(info=_noop, warning=_noop, debug=_noop),
+    )
+    _stub(
+        "lmm_icl_interface",
+        LMMPromptManager=type("LMMPromptManager", (), {}),
+        LMMPromptProcessor=type("LMMPromptProcessor", (), {}),
+    )
+    _stub("pytorch_lightning", LightningDataModule=object)
+    sys.path.insert(0, str(REFERENCE))
+    try:
+        return importlib.import_module(dotted)
+    finally:
+        sys.path.pop(0)
+
+
+@pytest.fixture(scope="module")
+def ref_vqa_dataset_mod():
+    return _import_reference("icv_src.icv_datasets.vqa_dataset")
+
+
+@pytest.fixture(scope="module")
+def ref_datamodule_mod():
+    return _import_reference("icv_src.icv_datamodule")
+
+
+ROW_KEYS = (
+    "question_id",
+    "question",
+    "answer",
+    "question_type",
+    "answer_type",
+    "gen_question_type",
+    "idx",
+)
+
+
+def _pixels(img):
+    # our tables hand out lazy ImageRef handles; HF datasets hands out PIL
+    return np.asarray(getattr(img, "pil", img))
+
+
+def _assert_rows_match(ours, ref):
+    assert len(ours) == len(ref)
+    for i in range(len(ref)):
+        r, o = ref[i], ours[i]
+        for key in ROW_KEYS:
+            assert o[key] == r[key], (i, key, o[key], r[key])
+        assert [a["answer"] for a in o["answers"]] == [
+            a["answer"] for a in r["answers"]
+        ]
+        assert np.array_equal(_pixels(o["image"]), _pixels(r["image"])), i
+
+
+def test_load_vqav2_rows_match_reference(tmp_path, ref_vqa_dataset_mod):
+    img_dir = make_vqav2_fixture(tmp_path, n=6)
+    ref = ref_vqa_dataset_mod.load_vqav2_ds(
+        str(tmp_path), str(img_dir), str(img_dir), split="train"
+    )
+    ours = load_vqav2_ds(str(tmp_path), str(img_dir), str(img_dir), split="train")
+    _assert_rows_match(ours, ref)
+
+
+def test_load_okvqa_rows_match_reference(tmp_path, ref_vqa_dataset_mod):
+    img_dir = make_vqav2_fixture(tmp_path, n=4, okvqa=True)
+    ref = ref_vqa_dataset_mod.load_okvqa_ds(
+        str(tmp_path), str(img_dir), str(img_dir), split="train"
+    )
+    ours = load_okvqa_ds(str(tmp_path), str(img_dir), str(img_dir), split="train")
+    _assert_rows_match(ours, ref)
+
+
+def _prompts_equal(a, b):
+    assert len(a) == len(b), (a, b)
+    for x, y in zip(a, b):
+        if isinstance(x, str) or isinstance(y, str):
+            assert x == y
+        else:
+            assert np.array_equal(_pixels(x), _pixels(y))
+
+
+def test_vqa_dataset_assembly_matches_reference(tmp_path, ref_vqa_dataset_mod):
+    """Force the reference's own shot draw into our dataset and require the
+    three emitted views to match ELEMENTWISE (instruction placement, image /
+    text interleave order, sep-token choice per view, image pixels)."""
+    img_dir = make_vqav2_fixture(tmp_path, n=6)
+    pm = PromptManager(**VQA_PM)
+    instruction = "Answer using the image.\n"
+    np.random.seed(123)  # the reference samples from the GLOBAL np.random
+    ref_ds = ref_vqa_dataset_mod.VQADataset(
+        name="vqav2",
+        root_dir=str(tmp_path),
+        train_coco_dataset_root=str(img_dir),
+        val_coco_dataset_root=str(img_dir),
+        prompt_manager=pm,
+        instruction=instruction,
+        few_shot_num=3,
+        max_train_size=-1,
+        split="train",
+    )
+    ours = VQADataset(
+        name="vqav2",
+        root_dir=str(tmp_path),
+        train_coco_dataset_root=str(img_dir),
+        val_coco_dataset_root=str(img_dir),
+        prompt_manager=pm,
+        instruction=instruction,
+        few_shot_num=3,
+        max_train_size=-1,
+        split="train",
+        seed=0,
+    )
+    assert len(ref_ds) == len(ours)
+
+    # text → our select_ds local index (fixture questions are unique)
+    text_to_idx = {
+        pm.gen_ice_text_with_label(ours.select_ds[i], add_sep_token=True): i
+        for i in range(len(ours.select_ds))
+    }
+    for qi in range(len(ours)):
+        ref_item = ref_ds[qi]
+        ice = ref_item["ice_prompt"]
+        assert ice[0] == instruction  # instruction leads the ICL view
+        shot_texts = [p for p in ice[1:] if isinstance(p, str)]
+        assert len(shot_texts) == 3
+        ref_shots = [text_to_idx[t] for t in shot_texts]
+        # the reference's whole-draw rejection executed: no query leak
+        assert ours.query_ds[qi]["idx"] not in {
+            ours.select_ds[s]["idx"] for s in ref_shots
+        }
+        ours._sample_shots = lambda qidx, index, _s=ref_shots: list(_s)
+        our_item = ours[qi]
+        for key in ("ice_prompt", "query_prompt", "query_x"):
+            _prompts_equal(ref_item[key], our_item[key])
+
+
+class _TorchProcessorFacade:
+    """Duck-typed LMMPromptProcessor over our PromptProcessor: the reference
+    collator does torch ``.sum(dim=1)`` on the encoded views."""
+
+    def __init__(self, proc):
+        self._proc = proc
+        self.tokenizer = proc.tokenizer
+        self.input_ids_field = proc.input_ids_field
+
+    def prepare_input(self, prompts, **kw):
+        import torch
+
+        kw.pop("return_tensors", None)
+        kw.pop("truncation", None)
+        out = self._proc.prepare_input(prompts, **kw)
+        return {k: torch.as_tensor(np.asarray(v)) for k, v in out.items()}
+
+
+def test_collator_matches_reference_executed(tmp_path, ref_datamodule_mod):
+    """Run the reference's collator_data (its actual code) with a torch
+    facade over OUR processor, against our collate_icv_batch on the same
+    items: every shared tensor and both KL-mask lengths must be equal."""
+    img_dir = make_vqav2_fixture(tmp_path, n=6)
+    pm = PromptManager(**VQA_PM)
+    ds = VQADataset(
+        name="vqav2",
+        root_dir=str(tmp_path),
+        train_coco_dataset_root=str(img_dir),
+        val_coco_dataset_root=str(img_dir),
+        prompt_manager=pm,
+        instruction="Answer using the image.\n",
+        few_shot_num=2,
+        max_train_size=-1,
+        split="train",
+        seed=0,
+    )
+    proc = PromptProcessor(
+        WhitespaceTokenizer(), ImageTransform(32), family="idefics",
+        padding_side="right", pad_to_multiple=8,
+    )
+    items = [ds[i] for i in range(4)]
+    # prewarm the first-seen vocab so both collators see identical ids
+    for it in items:
+        for view in ("ice_prompt", "query_prompt", "query_x"):
+            for piece in it[view]:
+                if isinstance(piece, str):
+                    proc.tokenizer.encode(piece)
+
+    ref_batch = ref_datamodule_mod.collator_data(
+        items, prompt_processor=_TorchProcessorFacade(proc)
+    )
+    our_batch = collate_icv_batch(items, processor=proc)
+
+    for view in ("query_inputs", "inputs"):
+        ours_v, ref_v = our_batch[view], ref_batch[view]
+        assert set(ours_v.keys()) == set(ref_v.keys())
+        for key in ours_v:
+            assert np.array_equal(
+                np.asarray(ours_v[key]), np.asarray(ref_v[key])
+            ), (view, key)
+    for key in ("in_context_length", "query_x_length"):
+        np.testing.assert_array_equal(
+            np.asarray(our_batch[key]), np.asarray(ref_batch[key]), err_msg=key
+        )
