@@ -14,11 +14,19 @@ fixtures, so a transcription error cannot hide:
 - the 4-view training collator (``collator_data``) executed with a torch
   facade over OUR processor vs our ``collate_icv_batch`` — in particular
   the KL-mask lengths ``in_context_length``/``query_x_length`` —
-  reference: icv_datamodule.py:73-130.
+  reference: icv_datamodule.py:73-130;
+- the training objective: ``VQAICVModule.get_mask`` + boolean gather +
+  ``calculate_kl_divergence`` executed vs our static-shape
+  ``answer_region_mask``/``aligned_teacher_gather``/``masked_kl_divergence``
+  — reference: icv_module.py:107-148;
+- the intervention hook math: ``apply_icv_intervention``'s edit function
+  executed (tuple and tensor branches, non-edit passthrough) vs our
+  ``ops.icv_inject`` renorm — reference: icv_intervention.py:61-86.
 
 The reference's uninstallable deps (loguru, lmm_icl_interface,
-pytorch_lightning) are stubbed: the imported modules only use them for a
-logger and for names referenced in type annotations / base classes.
+pytorch_lightning, hydra, deepspeed, baukit) are stubbed: the imported
+modules only use them for a logger, names referenced in annotations or
+base classes, and runtime paths these tests bypass.
 """
 
 import importlib
@@ -44,12 +52,17 @@ REFERENCE = Path("/root/reference")
 
 
 def _stub(name: str, **attrs):
-    if name in sys.modules:
-        return
-    mod = types.ModuleType(name)
+    mod = sys.modules.get(name)
+    if mod is None:
+        mod = types.ModuleType(name)
+        # a real ModuleSpec so importlib.util.find_spec probes (e.g.
+        # transformers' is_deepspeed_available) see a well-formed module
+        mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+        sys.modules[name] = mod
     for k, v in attrs.items():
-        setattr(mod, k, v)
-    sys.modules[name] = mod
+        if not hasattr(mod, k):
+            setattr(mod, k, v)
+    return mod
 
 
 def _import_reference(dotted: str):
@@ -64,8 +77,20 @@ def _import_reference(dotted: str):
         "lmm_icl_interface",
         LMMPromptManager=type("LMMPromptManager", (), {}),
         LMMPromptProcessor=type("LMMPromptProcessor", (), {}),
+        LMMInterface=type("LMMInterface", (), {}),
     )
-    _stub("pytorch_lightning", LightningDataModule=object)
+    _stub(
+        "pytorch_lightning",
+        LightningDataModule=object,
+        LightningModule=object,
+    )
+    _stub("hydra", utils=types.SimpleNamespace(instantiate=None))
+    ds = _stub("deepspeed")
+    ds_ops = _stub("deepspeed.ops")
+    ds_adam = _stub("deepspeed.ops.adam", DeepSpeedCPUAdam=object)
+    ds.ops = ds_ops
+    ds_ops.adam = ds_adam
+    _stub("baukit", TraceDict=object)
     sys.path.insert(0, str(REFERENCE))
     try:
         return importlib.import_module(dotted)
@@ -257,3 +282,135 @@ def test_collator_matches_reference_executed(tmp_path, ref_datamodule_mod):
         np.testing.assert_array_equal(
             np.asarray(our_batch[key]), np.asarray(ref_batch[key]), err_msg=key
         )
+
+
+@pytest.fixture(scope="module")
+def ref_icv_module_mod():
+    # icv_module.py:77 annotates `-> torch.Any`, valid under the reference's
+    # torch 2.2 pin but removed in this image's torch — shim it for the
+    # import only (annotations evaluate at def time)
+    import typing
+
+    import torch
+
+    had = hasattr(torch, "Any")
+    if not had:
+        torch.Any = typing.Any
+    try:
+        return _import_reference("icv_src.icv_module")
+    finally:
+        if not had:
+            del torch.Any
+
+
+@pytest.fixture(scope="module")
+def ref_intervention_mod():
+    return _import_reference("icv_src.icv_model.icv_intervention")
+
+
+def test_masked_kl_matches_reference_executed(ref_icv_module_mod):
+    """The reference's get_mask + boolean-gather + calculate_kl_divergence
+    EXECUTED vs our static-shape masked KL on the same random logits.  The
+    repo's claim that the aligned-gather weighted mean is mathematically
+    identical to the reference's shape-dynamic gather (ops/kl.py module
+    docstring) is here checked against the reference's own code."""
+    import torch
+
+    import jax.numpy as jnp
+
+    from licv_vqa_tpu.ops.kl import (
+        aligned_teacher_gather,
+        answer_region_mask,
+        masked_kl_divergence,
+    )
+
+    m = object.__new__(ref_icv_module_mod.VQAICVModule)
+    temperature = 2.3
+    m.temperature = torch.tensor(temperature)
+    m.module_cfg = types.SimpleNamespace(kl_eps=1e-6)
+    m.interface = types.SimpleNamespace(
+        input_ids_field_name="input_ids",
+        tokenizer=types.SimpleNamespace(pad_token_id=0),
+    )
+
+    rng = np.random.default_rng(42)
+    b, s_stu, s_tea, v = 3, 12, 20, 17
+    qx_len = np.array([4, 6, 5])
+    icl_len = np.array([9, 13, 8])
+    ans_len = np.array([3, 2, 4])  # answer+EOS region, same count both views
+    stu_ids = np.zeros((b, s_stu), np.int64)
+    tea_ids = np.zeros((b, s_tea), np.int64)
+    for i in range(b):
+        stu_ids[i, : qx_len[i] + ans_len[i]] = rng.integers(
+            3, 50, qx_len[i] + ans_len[i]
+        )
+        tea_ids[i, : icl_len[i] + ans_len[i]] = rng.integers(
+            3, 50, icl_len[i] + ans_len[i]
+        )
+    stu_logits = rng.normal(size=(b, s_stu, v)).astype(np.float32)
+    tea_logits = rng.normal(size=(b, s_tea, v)).astype(np.float32)
+
+    stu_mask = m.get_mask({"input_ids": torch.tensor(stu_ids)}, torch.tensor(qx_len))
+    tea_mask = m.get_mask({"input_ids": torch.tensor(tea_ids)}, torch.tensor(icl_len))
+    assert int(stu_mask.sum()) == int(tea_mask.sum()) == int(ans_len.sum())
+    ref_kl = m.calculate_kl_divergence(
+        torch.tensor(stu_logits)[stu_mask].view(-1, v),
+        torch.tensor(tea_logits)[tea_mask].view(-1, v),
+    )
+
+    mask = answer_region_mask(jnp.asarray(stu_ids), jnp.asarray(qx_len), 0)
+    tea_aligned = aligned_teacher_gather(
+        jnp.asarray(tea_logits), jnp.asarray(icl_len), jnp.asarray(qx_len), s_stu
+    )
+    ours = masked_kl_divergence(
+        jnp.asarray(stu_logits), tea_aligned, mask, temperature, eps=1e-6
+    )
+    np.testing.assert_allclose(float(ours), float(ref_kl), rtol=1e-5)
+
+
+def test_intervention_renorm_matches_reference_executed(ref_intervention_mod):
+    """The reference's per-layer hook math (shift + L2 renorm to the original
+    norm, tuple-aware) EXECUTED vs our in-scan ops.icv_inject — the exact
+    function the native injection replaced (icv_intervention.py:61-86)."""
+    import torch
+
+    import jax.numpy as jnp
+
+    from licv_vqa_tpu.ops.icv_inject import icv_inject, icv_inject_reference
+
+    wrapper = ref_intervention_mod.LearnableICVInterventionLMM(
+        torch.nn.Identity(),
+        enable_intervention=True,
+        intervention_layer=-1,
+        layer_format="model.layers.<LAYER_NUM>",
+        total_layers=4,
+    )
+    rng = np.random.default_rng(7)
+    b, s, d = 2, 5, 16
+    icv = rng.normal(size=(1, 4, d)).astype(np.float32)
+    h = rng.normal(size=(b, s, d)).astype(np.float32)
+    fn = wrapper.apply_icv_intervention(
+        wrapper.intervention_layer_names, torch.tensor(icv)
+    )
+
+    for layer in (0, 2, 3):
+        # tuple branch (decoder blocks return (hidden, *rest))
+        rest = torch.zeros(1)
+        out = fn((torch.tensor(h), rest), f"model.layers.{layer}")
+        assert out[1] is rest  # extras pass through untouched
+        want = out[0].numpy()
+        got_exact = np.asarray(
+            icv_inject_reference(jnp.asarray(h), jnp.asarray(icv[0, layer]))
+        )
+        got_dispatch = np.asarray(
+            icv_inject(jnp.asarray(h), jnp.asarray(icv[0, layer]))
+        )
+        np.testing.assert_allclose(got_exact, want, rtol=2e-6, atol=2e-6)
+        np.testing.assert_allclose(got_dispatch, want, rtol=2e-6, atol=2e-6)
+        # bare-tensor branch — same math
+        out2 = fn(torch.tensor(h), f"model.layers.{layer}")
+        np.testing.assert_allclose(out2.numpy(), want, rtol=1e-6, atol=1e-6)
+
+    # a layer OUTSIDE the edit set passes through unchanged
+    untouched = fn(torch.tensor(h), "model.other.7")
+    np.testing.assert_array_equal(untouched.numpy(), h)
