@@ -414,3 +414,182 @@ def test_intervention_renorm_matches_reference_executed(ref_intervention_mod):
     # a layer OUTSIDE the edit set passes through unchanged
     untouched = fn(torch.tensor(h), "model.other.7")
     np.testing.assert_array_equal(untouched.numpy(), h)
+
+
+@pytest.fixture(scope="module")
+def ref_caption_mod():
+    return _import_reference("icv_src.icv_datasets.caption_dataset")
+
+
+def test_caption_dataset_assembly_matches_reference(ref_caption_mod, monkeypatch):
+    """Same executed-assembly check for the caption task.  The reference's
+    loader needs pycocotools (absent by design — ours is dependency-free and
+    separately tested), so both datasets are fed the same in-memory rows and
+    only the ASSEMBLY code differs (reference: caption_dataset.py:58-97)."""
+    import datasets as hf_datasets
+
+    from licv_vqa_tpu.data import CaptionDataset
+    from licv_vqa_tpu.data.loaders import Table
+
+    rows = [
+        {
+            "single_caption": f"a photo of thing {i}",
+            "image": f"/tmp/does_not_load_{300 + i:012d}.jpg",  # never decoded
+            "idx": i,
+            "image_id": 300 + i,
+            "captions": [f"a photo of thing {i}", f"alt caption {i}"],
+        }
+        for i in range(5)
+    ]
+    monkeypatch.setattr(
+        ref_caption_mod,
+        "load_coco_ds",
+        lambda **kw: hf_datasets.Dataset.from_list(rows),
+    )
+    pm = PromptManager(
+        prompt_template="Caption:<X>",
+        column_token_map={"single_caption": "<X>"},
+        label_field="single_caption",
+        sep_token="\n\n",
+        query_prompt_template="Caption:<X>",
+    )
+    instruction = "Describe the image.\n"
+    np.random.seed(5)
+    ref_ds = ref_caption_mod.CaptionDataset(
+        name="coco2017",
+        train_coco_dataset_root="x",
+        val_coco_dataset_root="x",
+        train_coco_annotation_file="x",
+        val_coco_annotation_file="x",
+        prompt_manager=pm,
+        instruction=instruction,
+        few_shot_num=2,
+        max_train_size=-1,
+        split="train",
+    )
+    ours = CaptionDataset(
+        name="coco2017",
+        train_coco_dataset_root="x",
+        val_coco_dataset_root="x",
+        train_coco_annotation_file="x",
+        val_coco_annotation_file="x",
+        prompt_manager=pm,
+        instruction=instruction,
+        few_shot_num=2,
+        max_train_size=-1,
+        split="train",
+        seed=0,
+        ds=Table(rows, decode_images=False),  # paths stay strings both sides
+    )
+    text_to_idx = {
+        pm.gen_ice_text_with_label(rows[i], add_sep_token=True): i
+        for i in range(len(rows))
+    }
+    for qi in range(len(rows)):
+        ref_item = ref_ds[qi]
+        shot_texts = [
+            p for p in ref_item["ice_prompt"][1:] if not p.startswith("/tmp/")
+        ]
+        ref_shots = [text_to_idx[t] for t in shot_texts]
+        ours._sample_shots = lambda qidx, index, _s=ref_shots: list(_s)
+        our_item = ours[qi]
+        for key in ("ice_prompt", "query_prompt", "query_x"):
+            assert ref_item[key] == our_item[key], (qi, key)
+
+
+def test_path_schemes_match_reference_executed(tmp_path):
+    """The artifact/result path layout drives skip-if-exists and re_eval
+    logic; execute the reference's own get_icv_cpk_path/get_inference_paths
+    (reference: utils.py:17-28) against ours."""
+    if not REFERENCE.exists():
+        pytest.skip("reference tree not available")
+    # the reference root utils.py pulls in its metrics package → stub the
+    # uninstallable eval toolchains it imports
+    for name, attrs in (
+        ("pycocotools", {}),
+        ("pycocotools.coco", {"COCO": object}),
+        ("pycocoevalcap", {}),
+        ("pycocoevalcap.cider", {}),
+        ("pycocoevalcap.cider.cider", {"Cider": object}),
+        ("pycocoevalcap.tokenizer", {}),
+        ("pycocoevalcap.tokenizer.ptbtokenizer", {"PTBTokenizer": object}),
+        ("inflection", {"singularize": lambda w: w}),
+        ("nltk", {}),
+        ("nltk.corpus", {}),
+        ("nltk.corpus.reader", {"VERB": "v"}),
+    ):
+        _stub(name, **attrs)
+    import types as _t
+
+    nltk = sys.modules["nltk"]
+    if not hasattr(nltk, "stem"):
+        nltk.stem = _t.SimpleNamespace(WordNetLemmatizer=lambda: None)
+    _stub(
+        "lmm_icl_interface",
+        Idefics2Interface=object,
+        IdeficsInterface=object,
+        OpenFlamingoInterface=object,
+    )
+    # make sure the datasets subpackage resolves (shares the earlier stubs)
+    _import_reference("icv_src.icv_datasets.vqa_dataset")
+    spec = importlib.util.spec_from_file_location(
+        "ref_root_utils", REFERENCE / "utils.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.path.insert(0, str(REFERENCE))
+    try:
+        spec.loader.exec_module(mod)
+    finally:
+        sys.path.pop(0)
+
+    from licv_vqa_tpu.utils.paths import get_icv_cpk_path, get_inference_paths
+
+    args = (str(tmp_path / "results"), "idefics-9b", "vqav2", "runA")
+    assert get_icv_cpk_path(*args) == mod.get_icv_cpk_path(*args)
+    ours = get_inference_paths(*args)
+    ref = mod.get_inference_paths(*args)
+    assert tuple(ours) == tuple(ref)
+
+
+def test_icv_encoder_semantics_match_reference_executed():
+    """The reference encoder EXECUTED with our parameter values: get_alpha
+    (sigmoid on/off) and the caller-side ``alpha.unsqueeze(-1) * icv``
+    (reference: global_icv_encoder.py:26-43, inference.py:310-311) must
+    equal our encoder's get_alpha/scaled_icv."""
+    import torch
+
+    import jax
+
+    from licv_vqa_tpu.icv.encoder import GlobalICVEncoder
+
+    ref_mod = _import_reference("icv_src.icv_encoder.global_icv_encoder")
+    L, D = 4, 8
+    for use_sigmoid in (False, True):
+        ours = GlobalICVEncoder(
+            D, L, alpha_init_value=0.1, use_sigmoid=use_sigmoid
+        )
+        params = ours.init(jax.random.PRNGKey(0))
+        ref = ref_mod.GlobalICVEncoder(
+            D, L, alpha_init_value=0.1, use_sigmoid=use_sigmoid
+        )
+        with torch.no_grad():
+            ref.alpha.copy_(torch.tensor(np.asarray(params["alpha"])[None]))
+            ref.icv.copy_(torch.tensor(np.asarray(params["icv"])[None]))
+        out = ref.forward()
+        np.testing.assert_allclose(
+            np.asarray(ours.get_alpha(params)),
+            out.alpha.detach().numpy()[0],
+            rtol=1e-6,
+        )
+        ref_scaled = (out.alpha.unsqueeze(-1) * out.in_context_vector)[0]
+        np.testing.assert_allclose(
+            np.asarray(ours.scaled_icv(params)),
+            ref_scaled.detach().numpy(),
+            rtol=1e-6,
+        )
+    # init contracts: alpha filled with alpha_init_value, icv ~ N(0, 0.01)
+    big = GlobalICVEncoder(512, 32, alpha_init_value=0.1).init(
+        jax.random.PRNGKey(1)
+    )
+    assert np.allclose(np.asarray(big["alpha"]), 0.1)
+    assert abs(float(np.std(np.asarray(big["icv"]))) - 0.01) < 1e-3
