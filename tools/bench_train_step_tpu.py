@@ -116,6 +116,12 @@ def _child(spec: str) -> None:
     shape, mode = spec.split(":")
     import jax
 
+    # persist the expensive flagship compiles (AOT .compile() goes through
+    # the same compiler client, so entries land in the cache too) — a killed
+    # tunnel mid-bench no longer costs the whole compile on retry
+    from licv_vqa_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     step, state, params, batch, meta = _build(shape, mode)
     jit_step = jax.jit(step, donate_argnums=(0,))
 

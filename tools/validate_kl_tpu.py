@@ -22,8 +22,10 @@ def main():
     import jax.numpy as jnp
 
     from licv_vqa_tpu.ops.kl import masked_kl_divergence
+    from licv_vqa_tpu.utils.compile_cache import enable_compilation_cache
 
     assert jax.default_backend() == "tpu", jax.default_backend()
+    enable_compilation_cache()
 
     b, s, v = 8, 256, 32000
     rng = np.random.default_rng(0)
@@ -57,11 +59,14 @@ def main():
 
     for impl in ("xla", "pallas"):
         f = vg[impl]
-        jax.block_until_ready(f(stu, tea))
+        # host readback as the sync point: through the axon tunnel
+        # block_until_ready is not a reliable completion barrier (verify
+        # skill notes) and would time dispatch, not compute
+        float(f(stu, tea)[0])
         t0 = time.perf_counter()
         n = 5
         for _ in range(n):
-            jax.block_until_ready(f(stu, tea))
+            float(f(stu, tea)[0])
         dt = (time.perf_counter() - t0) / n
         print(f"masked-KL fwd+bwd [{impl}] {b}x{s}x{v}: {dt*1000:.1f} ms")
 
