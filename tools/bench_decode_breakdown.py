@@ -89,6 +89,9 @@ def main(modes):
     from licv_vqa_tpu.ops.int8_matmul import qdot
 
     assert jax.default_backend() == "tpu", jax.default_backend()
+    from licv_vqa_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     cfg, params = build_params()
     layers = params["layers"]
 
