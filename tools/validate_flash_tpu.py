@@ -122,11 +122,13 @@ def main():
             )
             return loss, grads
 
-        out = jax.block_until_ready(step(trainable, params, batch))
+        # host readback as the sync point: through the axon tunnel
+        # block_until_ready is not a reliable completion barrier
+        float(step(trainable, params, batch)[0])
         t0 = time.perf_counter()
         n = 3
         for _ in range(n):
-            out = jax.block_until_ready(step(trainable, params, batch))
+            float(step(trainable, params, batch)[0])
         dt = (time.perf_counter() - t0) / n
         print(f"train fwd+bwd [{impl}] {n_layers}L bs={bs} "
               f"s_tea={s_tea}: {dt*1000:.0f} ms/step")
