@@ -25,6 +25,10 @@ def main():
     from licv_vqa_tpu.models.config import DecoderConfig
 
     assert jax.default_backend() == "tpu", jax.default_backend()
+    from licv_vqa_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()  # the s_tea=2048 flash compiles are the
+    # documented >9-min remote-compile case — persist them across retries
 
     # ---- numerical check: flash vs XLA masked attention -------------------
     rng = np.random.default_rng(0)
@@ -123,12 +127,14 @@ def main():
             return loss, grads
 
         # host readback as the sync point: through the axon tunnel
-        # block_until_ready is not a reliable completion barrier
-        float(step(trainable, params, batch)[0])
+        # block_until_ready is not a reliable completion barrier.  Dispatch
+        # all n steps (device-stream serialized), read back only the last
+        # loss — one relay round trip amortized over the span.
+        float(step(trainable, params, batch)[0])  # warm + sync
         t0 = time.perf_counter()
         n = 3
-        for _ in range(n):
-            float(step(trainable, params, batch)[0])
+        losses = [step(trainable, params, batch)[0] for _ in range(n)]
+        float(losses[-1])
         dt = (time.perf_counter() - t0) / n
         print(f"train fwd+bwd [{impl}] {n_layers}L bs={bs} "
               f"s_tea={s_tea}: {dt*1000:.0f} ms/step")

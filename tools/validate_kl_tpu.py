@@ -61,12 +61,14 @@ def main():
         f = vg[impl]
         # host readback as the sync point: through the axon tunnel
         # block_until_ready is not a reliable completion barrier (verify
-        # skill notes) and would time dispatch, not compute
-        float(f(stu, tea)[0])
+        # skill notes).  Dispatch all n calls (they serialize on the device
+        # stream) and read back only the LAST loss, amortizing one relay
+        # round trip over the span instead of paying it per iteration.
+        float(f(stu, tea)[0])  # warm + sync
         t0 = time.perf_counter()
         n = 5
-        for _ in range(n):
-            float(f(stu, tea)[0])
+        outs = [f(stu, tea)[0] for _ in range(n)]
+        float(outs[-1])
         dt = (time.perf_counter() - t0) / n
         print(f"masked-KL fwd+bwd [{impl}] {b}x{s}x{v}: {dt*1000:.1f} ms")
 
