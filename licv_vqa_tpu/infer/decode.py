@@ -56,6 +56,8 @@ def greedy_generate(
     min_new_tokens: int = 0,
 ) -> jax.Array:
     """Returns (B, S + max_new_tokens) sequences (prompt + generated)."""
+    if max_new_tokens <= 0:  # degenerate but accepted: prompt unchanged
+        return input_ids
     b, s = input_ids.shape
     positions = _positions_from_mask(attention_mask)
     logits, cache = forward_fn(input_ids, attention_mask, positions, None)
@@ -141,6 +143,8 @@ def beam_generate(
     min_new_tokens: int = 0,
 ) -> jax.Array:
     """Returns the best beam per batch item: (B, S + max_new_tokens)."""
+    if max_new_tokens <= 0:  # degenerate but accepted: prompt unchanged
+        return input_ids
     b, s = input_ids.shape
     k = num_beams
     positions = _positions_from_mask(attention_mask)

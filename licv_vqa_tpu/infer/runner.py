@@ -170,7 +170,11 @@ def _dispatch_generate(bundle, gen_fn: Callable, prompts: list[list],
                 np.concatenate([a, np.repeat(a[-1:], rem, axis=0)]) for a in arrays
             ]
         shard = NamedSharding(mesh, P("dp"))
-        arrays = [jax.device_put(jnp.asarray(a), shard) for a in arrays]
+        # device_put straight from numpy: one host→shards transfer (a
+        # jnp.asarray first would land the whole batch on device 0 and
+        # then copy it again across the mesh — 2× traffic on the
+        # pipelined eval's host-side critical path)
+        arrays = [jax.device_put(a, shard) for a in arrays]
     else:
         arrays = [jnp.asarray(a) for a in arrays]
     ids, mask, px, pv, *extra = arrays
@@ -323,8 +327,9 @@ def icl_inference(
 
 def _replicate_bundle_params(bundle, mesh) -> None:
     """Lay the frozen weights out on the mesh once (idempotent): Megatron
-    column/row tp shards when the mesh has a tp axis >1 (the bf16 9B
-    multi-chip serving path), plain replication otherwise."""
+    column/row tp shards when the mesh has a tp axis >1 — bf16 AND
+    int8/int4-quantized weights (param_specs shards the {"q","s"} leaves by
+    parent name) — plain replication otherwise."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     if mesh.shape.get("tp", 1) > 1:

@@ -48,6 +48,8 @@ def speculative_greedy_generate(
     lockstep: bool = False,
 ) -> jax.Array:
     """Returns (B, S + max_new_tokens); equals greedy_generate token-for-token."""
+    if max_new_tokens <= 0:  # degenerate but accepted: prompt unchanged
+        return input_ids
     b, s = input_ids.shape
     positions = _positions_from_mask(attention_mask)
 

@@ -89,12 +89,20 @@ def _ring_body(
         if tp_axis is not None and n_heads_total != h:
             off = jax.lax.axis_index(tp_axis) * h
             slopes = jax.lax.dynamic_slice(slopes, (off,), (h,))
-    qf = q.astype(jnp.float32)
-
     def absorb(o, m, l, k_c, v_c, kp_c, kval_c):
-        """Online-softmax update of (o, m, l) with one K/V block."""
+        """Online-softmax update of (o, m, l) with one K/V block.
+
+        Operand dtypes mirror ``layers.dot_product_attention``: the two
+        einsums keep the inputs' dtype (bf16 in training — full-rate MXU)
+        and accumulate in f32 via ``preferred_element_type``; only the
+        softmax statistics (m, l, p) live in f32.  An explicit f32 cast of
+        q/k/v here would halve MXU throughput on the sp path, which exists
+        precisely for the longest, most attention-bound sequences."""
         s = (
-            jnp.einsum("bqhd,bkhd->bhqk", qf, k_c.astype(jnp.float32))
+            jnp.einsum(
+                "bqhd,bkhd->bhqk", q, k_c,
+                preferred_element_type=jnp.float32,
+            )
             * jnp.float32(scale)
         )
         if logit_softcap:
@@ -110,7 +118,10 @@ def _ring_body(
         p = jnp.exp(s - m_new[..., None])  # rows of all-neg give exp(0)=1 —
         p = jnp.where(mask[:, None, :, :], p, 0.0)  # re-mask kills them
         l_new = l * corr + jnp.sum(p, axis=-1)
-        pv_ = jnp.einsum("bhqk,bkhd->bqhd", p, v_c.astype(jnp.float32))
+        pv_ = jnp.einsum(
+            "bhqk,bkhd->bqhd", p.astype(v_c.dtype), v_c,
+            preferred_element_type=jnp.float32,
+        )
         return o * corr.transpose(0, 2, 1)[..., None] + pv_, m_new, l_new
 
     perm = [(i, (i + 1) % sp_size) for i in range(sp_size)]

@@ -47,9 +47,61 @@ def _leaf_spec(path: tuple, leaf) -> P:
     return P()
 
 
+def _quantized_specs(path: tuple, leaf: dict) -> dict:
+    """Specs for an int8 ``{"q","s"}`` / int4 ``{"q4","s"}`` weight leaf.
+
+    The split rule is keyed on the PARENT name (``wq``/``wo``/…): classifying
+    on the inner ``q``/``s`` keys would match nothing and silently replicate
+    the whole quantized LMM — exactly the model tp exists to fit.  Layouts
+    (ops/quantize.py): ``q`` (…, in, out); int8 ``s`` (…, 1, out) per-output
+    scales; int4 ``q4`` (…, in/2, out) nibble-packed; int4 ``s``
+    (…, in/G, 1, out) group scales along the contraction.
+    """
+    names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+    parent = names[-1] if names else ""
+    out = {}
+    for key, sub in leaf.items():
+        nd = sub.ndim
+        if parent in _COLUMN_SPLIT:
+            # out-features is the LAST dim of every component
+            out[key] = P(*([None] * (nd - 1) + [AXIS_TP]))
+        elif parent in _ROW_SPLIT:
+            if key in ("q", "q4"):  # (…, in[/2], out): shard the contraction
+                out[key] = P(*([None] * (nd - 2) + [AXIS_TP, None]))
+            elif key == "s" and nd >= 3 and sub.shape[-2] == 1:
+                # int4 group scales (…, in/G, 1, out) follow the contraction
+                # split; int8 per-output scales (…, 1, out) replicate.
+                # Distinguish by rank relative to q/q4: int8 s has the same
+                # rank as q with a singleton -2; int4 s has one EXTRA dim.
+                q_nd = leaf["q"].ndim if "q" in leaf else leaf["q4"].ndim
+                if nd == q_nd + 1:
+                    out[key] = P(*([None] * (nd - 3) + [AXIS_TP, None, None]))
+                else:
+                    out[key] = P()
+            else:
+                out[key] = P()
+        else:
+            out[key] = P()
+    return out
+
+
 def param_specs(params: Any) -> Any:
-    """PartitionSpec pytree matching a model param pytree."""
-    return jax.tree_util.tree_map_with_path(_leaf_spec, params)
+    """PartitionSpec pytree matching a model param pytree.
+
+    Quantized weight leaves (int8/int4 dicts) get per-component specs so a
+    ``lmm.quantize`` model still tp-shards (trainer ``strategy=dp_tp``,
+    ``infer_tp`` serving) instead of silently replicating.
+    """
+    from ..ops.quantize import is_any_quantized_leaf
+
+    def spec(path, leaf):
+        if is_any_quantized_leaf(leaf):
+            return _quantized_specs(path, leaf)
+        return _leaf_spec(path, leaf)
+
+    return jax.tree_util.tree_map_with_path(
+        spec, params, is_leaf=is_any_quantized_leaf
+    )
 
 
 def batch_spec(batch: Any) -> Any:

@@ -102,9 +102,15 @@ class StepCheckpointer:
     def save(
         self, step: int, state: Any, loader_state: Optional[bytes] = None
     ) -> None:
-        self.manager.save(
-            step, args=self._ocp.args.StandardSave(jax.tree.map(np.asarray, state))
-        )
+        # Idempotent per step: a preemption that lands before the first
+        # post-resume train step (or during the seed fast-forward) re-saves
+        # the very step just restored — the state is byte-identical, and a
+        # second manager.save(step) would raise StepAlreadyExists.
+        if step not in set(self.manager.all_steps()):
+            self.manager.save(
+                step,
+                args=self._ocp.args.StandardSave(jax.tree.map(np.asarray, state)),
+            )
         if loader_state is not None:
             # per-host side channel (each host owns its input-iterator state);
             # lets a preempted run resume the EXACT remaining sample order

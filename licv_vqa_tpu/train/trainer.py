@@ -119,6 +119,13 @@ class TrainerConfig:
     accumulate_grad_batches: int = 1
     checkpoint_every_n_steps: int = 200
     limit_train_batches: int = -1
+    # multi-host: how often (in micro steps) hosts allgather the preemption
+    # flag.  The sync must run on the SAME steps on every host (it is a
+    # collective), so it cannot be gated on the local flag; syncing every
+    # step serializes hosts on the slowest one's host loop each iteration.
+    # N>1 trades up to N-1 extra micro steps of preemption latency for an
+    # N-fold cheaper barrier cadence.  Single-host checks are local + free.
+    preempt_sync_every_n_steps: int = 8
     remat: bool = True
     default_root_dir: str = "."
     profile_steps: int = 0  # >0: jax.profiler trace of steps [2, 2+N)
@@ -336,13 +343,34 @@ class Trainer:
                 # that never trains, silently dropping it).  Multi-host: the
                 # flag is synced so every host stops at the SAME micro step
                 # — the save below is a collective Orbax call and mismatched
-                # steps would deadlock it.
-                if _sync_should_stop(guard.should_stop):
+                # steps would deadlock it; the sync cadence must therefore
+                # be a pure function of micro_step (identical on all hosts),
+                # never of the host-local flag.
+                check_stop = (
+                    jax.process_count() == 1
+                    or micro_step % max(1, cfg.preempt_sync_every_n_steps) == 0
+                )
+                if check_stop and _sync_should_stop(guard.should_stop):
                     logger.warning(
                         "preemption requested — checkpointing at micro %d",
                         micro_step,
                     )
-                    ckpt.save(micro_step, state, loader_state=loader_snapshot())
+                    # During a seed-based fast-forward the iterator has
+                    # consumed SKIPPED batches beyond micro_step's position:
+                    # a snapshot here would make the next resume re-train
+                    # the skipped prefix and silently drop the epoch tail.
+                    # Saving no loader state falls back to the (correct)
+                    # seed+epoch fast-forward on resume.
+                    ffwd = (
+                        not restored_loader
+                        and epoch == epoch_start
+                        and (bi + 1) < offset
+                    )
+                    ckpt.save(
+                        micro_step,
+                        state,
+                        loader_state=None if ffwd else loader_snapshot(),
+                    )
                     done = True
                     break
                 if micro_step >= total_micro:

@@ -216,8 +216,12 @@ def run_preemption(run_dir, shard_index: int, shard_count: int):
 
     def make_trainer():
         return Trainer(
+            # sync cadence 1: the test pins the exact stop step (micro 1);
+            # the default cadence (8) would defer the collective flag check
+            # past this tiny run's 4 total micros
             TrainerConfig(max_epochs=2, checkpoint_every_n_steps=0,
-                          log_every_n_steps=1, limit_train_batches=-1),
+                          log_every_n_steps=1, limit_train_batches=-1,
+                          preempt_sync_every_n_steps=1),
             ICVModuleConfig(icv_lr=1e-2, warm_steps=0),
             GlobalICVEncoder(cfg.text.d_model, cfg.text.n_layers),
             train_forward,

@@ -129,6 +129,31 @@ def test_beam3_matches_hf(bs, seed):
         np.testing.assert_array_equal(g, w)
 
 
+def test_max_new_tokens_zero_returns_prompt_unchanged():
+    """Degenerate max_new_tokens=0 (accepted by make_generate_fn) must
+    return the prompt as-is: the final-emit refactor (token t from step
+    t-1's logits) would otherwise emit one spurious token from the prefill
+    logits."""
+    from licv_vqa_tpu.infer.speculative import speculative_greedy_generate
+
+    hf, cfg, params = _setup()
+    rng = np.random.default_rng(21)
+    ids, mask = _prompts(rng, 2, 6)
+    fwd = _forward_fn(cfg, params)
+    kw = dict(max_new_tokens=0, eos_token_id=EOS, pad_token_id=PAD)
+    g = np.asarray(greedy_generate(fwd, jnp.asarray(ids), jnp.asarray(mask), **kw))
+    b = np.asarray(
+        beam_generate(fwd, jnp.asarray(ids), jnp.asarray(mask), num_beams=3, **kw)
+    )
+    s = np.asarray(
+        speculative_greedy_generate(
+            fwd, fwd, jnp.asarray(ids), jnp.asarray(mask), **kw
+        )
+    )
+    for out in (g, b, s):
+        np.testing.assert_array_equal(out, ids)
+
+
 def test_beam_with_icv_runs_and_differs():
     hf, cfg, params = _setup()
     rng = np.random.default_rng(14)

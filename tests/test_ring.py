@@ -61,6 +61,27 @@ def test_ring_matches_dense(qkv, kwargs):
     assert err.max() < 5e-6, err.max()
 
 
+def test_ring_matches_dense_bf16(qkv):
+    """bf16 operands (the training dtype): the ring's einsums keep bf16
+    inputs with f32 accumulation — the dense path's exact discipline — not
+    an f32 operand upcast (which would halve MXU throughput on the sp path
+    that exists for the longest sequences).  Tolerance is bf16-elementwise:
+    the two paths round the PV operand at different normalization points."""
+    q, k, v, pos, validj, valid = qkv
+    qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
+    mask = L.causal_mask(pos, pos, validj)
+    ref = L.dot_product_attention(qb, kb, vb, mask=mask)
+    mesh = create_mesh(MeshConfig(dp=2, tp=1, sp=4))
+    spec = RingSpec.from_mesh(mesh)
+    qs, ks, vs, ps, vds = _sharded(mesh, [qb, kb, vb, pos, validj])
+    out = jax.jit(lambda *a: ring_self_attention(spec, *a))(qs, ks, vs, ps, vds)
+    assert out.dtype == jnp.bfloat16
+    err = np.abs(
+        np.asarray(out).astype(np.float32) - np.asarray(ref).astype(np.float32)
+    )[valid]
+    assert err.max() < 2e-2, err.max()
+
+
 def test_ring_matches_dense_tp_sharded_heads(qkv):
     """tp=2 shards the 4 heads; ALiBi slopes must slice per tp shard."""
     q, k, v, pos, validj, valid = qkv

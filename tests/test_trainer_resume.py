@@ -332,6 +332,7 @@ def test_preemption_snapshot_precedes_batch_fetch(tmp_path, monkeypatch):
     import licv_vqa_tpu.train.trainer as trainer_mod
 
     pytest.importorskip("grain.python")
+    real_guard = trainer_mod.PreemptionGuard  # capture BEFORE patching
 
     # uninterrupted 2-epoch run for the golden ICV + batch order
     t1, rec1 = _recording_trainer(tmp_path, "grain", max_epochs=2,
@@ -354,13 +355,73 @@ def test_preemption_snapshot_precedes_batch_fetch(tmp_path, monkeypatch):
     assert rec2.fingerprints == rec1.fingerprints[:3]
 
     # resume with a real guard: exactly one batch remains
-    monkeypatch.setattr(trainer_mod, "PreemptionGuard",
-                        trainer_mod.PreemptionGuard)
+    monkeypatch.setattr(trainer_mod, "PreemptionGuard", real_guard)
     t3, rec3 = _recording_trainer(tmp_path, "grain", max_epochs=2,
                                   ckpt_every=100)
     state_res = t3.fit(rec3, run_dir, lmm_args={})
     assert int(np.asarray(state_res.step)) == 4
     assert rec3.fingerprints == rec1.fingerprints[3:]
+    np.testing.assert_allclose(
+        np.asarray(state_res.params["encoder"]["icv"]), icv_full,
+        rtol=1e-6, atol=1e-8,
+    )
+
+
+def test_preemption_during_fast_forward_is_safe(tmp_path, monkeypatch):
+    """A preemption landing DURING the seed-based fast-forward (a grain
+    run whose mid-epoch loader-state side file was lost) must NOT snapshot
+    the skipped-ahead iterator: that state lags micro_step, so a later
+    set_state resume would re-train the skipped prefix and silently drop
+    the epoch tail.  The save also re-targets the very step just restored,
+    exercising StepCheckpointer's same-step idempotence (a second
+    manager.save(step) would raise StepAlreadyExists)."""
+    import licv_vqa_tpu.train.trainer as trainer_mod
+
+    pytest.importorskip("grain.python")
+    real_guard = trainer_mod.PreemptionGuard  # capture BEFORE patching
+
+    # golden uninterrupted 2-epoch run
+    t1, rec1 = _recording_trainer(tmp_path, "grain", max_epochs=2,
+                                  ckpt_every=100)
+    state_full = t1.fit(rec1, tmp_path / "run_gold_ff", lmm_args={})
+    icv_full = np.asarray(state_full.params["encoder"]["icv"])
+    assert len(rec1.fingerprints) == 4
+
+    # run #1: preempt after micro 3 (mid epoch 1) → step-3 ckpt + loader file
+    monkeypatch.setattr(trainer_mod, "PreemptionGuard",
+                        lambda: _FlipAfterPolls(4))
+    run_dir = tmp_path / "run_ffwd"
+    t2, rec2 = _recording_trainer(tmp_path, "grain", max_epochs=2,
+                                  ckpt_every=100)
+    state_pre = t2.fit(rec2, run_dir, lmm_args={})
+    assert int(np.asarray(state_pre.step)) == 3
+    loader_file = run_dir / "steps" / "loader_3_p0.bin"
+    assert loader_file.exists()
+    # lose the side file (host died between the Orbax save and the
+    # side-channel write; or the process count changed)
+    loader_file.unlink()
+
+    # run #2: resumes at step 3 WITHOUT loader state → seed fast-forward;
+    # the guard fires at the FIRST poll, i.e. mid-fast-forward (offset=1,
+    # nothing fetched yet counts as consumed-ahead once the skip begins)
+    monkeypatch.setattr(trainer_mod, "PreemptionGuard",
+                        lambda: _FlipAfterPolls(0))
+    t3, rec3 = _recording_trainer(tmp_path, "grain", max_epochs=2,
+                                  ckpt_every=100)
+    state_mid = t3.fit(rec3, run_dir, lmm_args={})
+    assert int(np.asarray(state_mid.step)) == 3  # nothing new trained
+    # the misaligned snapshot must NOT have been written
+    assert not loader_file.exists()
+
+    # run #3: real guard — seed fast-forward replays epoch 1's exact
+    # shuffle, skips the already-trained batch, trains the true remainder
+    monkeypatch.setattr(trainer_mod, "PreemptionGuard", real_guard)
+    t4, rec4 = _recording_trainer(tmp_path, "grain", max_epochs=2,
+                                  ckpt_every=100)
+    state_res = t4.fit(rec4, run_dir, lmm_args={})
+    assert int(np.asarray(state_res.step)) == 4
+    # fast-forward consumes-but-skips e1b0, then trains e1b1
+    assert rec4.fingerprints == rec1.fingerprints[2:]
     np.testing.assert_allclose(
         np.asarray(state_res.params["encoder"]["icv"]), icv_full,
         rtol=1e-6, atol=1e-8,
