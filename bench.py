@@ -106,10 +106,14 @@ def build(n_layers: int, quantize: bool = False, kv8: bool = False):
     def init():
         p = init_idefics_params(jax.random.PRNGKey(0), cfg)
         if quantize:
-            from licv_vqa_tpu.ops.quantize import quantize_layer_stack
+            from licv_vqa_tpu.ops.quantize import quantize_array, quantize_layer_stack
 
             p["layers"] = quantize_layer_stack(p["layers"])
             p["xattn"] = quantize_layer_stack(p["xattn"])
+            # the head is re-streamed every decode step; int8 saves ~130 MB
+            # of the per-step byte budget (_stream_bytes counts leaf bytes,
+            # so the roofline tightens to match)
+            p["lm_head"] = quantize_array(p["lm_head"])
         return p
 
     params = jax.jit(init)()

@@ -131,6 +131,42 @@ def _cache_map_batch(cache: Any, fn: Callable[[jax.Array, int], jax.Array]) -> A
     return out
 
 
+def _beam_gather_cache(cache: Any, flat_sel: jax.Array, prompt_len: int) -> Any:
+    """Reorder the KV cache by beam parent, touching only rows that can
+    differ across beams.
+
+    Beams start as identical copies of one prefill (``jnp.repeat`` after the
+    shared forward), and decode only writes rows at index >= prompt_len — so
+    rows [0, prompt_len) are bitwise identical across the K beams of a batch
+    item and the parent gather is the identity there.  Gathering just the
+    decoded tail turns the per-step reorder from a full-cache copy
+    (read+write of the whole (L, B·K, S, KV, Dh) stack — at the reference
+    eval shape ~100× the bytes that can actually differ) into a ~max_new-row
+    one, and the ``dynamic_update_slice`` aliases the scan-carried cache
+    in place.  Static cross-attention K/V ("xk"/"xv": written once at
+    prefill, never during decode) are beam-identical and skip the gather
+    entirely."""
+    if cache is None:
+        return None
+
+    def tail(x, batch_ax):
+        row_ax = batch_ax + 1
+        t = jax.lax.slice_in_dim(x, prompt_len, x.shape[row_ax], axis=row_ax)
+        t = jnp.take(t, flat_sel, axis=batch_ax)
+        return jax.lax.dynamic_update_slice_in_dim(x, t, prompt_len, axis=row_ax)
+
+    out = dict(cache)
+    for key in cache:
+        if key in ("k", "v"):
+            # may be an array or an int8-cache {"q","s"} dict — map leaves
+            out[key] = jax.tree.map(lambda x: tail(x, 1), cache[key])
+        elif key in ("xk", "xv", "index"):
+            out[key] = cache[key]
+        else:
+            out[key] = tail(cache[key], 0)  # (B·K, S, ...) rows (pos/valid)
+    return out
+
+
 def beam_generate(
     forward_fn: Callable,
     input_ids: jax.Array,  # (B, S) LEFT-padded prompts
@@ -217,11 +253,12 @@ def beam_generate(
                        last_logp, t)
         )
 
-        # gather beam-major state: flat index = b * K + beam
+        # gather beam-major state: flat index = b * K + beam.  Only the
+        # decoded tail rows can differ across beams — see _beam_gather_cache
         flat_sel = (
             jnp.arange(b, dtype=jnp.int32)[:, None] * k + new_beam
         ).reshape(-1)
-        cache = _cache_map_batch(cache, lambda x, ax: jnp.take(x, flat_sel, axis=ax))
+        cache = _beam_gather_cache(cache, flat_sel, s)
 
         # run one decode step for the selected beams
         step_tok = new_token.reshape(b * k, 1)

@@ -189,11 +189,37 @@ def apply_kv_rows(cache: dict, k_rows, v_rows) -> dict:
     return out
 
 
+def _kv_operand(c, compute_dtype):
+    """(plane, per-column scale) view of one cache-attention operand.
+
+    Dense caches return ``(c, None)``.  Quantized ``{"q","s"}`` caches
+    return the int8 plane itself as the dot operand — only a fused
+    ``convert`` touches the (B, S, H, Dh) bytes, the same scale-commute
+    schedule that makes ``ops.int8_matmul.qdot`` stream pure int8 — plus
+    the per-(token, head) scale reshaped to (B, H, 1, S) so it applies to
+    the scores/probabilities (S-sized per head) instead of the cache
+    (S·Dh-sized).  A ``dequantize_kv`` on the full cache here would make
+    XLA materialize a bf16 copy (write + re-read ≈ 5 bytes/elem instead
+    of 1), which dominates decode at serving batch sizes.
+
+    Cache operands may carry KV heads (< query heads): GQA grouping happens
+    inside the attention einsums, so the cache is never ``repeat_kv``-
+    materialized (a reshape-of-broadcast feeding a dot forces a physical
+    n_rep× copy — 4× the cache traffic on a 32/8-head backbone)."""
+    if not isinstance(c, dict):
+        return c.astype(compute_dtype), None
+    scale = jnp.swapaxes(c["s"][..., 0], 1, 2)[:, :, None, :]  # (B,KV,1,S)
+    return c["q"], scale.astype(jnp.float32)
+
+
 def _cached_attention(
     q,  # (B, s, H, Dh) — already rope'd/normed, heads repeated
-    k_cache,  # (B, S, H, Dh) — OLD cache (incoming cols hold stale data)
+    k_cache,  # (B, S, KV, Dh) — OLD cache (incoming cols hold stale data);
+    # or a {"q": int8 (B,S,KV,Dh), "s": f32 (B,S,KV,1)} quantized cache.
+    # KV may be H (MHA / pre-repeated) or the true KV-head count (GQA —
+    # grouping happens in the einsums; the cache is never repeated)
     v_cache,
-    k_local,  # (B, s, H, Dh) — this step's keys/values
+    k_local,  # (B, s, H, Dh) — this step's keys/values, heads repeated
     v_local,
     mask,  # (B, 1, s, S) from decode_cache_view (post-write view)
     bias,  # optional (B, H, s, S) over cache columns (ALiBi)
@@ -207,7 +233,14 @@ def _cached_attention(
     and reappear as the local block (whose mask/bias are sliced from the
     same post-write ``mask``/``bias`` at those columns)."""
     b, s = q.shape[:2]
-    S = k_cache.shape[1]
+    nh = q.shape[2]
+    k_plane, k_scale = _kv_operand(k_cache, q.dtype)
+    v_plane, v_scale = _kv_operand(v_cache, q.dtype)
+    group = nh // k_plane.shape[2]  # GQA queries per cache KV head
+    if group > 1:  # per-column scales are S-sized: repeating them is cheap
+        k_scale = None if k_scale is None else jnp.repeat(k_scale, group, 1)
+        v_scale = None if v_scale is None else jnp.repeat(v_scale, group, 1)
+    S = k_plane.shape[1]
     dh = q.shape[-1]
     scale = 1.0 / jnp.sqrt(dh).astype(jnp.float32)
     ar = jnp.arange(S, dtype=jnp.int32)
@@ -237,10 +270,24 @@ def _cached_attention(
             else None
         )
 
-    def scores(k, part_bias, part_mask):
-        sc = jnp.einsum(
-            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
-        ) * scale
+    def scores(k, k_sc, part_bias, part_mask):
+        # the convert on ``k`` (int8 → compute dtype for a quantized cache)
+        # is the only producer on the dot's big operand, so XLA fuses it
+        # into the HBM read; the per-column scale lands on the f32 scores
+        g = nh // k.shape[2]
+        if g == 1:
+            sc = jnp.einsum(
+                "bqhd,bkhd->bhqk", q, k.astype(q.dtype),
+                preferred_element_type=jnp.float32,
+            ) * scale
+        else:  # grouped: per (b, kv-head) GEMM, cache read once
+            q5 = q.reshape(b, s, k.shape[2], g, dh)
+            sc = jnp.einsum(
+                "bqkgd,bskd->bkgqs", q5, k.astype(q.dtype),
+                preferred_element_type=jnp.float32,
+            ).reshape(b, nh, s, k.shape[1]) * scale
+        if k_sc is not None:
+            sc = sc * k_sc
         if logit_softcap:
             sc = jnp.tanh(sc / logit_softcap) * logit_softcap
         if part_bias is not None:
@@ -249,22 +296,33 @@ def _cached_attention(
 
     s_all = jnp.concatenate(
         [
-            scores(k_cache, bias, mask_cache),
-            scores(k_local, bias_local, local_mask),
+            scores(k_plane, k_scale, bias, mask_cache),
+            scores(k_local, None, bias_local, local_mask),
         ],
         axis=-1,
     )
     p = jax.nn.softmax(s_all, axis=-1)
-    out = jnp.einsum(
-        "bhqk,bkhd->bqhd",
-        p[..., :S].astype(v_cache.dtype),
-        v_cache,
-        preferred_element_type=jnp.float32,
-    ) + jnp.einsum(
-        "bhqk,bkhd->bqhd",
-        p[..., S:].astype(v_local.dtype),
-        v_local,
-        preferred_element_type=jnp.float32,
+
+    def weighted(p_part, v, v_sc):
+        # V's per-column scale folds into the probabilities (v_sc · p is
+        # S-sized per head) so the dot reads the raw plane — fused convert
+        if v_sc is not None:
+            p_part = p_part * v_sc
+        dt = q.dtype if v.dtype == jnp.int8 else v.dtype
+        g = nh // v.shape[2]
+        if g == 1:
+            return jnp.einsum(
+                "bhqk,bkhd->bqhd", p_part.astype(dt), v.astype(dt),
+                preferred_element_type=jnp.float32,
+            )
+        p5 = p_part.reshape(b, v.shape[2], g, s, v.shape[1])
+        return jnp.einsum(
+            "bkgqs,bskd->bqkgd", p5.astype(dt), v.astype(dt),
+            preferred_element_type=jnp.float32,
+        ).reshape(b, s, nh, dh)
+
+    out = weighted(p[..., :S], v_plane, v_scale) + weighted(
+        p[..., S:], v_local, None
     )
     return out.astype(q.dtype)
 
@@ -310,6 +368,7 @@ def decoder_layer(
     # mathematically identical (the masked-out incoming columns hold
     # exactly the appended local keys).
     k_local, v_local = k, v
+    k_att = v_att = None  # cache-side operands for _cached_attention
     if kv_write is not None:
         k_cache, v_cache, index = kv_write
         if isinstance(k_cache, dict):  # int8 KV cache ({"q","s"} leaves)
@@ -318,15 +377,21 @@ def decoder_layer(
             kq, ks = quantize_kv_rows(k)
             vq, vs = quantize_kv_rows(v)
             new_kv = ({"q": kq, "s": ks}, {"q": vq, "s": vs})
-            k_full = dequantize_kv(k_cache["q"], k_cache["s"], h.dtype)
-            v_full = dequantize_kv(v_cache["q"], v_cache["s"], h.dtype)
+            # the quantized cache is passed through AS int8 with KV heads:
+            # the dequant scales commute out of both attention contractions
+            # (_cached_attention applies them to scores/probabilities) and
+            # GQA grouping happens in its einsums — so the cache stream is
+            # exactly one int8 byte per element.  (dequantize_kv +
+            # repeat_kv here made XLA materialize a repeated bf16 copy.)
+            k_att, v_att = k_cache, v_cache
             # the local tokens round-trip through int8 so this step's
             # attention sees exactly what later steps will read back
             k_local = dequantize_kv(kq, ks, h.dtype)
             v_local = dequantize_kv(vq, vs, h.dtype)
         else:
             new_kv = (k, v)
-            k_full, v_full = k_cache, v_cache
+            k_att, v_att = k_cache, v_cache  # KV heads; grouped in-attn
+        k_full, v_full = k, v  # only read by the no-cache branches below
     else:
         k_full, v_full = k, v
         new_kv = None
@@ -401,8 +466,8 @@ def decoder_layer(
     elif kv_write is not None:
         attn = _cached_attention(
             q,
-            k_full,  # OLD cache, heads repeated
-            v_full,
+            k_att,  # OLD cache, heads repeated (int8 dict stays int8)
+            v_att,
             L.repeat_kv(k_local, nh // nkv),
             L.repeat_kv(v_local, nh // nkv),
             mask,
@@ -555,8 +620,22 @@ def forward_hidden(
 
 
 def logits_from_hidden(cfg: DecoderConfig, params: dict, h: jax.Array) -> jax.Array:
-    head = params["embed"].T if cfg.tie_embeddings else params["lm_head"]
-    return jnp.dot(h, head, preferred_element_type=jnp.float32)
+    """Hidden → vocab logits (f32).
+
+    ``params["lm_head"]`` may be a plain (D, V) matrix or an int8
+    ``{"q","s"}`` quantized leaf (``lmm.quantize_head=true``): the head is
+    re-read from HBM every decode step, so at the flagship shape the int8
+    stream saves ~130 MB/step (~4% of the int8 decode byte budget).  ``qdot``
+    applies the per-vocab-column scale on the f32 output, so the dot streams
+    raw int8.  Tied-embedding models keep the bf16 table (it also serves the
+    input gather)."""
+    if cfg.tie_embeddings:
+        return jnp.dot(
+            h, params["embed"].T, preferred_element_type=jnp.float32
+        )
+    from ..ops.int8_matmul import qdot
+
+    return qdot(h, params["lm_head"], preferred_element_type=jnp.float32)
 
 
 def causal_lm_forward(

@@ -383,6 +383,29 @@ def _maybe_quantize(cfg, bundle: ModelBundle) -> ModelBundle:
                 bundle.params["xattn"], mode=q
             )
         logger.info("%s weight-only quantization applied to decoder stacks", q)
+        head = False
+        try:
+            head = bool(cfg.lmm.get("quantize_head", False))
+        except Exception:
+            head = False
+        if head:
+            # the (D, V) head is re-streamed every decode step; per-vocab-
+            # column int8 (~0.4% weight RMS error) regardless of the stack
+            # mode — int4's group-scale grid is too coarse for the layer
+            # that directly prices every token.  Tied-embedding models keep
+            # the bf16 table (it also serves the input gather).
+            if bundle.model_cfg.text.tie_embeddings:
+                logger.warning(
+                    "quantize_head ignored: tied embeddings (the table also "
+                    "serves the input gather)"
+                )
+            else:
+                from ..ops.quantize import quantize_array
+
+                bundle.params["lm_head"] = quantize_array(
+                    bundle.params["lm_head"]
+                )
+                logger.info("int8 weight-only quantization applied to lm_head")
     return bundle
 
 

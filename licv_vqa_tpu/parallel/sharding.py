@@ -62,7 +62,12 @@ def _quantized_specs(path: tuple, leaf: dict) -> dict:
     out = {}
     for key, sub in leaf.items():
         nd = sub.ndim
-        if parent in _COLUMN_SPLIT:
+        if parent == "lm_head":
+            # int8 head ({"q" (D, V), "s" (1, V)}): vocab-shard both, like
+            # the dense lm_head rule above — per-output scales follow their
+            # columns
+            out[key] = P(*([None] * (nd - 1) + [AXIS_TP]))
+        elif parent in _COLUMN_SPLIT:
             # out-features is the LAST dim of every component
             out[key] = P(*([None] * (nd - 1) + [AXIS_TP]))
         elif parent in _ROW_SPLIT:

@@ -120,3 +120,80 @@ def test_prefill_from_empty_cache():
         q, kl, vl, mask=jnp.asarray(causal)[None, None]
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+@pytest.mark.parametrize("softcap", [None, 30.0])
+@pytest.mark.parametrize("index_form", ["scalar", "per_row"])
+def test_int8_dict_cache_matches_dequantized_dense(softcap, index_form):
+    # the quantized {"q","s"} cache path (int8 plane into the dot, scales
+    # commuted onto scores/probabilities) == dequantize-then-dense-attend
+    from licv_vqa_tpu.ops.quantize import dequantize_kv, quantize_kv_rows
+
+    s = 2
+    if index_form == "scalar":
+        index = jnp.asarray(7, jnp.int32)
+        q, kc, vc, kl, vl, mask = _setup(s, 7, seed=11)
+    else:
+        index = jnp.asarray([2, 7, 13], jnp.int32)
+        q, kc, vc, kl, vl, mask = _setup(s, np.asarray([2, 7, 13]), seed=11)
+    kq, ks = quantize_kv_rows(kc)
+    vq, vs = quantize_kv_rows(vc)
+    got = _cached_attention(
+        q,
+        {"q": kq, "s": ks},
+        {"q": vq, "s": vs},
+        kl,
+        vl,
+        mask,
+        None,
+        index,
+        softcap,
+    )
+    want = _cached_attention(
+        q,
+        dequantize_kv(kq, ks, q.dtype),
+        dequantize_kv(vq, vs, q.dtype),
+        kl,
+        vl,
+        mask,
+        None,
+        index,
+        softcap,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+def test_gqa_kv_heads_match_repeated_cache(quantized):
+    # cache operands with KV < H heads (grouped einsums, no repeat_kv
+    # materialization) == the same cache physically repeated to H heads
+    from licv_vqa_tpu.ops.quantize import quantize_kv_rows
+
+    kv, rep = 2, 2  # H = 4
+    s = 2
+    index = jnp.asarray(7, jnp.int32)
+    q, _, _, kl, vl, mask = _setup(s, 7, seed=21)
+    rng = np.random.default_rng(22)
+    kc = jnp.asarray(rng.normal(size=(B, S, kv, DH)), jnp.float32)
+    vc = jnp.asarray(rng.normal(size=(B, S, kv, DH)), jnp.float32)
+    if quantized:
+        kq, ks = quantize_kv_rows(kc)
+        vq, vs = quantize_kv_rows(vc)
+        grouped = (
+            {"q": kq, "s": ks},
+            {"q": vq, "s": vs},
+        )
+        repeated = (
+            {"q": L.repeat_kv(kq, rep), "s": L.repeat_kv(ks, rep)},
+            {"q": L.repeat_kv(vq, rep), "s": L.repeat_kv(vs, rep)},
+        )
+    else:
+        grouped = (kc, vc)
+        repeated = (L.repeat_kv(kc, rep), L.repeat_kv(vc, rep))
+    got = _cached_attention(
+        q, grouped[0], grouped[1], kl, vl, mask, None, index, None
+    )
+    want = _cached_attention(
+        q, repeated[0], repeated[1], kl, vl, mask, None, index, None
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)

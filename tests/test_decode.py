@@ -212,3 +212,77 @@ def test_beam_nonzero_length_penalty_matches_hf(lp):
         w = w[: (np.nonzero(w != PAD)[0].max() + 1)] if np.any(w != PAD) else w[:0]
         g = g[: (np.nonzero(g != PAD)[0].max() + 1)] if np.any(g != PAD) else g[:0]
         np.testing.assert_array_equal(g, w)
+
+
+def test_beam_tail_gather_matches_full_gather():
+    # _beam_gather_cache only reorders rows >= prompt_len; when the prefix
+    # rows are identical across the K beams of a batch item (the invariant
+    # beam_generate establishes by replicating one prefill), the result is
+    # identical to the full-cache jnp.take it replaced.
+    from licv_vqa_tpu.infer.decode import _beam_gather_cache, _cache_map_batch
+
+    rng = np.random.default_rng(0)
+    L, B, K, S, KV, DH, P = 2, 2, 3, 10, 2, 4, 6
+    def kv(seed):
+        base = rng.normal(size=(L, B, 1, S, KV, DH))  # per-batch prefix
+        full = np.broadcast_to(base, (L, B, K, S, KV, DH)).copy()
+        full[:, :, :, P:] = rng.normal(size=(L, B, K, S - P, KV, DH))
+        return jnp.asarray(full.reshape(L, B * K, S, KV, DH), jnp.float32)
+
+    pos = np.broadcast_to(
+        np.arange(S, dtype=np.int32)[None, None], (B, 1, S)
+    ).copy()
+    pos = np.broadcast_to(pos, (B, K, S)).copy()
+    pos[:, :, P:] = rng.integers(0, 99, size=(B, K, S - P))
+    cache = {
+        "k": kv(1),
+        "v": kv(2),
+        "pos": jnp.asarray(pos.reshape(B * K, S)),
+        "valid": jnp.asarray(pos.reshape(B * K, S) % 2 == 0),
+        "index": jnp.asarray(P, jnp.int32),
+    }
+    # parent selection stays within each batch item's beam group
+    sel = rng.integers(0, K, size=(B, K)).astype(np.int32)
+    flat_sel = jnp.asarray(
+        (np.arange(B)[:, None] * K + sel).reshape(-1), jnp.int32
+    )
+    got = _beam_gather_cache(cache, flat_sel, P)
+    want = _cache_map_batch(
+        cache, lambda x, ax: jnp.take(x, flat_sel, axis=ax)
+    )
+    for key in ("k", "v", "pos", "valid", "index"):
+        np.testing.assert_array_equal(np.asarray(got[key]), np.asarray(want[key]))
+
+
+def test_beam_tail_gather_int8_cache_dict():
+    from licv_vqa_tpu.infer.decode import _beam_gather_cache, _cache_map_batch
+
+    rng = np.random.default_rng(5)
+    L, B, K, S, KV, DH, P = 1, 1, 2, 8, 2, 4, 5
+    def plane(shape, dtype):
+        base = rng.normal(size=(L, B, 1) + shape)
+        full = np.broadcast_to(base, (L, B, K) + shape).copy()
+        full[:, :, :, P:] = rng.normal(size=(L, B, K, S - P) + shape[1:])
+        arr = full.reshape((L, B * K) + shape)
+        if dtype == np.int8:
+            arr = (arr * 20).astype(np.int8)
+        return jnp.asarray(arr, dtype)
+
+    cache = {
+        "k": {"q": plane((S, KV, DH), np.int8), "s": plane((S, KV, 1), np.float32)},
+        "v": {"q": plane((S, KV, DH), np.int8), "s": plane((S, KV, 1), np.float32)},
+        "pos": jnp.zeros((B * K, S), jnp.int32),
+        "valid": jnp.zeros((B * K, S), bool),
+        "index": jnp.asarray(P, jnp.int32),
+    }
+    sel = rng.integers(0, K, size=(B, K)).astype(np.int32)
+    flat_sel = jnp.asarray(
+        (np.arange(B)[:, None] * K + sel).reshape(-1), jnp.int32
+    )
+    got = _beam_gather_cache(cache, flat_sel, P)
+    want = _cache_map_batch(cache, lambda x, ax: jnp.take(x, flat_sel, axis=ax))
+    for key in ("k", "v"):
+        for leaf in ("q", "s"):
+            np.testing.assert_array_equal(
+                np.asarray(got[key][leaf]), np.asarray(want[key][leaf])
+            )

@@ -111,6 +111,7 @@ def test_cli_quantized_inference(tmp_path, monkeypatch):
         [
             "lmm=tiny-idefics",
             "lmm.quantize=int8",
+            "lmm.quantize_head=true",  # int8 lm_head rides the same path
             "lmm.kv_cache=int8",  # int8 weights + int8 KV cache compose
             "run_name=e2e_q8",
             "test_icv=false",
@@ -213,6 +214,56 @@ def test_int8_kv_cache_decode_fidelity():
     # beam search exercises the cache gather path over dict leaves
     b8 = np.asarray(beam_generate(fwd(cfg8), ids, mask, num_beams=2, **kw))
     assert b8.shape == g8.shape
+
+
+def test_quantized_head_logits_and_decode():
+    """int8 lm_head ({"q","s"} leaf through logits_from_hidden/qdot):
+    logits match the dequantized-head forward to f32-rounding, and the
+    greedy decode plumbing threads the dict leaf."""
+    hf = _tiny_hf_llama()
+    cfg = _our_cfg()
+    assert not cfg.tie_embeddings
+    params = convert_llama(hf_state_dict(hf), cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(7)
+    ids = jnp.asarray(rng.integers(1, V, size=(2, 10)))
+    mask = jnp.ones_like(ids)
+
+    qh = dict(params)
+    qh["lm_head"] = quantize_array(params["lm_head"])
+    dq = dict(params)
+    dq["lm_head"] = dequantize_tree(qh["lm_head"], jnp.float32)
+
+    got, _ = causal_lm_forward(cfg, qh, ids, mask)
+    want, _ = causal_lm_forward(cfg, dq, ids, mask)
+    # same int8 grid both sides; only (x@q)*s vs x@(q*s) rounding differs
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4
+    )
+
+    from licv_vqa_tpu.infer import greedy_generate
+    from tests.test_decode import _forward_fn, PAD, EOS
+
+    g_q = np.asarray(greedy_generate(_forward_fn(cfg, qh), ids, mask, 6, EOS, PAD))
+    g_d = np.asarray(greedy_generate(_forward_fn(cfg, dq), ids, mask, 6, EOS, PAD))
+    np.testing.assert_array_equal(g_q, g_d)
+
+
+def test_quantized_head_tp_spec_shards_vocab():
+    """param_specs vocab-shards the int8 head's q AND its per-column scales
+    (a replicated fallback would silently keep the 262 MB head per chip)."""
+    from jax.sharding import PartitionSpec as P
+
+    from licv_vqa_tpu.parallel.sharding import param_specs
+
+    params = {
+        "lm_head": {
+            "q": jnp.zeros((16, 32), jnp.int8),
+            "s": jnp.zeros((1, 32), jnp.float32),
+        }
+    }
+    specs = param_specs(params)
+    assert specs["lm_head"]["q"] == P(None, "tp")
+    assert specs["lm_head"]["s"] == P(None, "tp")
 
 
 def test_qdot_matches_dequant_dot():
