@@ -60,6 +60,15 @@ class DecoderConfig:
     # head dim; dequant fuses into the attention matmul) at ~1% relative
     # K/V error — opt in with ``lmm.kv_cache=int8``.
     kv_cache_dtype: str = "bf16"
+    # With int8 weight-only quantization: ALSO dynamically quantize the
+    # activations per row for prefill/bind-shaped matmuls (static token
+    # count >= decoder.W8A8_MIN_TOKENS) and contract int8xint8->int32 on
+    # the MXU's double-rate path (v5e: 394 TOPS vs 197 bf16 TFLOPS).
+    # Decode steps (s=1) and speculative drafts stay weight-only — they are
+    # bandwidth-bound, and the greedy==speculative token guarantee depends
+    # on decode-path numerics being impl-invariant.  Opt in with
+    # ``lmm.w8a8_prefill=true`` (not bit-parity with weight-only prefill).
+    w8a8_prefill: bool = False
 
     @property
     def head_dim(self) -> int:

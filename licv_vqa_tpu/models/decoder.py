@@ -23,6 +23,15 @@ from ..ops.icv_inject import icv_inject_reference
 from .config import BLOCK_OUTPUT, MLP_OUTPUT, DecoderConfig
 from . import layers as L
 
+# w8a8 (``cfg.w8a8_prefill``) applies only to blocks with at least this many
+# tokens (a STATIC shape, so the gate is resolved at trace time): prefill and
+# bind matmuls are MXU-compute-bound and take the int8xint8 double-rate path;
+# decode steps (s=1) and speculative drafts (s=gamma+1, small) stay on the
+# weight-only schedule — they are bandwidth-bound, and speculative's
+# greedy-equality guarantee requires draft/verify numerics to match plain
+# decode.
+W8A8_MIN_TOKENS = 16
+
 
 # ---------------------------------------------------------------------------
 # Parameter init
@@ -344,11 +353,14 @@ def decoder_layer(
 
     b, s, d = h.shape
     nh, nkv, dh = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    # static gate: prefill/bind blocks run w8a8 on the int8-MXU path, decode
+    # steps (s=1) and short speculative drafts keep the weight-only schedule
+    a8 = cfg.w8a8_prefill and s >= W8A8_MIN_TOKENS
 
     x = _norm(cfg, p["ln1"], p.get("ln1_b"), h)
-    q = qdot(x, p["attn"]["wq"]).reshape(b, s, nh, dh)
-    k = qdot(x, p["attn"]["wk"]).reshape(b, s, nkv, dh)
-    v = qdot(x, p["attn"]["wv"]).reshape(b, s, nkv, dh)
+    q = qdot(x, p["attn"]["wq"], a8=a8).reshape(b, s, nh, dh)
+    k = qdot(x, p["attn"]["wk"], a8=a8).reshape(b, s, nkv, dh)
+    v = qdot(x, p["attn"]["wv"], a8=a8).reshape(b, s, nkv, dh)
     if cfg.positional == "rope":
         q = L.apply_rope(q, cos, sin)
         k = L.apply_rope(k, cos, sin)
@@ -480,12 +492,12 @@ def decoder_layer(
             q, k_full, v_full, bias=bias, mask=mask,
             logit_softcap=cfg.attn_logit_softcap,
         )
-    attn = qdot(attn.reshape(b, s, nh * dh), p["attn"]["wo"]).astype(h.dtype)
+    attn = qdot(attn.reshape(b, s, nh * dh), p["attn"]["wo"], a8=a8).astype(h.dtype)
     h = h + attn
 
     x2 = _norm(cfg, p["ln2"], p.get("ln2_b"), h)
-    mlp = L.swiglu_mlp(p["mlp"], x2) if cfg.activation == "silu_glu" else L.gelu_mlp(
-        p["mlp"], x2
+    mlp = L.swiglu_mlp(p["mlp"], x2, a8=a8) if cfg.activation == "silu_glu" else (
+        L.gelu_mlp(p["mlp"], x2, a8=a8)
     )
     if icv_row is not None and cfg.injection_site == MLP_OUTPUT:
         # idefics2 semantics: the hook edits the .mlp sublayer OUTPUT before

@@ -288,9 +288,13 @@ def gated_xattn_block(
     b, s, d = h.shape
     nh, dh = t.n_heads, t.head_dim
     from ..ops.int8_matmul import qdot
+    from .decoder import W8A8_MIN_TOKENS
+
+    a8 = t.w8a8_prefill and s >= W8A8_MIN_TOKENS  # static-shape gate
+    a8_img = t.w8a8_prefill and image_latents.shape[1] >= W8A8_MIN_TOKENS
 
     x = L.rms_norm(p["ln1"], h, t.norm_eps)
-    q = qdot(x, p["attn"]["wq"]).reshape(b, s, nh, dh)
+    q = qdot(x, p["attn"]["wq"], a8=a8).reshape(b, s, nh, dh)
     if "q_norm" in p["attn"]:
         q = L.rms_norm(p["attn"]["q_norm"], q, t.norm_eps)
     if kv is not None:
@@ -298,17 +302,17 @@ def gated_xattn_block(
         # (k_norm already applied) — the per-step wk/wv matmuls vanish.
         k, v = kv
     else:
-        k = qdot(image_latents, p["attn"]["wk"]).reshape(b, -1, nh, dh)
-        v = qdot(image_latents, p["attn"]["wv"]).reshape(b, -1, nh, dh)
+        k = qdot(image_latents, p["attn"]["wk"], a8=a8_img).reshape(b, -1, nh, dh)
+        v = qdot(image_latents, p["attn"]["wv"], a8=a8_img).reshape(b, -1, nh, dh)
         if "k_norm" in p["attn"]:
             k = L.rms_norm(p["attn"]["k_norm"], k, t.norm_eps)
     attn = L.dot_product_attention(q, k, v, mask=img_mask)
-    attn = qdot(attn.reshape(b, s, nh * dh), p["attn"]["wo"]).astype(h.dtype)
+    attn = qdot(attn.reshape(b, s, nh * dh), p["attn"]["wo"], a8=a8).astype(h.dtype)
     attn = attn * gate[:, :, None].astype(attn.dtype)
     h = h + jnp.tanh(p["alpha_xattn"]).astype(h.dtype) * attn
 
     x2 = L.rms_norm(p["ln2"], h, t.norm_eps)
-    mlp = L.swiglu_mlp(p["mlp"], x2)
+    mlp = L.swiglu_mlp(p["mlp"], x2, a8=a8)
     return h + jnp.tanh(p["alpha_dense"]).astype(h.dtype) * mlp
 
 
@@ -325,13 +329,16 @@ def precompute_xattn_kv(
     b, n_k = image_latents.shape[:2]
     nh, dh = t.n_heads, t.head_dim
     from ..ops.int8_matmul import qdot
+    from .decoder import W8A8_MIN_TOKENS
+
+    a8 = t.w8a8_prefill and n_k >= W8A8_MIN_TOKENS  # bind-time, n_k = 64/img
 
     def one_group(attn_p):
         # qdot fuses int8 dequant into the matmul — dequantizing the whole
         # xattn stack up-front materialized GBs of transients (measured
         # 1.7s isolated on v5e for what is a ~10ms matmul)
-        k = qdot(image_latents, attn_p["wk"]).reshape(b, n_k, nh, dh)
-        v = qdot(image_latents, attn_p["wv"]).reshape(b, n_k, nh, dh)
+        k = qdot(image_latents, attn_p["wk"], a8=a8).reshape(b, n_k, nh, dh)
+        v = qdot(image_latents, attn_p["wv"], a8=a8).reshape(b, n_k, nh, dh)
         if "k_norm" in attn_p:
             k = L.rms_norm(attn_p["k_norm"], k, t.norm_eps)
         return k.astype(t.dtype), v.astype(t.dtype)

@@ -225,25 +225,31 @@ def causal_mask(
 # ---------------------------------------------------------------------------
 
 
-def swiglu_mlp(p: dict, x: jax.Array) -> jax.Array:
+def swiglu_mlp(p: dict, x: jax.Array, a8: bool = False) -> jax.Array:
     from ..ops.int8_matmul import qdot
 
-    gate = qdot(x, p["w_gate"], preferred_element_type=jnp.float32)
-    up = qdot(x, p["w_up"], preferred_element_type=jnp.float32)
+    gate = qdot(x, p["w_gate"], preferred_element_type=jnp.float32, a8=a8)
+    up = qdot(x, p["w_up"], preferred_element_type=jnp.float32, a8=a8)
     h = (jax.nn.silu(gate.astype(jnp.float32)) * up.astype(jnp.float32)).astype(
         x.dtype
     )
-    return qdot(h, p["w_down"], preferred_element_type=jnp.float32).astype(x.dtype)
+    return qdot(h, p["w_down"], preferred_element_type=jnp.float32, a8=a8).astype(
+        x.dtype
+    )
 
 
-def gelu_mlp(p: dict, x: jax.Array) -> jax.Array:
+def gelu_mlp(p: dict, x: jax.Array, a8: bool = False) -> jax.Array:
     from ..ops.int8_matmul import qdot
 
-    h = qdot(x, p["w_up"], preferred_element_type=jnp.float32).astype(jnp.float32)
+    h = qdot(x, p["w_up"], preferred_element_type=jnp.float32, a8=a8).astype(
+        jnp.float32
+    )
     if "b_up" in p:
         h = h + p["b_up"].astype(jnp.float32)
     h = jax.nn.gelu(h, approximate=False).astype(x.dtype)
-    out = qdot(h, p["w_down"], preferred_element_type=jnp.float32).astype(jnp.float32)
+    out = qdot(h, p["w_down"], preferred_element_type=jnp.float32, a8=a8).astype(
+        jnp.float32
+    )
     if "b_down" in p:
         out = out + p["b_down"].astype(jnp.float32)
     return out.astype(x.dtype)

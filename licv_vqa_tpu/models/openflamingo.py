@@ -215,29 +215,33 @@ def flamingo_xattn_block(
     b, s, d = h.shape
     nh, dh = cfg.xattn_heads, cfg.xattn_head_dim
     from ..ops.int8_matmul import qdot
+    from .decoder import W8A8_MIN_TOKENS
+
+    a8 = cfg.text.w8a8_prefill and s >= W8A8_MIN_TOKENS  # static-shape gate
+    a8_med = cfg.text.w8a8_prefill and media.shape[1] >= W8A8_MIN_TOKENS
 
     x = L.layer_norm(p["ln_attn"]["w"], p["ln_attn"]["b"], h, cfg.text.norm_eps)
-    q = qdot(x, p["wq"]).reshape(b, s, nh, dh)
+    q = qdot(x, p["wq"], a8=a8).reshape(b, s, nh, dh)
     if kv_pre is not None:
         # media K/V are decode-invariant: precomputed once at bind time
         k, v = kv_pre
     else:
-        kv = qdot(media, p["wkv"]).reshape(b, -1, 2, nh, dh)
+        kv = qdot(media, p["wkv"], a8=a8_med).reshape(b, -1, 2, nh, dh)
         k, v = kv[:, :, 0], kv[:, :, 1]
     attn = L.dot_product_attention(q, k, v, mask=media_mask)
-    attn = qdot(attn.reshape(b, s, nh * dh), p["wo"]).astype(h.dtype)
+    attn = qdot(attn.reshape(b, s, nh * dh), p["wo"], a8=a8).astype(h.dtype)
     attn = attn * gate[:, :, None].astype(attn.dtype)
     h = h + jnp.tanh(p["attn_gate"]).astype(h.dtype) * attn
 
     x2 = L.layer_norm(p["ln_ff"]["w"], p["ln_ff"]["b"], h, cfg.text.norm_eps)
     # open_flamingo FeedForward uses nn.GELU() — exact erf, not tanh-approx
     z = jax.nn.gelu(
-        qdot(x2, p["ff_up"], preferred_element_type=jnp.float32).astype(
+        qdot(x2, p["ff_up"], preferred_element_type=jnp.float32, a8=a8).astype(
             jnp.float32
         ),
         approximate=False,
     ).astype(h.dtype)
-    ff = qdot(z, p["ff_down"]).astype(h.dtype)
+    ff = qdot(z, p["ff_down"], a8=a8).astype(h.dtype)
     return h + jnp.tanh(p["ff_gate"]).astype(h.dtype) * ff
 
 
@@ -250,11 +254,14 @@ def precompute_xattn_kv(
     b, n_k = media_latents.shape[:2]
     nh, dh = cfg.xattn_heads, cfg.xattn_head_dim
     from ..ops.int8_matmul import qdot
+    from .decoder import W8A8_MIN_TOKENS
+
+    a8 = t.w8a8_prefill and n_k >= W8A8_MIN_TOKENS  # bind-time latents
 
     def one_group(w):
         # qdot fuses int8 dequant into the matmul (see idefics.py — whole-
         # stack dequant up-front materialized GBs of transients)
-        kv = qdot(media_latents, w).reshape(b, n_k, 2, nh, dh)
+        kv = qdot(media_latents, w, a8=a8).reshape(b, n_k, 2, nh, dh)
         return kv[:, :, 0].astype(t.dtype), kv[:, :, 1].astype(t.dtype)
 
     return jax.vmap(one_group)(params["xattn"]["wkv"])

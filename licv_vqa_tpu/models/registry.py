@@ -428,6 +428,17 @@ def _apply_attention_impl(cfg, model_cfg):
         model_cfg = dataclasses.replace(
             model_cfg, text=dataclasses.replace(model_cfg.text, kv_cache_dtype=kvc)
         )
+    # lmm.w8a8_prefill: int8-MXU activation quantization for prefill/bind
+    # matmuls (only meaningful with lmm.quantize=int8 — a8 is a no-op on
+    # unquantized leaves; see ops.int8_matmul.qdot)
+    try:
+        a8 = bool(cfg.lmm.get("w8a8_prefill", False))
+    except Exception:
+        a8 = False
+    if a8 and not model_cfg.text.w8a8_prefill:
+        model_cfg = dataclasses.replace(
+            model_cfg, text=dataclasses.replace(model_cfg.text, w8a8_prefill=True)
+        )
     # lmm.remat_mode (inner|both|outer|policy): train-forward remat
     # structure; see IdeficsConfig.remat_mode.  Only idefics carries the
     # knob today (the flagship train path).

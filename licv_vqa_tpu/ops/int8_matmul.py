@@ -118,13 +118,56 @@ def _frozen_weight_vjp(matmul, dense_weight):
     return f
 
 
-def qdot(x: jax.Array, w, preferred_element_type=None):
+def quantize_act_rows(x: jax.Array):
+    """Dynamic per-row symmetric int8 quantization of activations.
+
+    ``x (..., K)`` → ``(int8 plane, f32 scale (..., 1))`` with
+    ``scale = absmax/127`` over the contraction dim.  Per-row scales commute
+    out of a ``(..., K) @ (K, N)`` contraction (they are constant along K),
+    so ``(x_q @ w_q) * sx * sw`` recovers the product of the two rounded
+    operands exactly — the only error is the two roundings themselves.
+    All-zero rows get a floor scale instead of a 0/0."""
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
+    return q.astype(jnp.int8), scale
+
+
+def _w8a8_dot(x: jax.Array, q: jax.Array, s: jax.Array, out_dtype):
+    """int8-activation x int8-weight matmul on the MXU's double-rate path.
+
+    Both operands enter ``dot_general`` as int8 with an int32 accumulator —
+    on TPU XLA lowers s8s8s32 to the MXU at 2x the bf16 FLOP rate (v5e: 394
+    TOPS vs 197 TFLOPS), which is the whole point: prefill/bind matmuls are
+    compute-bound, unlike decode where the int8 win is pure bandwidth.  The
+    per-row activation scale and per-output-column weight scale both commute
+    out of the K-contraction and apply to the f32 accumulator."""
+    xq, xs = quantize_act_rows(x)
+    acc = jax.lax.dot_general(
+        xq, q, (((xq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return (acc.astype(jnp.float32) * xs * s).astype(out_dtype)
+
+
+def qdot(x: jax.Array, w, preferred_element_type=None, a8: bool = False):
     """``x @ w`` where ``w`` is a plain array OR a ``{"q", "s"}`` int8 /
     ``{"q4", "s"}`` int4 quantized leaf.  Leading dims of ``x`` are
     flattened.  Quantized decode-shaped matmuls take the Pallas kernel
     (wrapped with an activation-only VJP so ``jax.grad`` works through it);
     everything else falls back to dequant(+scale-on-output)+dot, which is
-    natively differentiable."""
+    natively differentiable.
+
+    ``a8=True`` (callers gate it on a static token count — see
+    ``decoder.W8A8_MIN_TOKENS``) additionally quantizes the ACTIVATIONS
+    per-row and runs the int8xint8->int32 MXU path (``_w8a8_dot``) when
+    ``w`` is an int8 leaf — a compute-side ~2x for prefill/bind shapes, at
+    the cost of one extra rounding on the activations (not bit-parity with
+    the weight-only path; opt in with ``lmm.w8a8_prefill=true``).  int4
+    leaves ignore ``a8``: their group scales vary along the contraction, so
+    scale-on-output — which the int32 accumulator requires — is impossible.
+    Gradients route through the dequantized weight (straight-through on the
+    activation rounding), matching the frozen-weight training contract."""
     from .quantize import dequantize_int4, is_quantized4_leaf, is_quantized_leaf
 
     if is_quantized4_leaf(w):
@@ -166,6 +209,12 @@ def qdot(x: jax.Array, w, preferred_element_type=None):
     m = 1
     for d in lead:
         m *= d
+    if a8:
+        mm = _frozen_weight_vjp(
+            lambda xv: _w8a8_dot(xv, q, s, out_dtype),
+            lambda: q.astype(jnp.float32) * s,
+        )
+        return mm(x.reshape(m, q.shape[0])).reshape(*lead, q.shape[1])
     if int8_matmul_usable(m, q.shape[0], q.shape[1]):
         mm = _frozen_weight_vjp(
             lambda xv: int8_matmul_pallas(xv, q, s, out_dtype=out_dtype),

@@ -607,3 +607,60 @@ def test_no_media_positions_get_zero_xattn():
         cfg, params, jnp.asarray(ids), jnp.asarray(mask), latents, onehot2
     )
     assert not np.allclose(np.asarray(with_img), np.asarray(closed), atol=1e-4)
+
+
+def test_flamingo_w8a8_prefill_fidelity():
+    """w8a8 through the flamingo assembly (MPT self-attn qdots, gated-xattn
+    q/wo/ff — the media-side wkv stays weight-only at tiny n_lat=4 < the
+    token gate): prefill logits stay close to the weight-only path, and a
+    below-gate (short) forward is BIT-identical (the static gate never
+    fired)."""
+    import dataclasses
+
+    from licv_vqa_tpu.models.decoder import W8A8_MIN_TOKENS
+    from licv_vqa_tpu.ops.quantize import quantize_layer_stack
+
+    cfg = OpenFlamingoConfig.tiny()
+    params = init_openflamingo_params(jax.random.PRNGKey(0), cfg)
+    # open the gates so the xattn qdots are load-bearing
+    params["xattn"]["attn_gate"] = jnp.ones_like(params["xattn"]["attn_gate"])
+    params["xattn"]["ff_gate"] = jnp.ones_like(params["xattn"]["ff_gate"])
+    params["layers"] = quantize_layer_stack(params["layers"])
+    params["xattn"] = quantize_layer_stack(params["xattn"])
+    cfg_a8 = dataclasses.replace(
+        cfg, text=dataclasses.replace(cfg.text, w8a8_prefill=True)
+    )
+
+    rng = np.random.default_rng(9)
+    s = W8A8_MIN_TOKENS + 4
+    ids = rng.integers(3, 120, size=(2, s)).astype(np.int32)
+    ids[:, 1] = cfg.image_token_id
+    mask = np.ones_like(ids)
+    pixels = rng.normal(size=(2, 1, 28, 28, 3)).astype(np.float32)
+    latents = encode_media(cfg, params, jnp.asarray(pixels))
+    onehot = image_attention_onehot(jnp.asarray(ids), cfg.image_token_id, 2, 1)
+
+    base, _ = openflamingo_forward(
+        cfg, params, jnp.asarray(ids), jnp.asarray(mask), latents, onehot
+    )
+    a8, _ = openflamingo_forward(
+        cfg_a8, params, jnp.asarray(ids), jnp.asarray(mask), latents, onehot
+    )
+    err = np.abs(np.asarray(a8) - np.asarray(base)).max()
+    ref = np.abs(np.asarray(base)).max()
+    assert 0 < err < 0.05 * ref, (err, ref)  # engaged, and faithful
+
+    # short block below the token gate: a8 config is bit-inert
+    ids_s = ids[:, : W8A8_MIN_TOKENS - 2]
+    mask_s = mask[:, : W8A8_MIN_TOKENS - 2]
+    onehot_s = image_attention_onehot(
+        jnp.asarray(ids_s), cfg.image_token_id, 2, 1
+    )
+    b_s, _ = openflamingo_forward(
+        cfg, params, jnp.asarray(ids_s), jnp.asarray(mask_s), latents, onehot_s
+    )
+    a_s, _ = openflamingo_forward(
+        cfg_a8, params, jnp.asarray(ids_s), jnp.asarray(mask_s), latents,
+        onehot_s,
+    )
+    np.testing.assert_array_equal(np.asarray(a_s), np.asarray(b_s))

@@ -113,6 +113,7 @@ def test_cli_quantized_inference(tmp_path, monkeypatch):
             "lmm.quantize=int8",
             "lmm.quantize_head=true",  # int8 lm_head rides the same path
             "lmm.kv_cache=int8",  # int8 weights + int8 KV cache compose
+            "lmm.w8a8_prefill=true",  # int8-MXU prefill composes too
             "run_name=e2e_q8",
             "test_icv=false",
             "test_icl=true",
@@ -545,3 +546,95 @@ def dataclasses_replace_kv(cfg):
     import dataclasses
 
     return dataclasses.replace(cfg, kv_cache_dtype="int8", attention_impl="flash")
+
+
+def test_w8a8_qdot_matches_integer_emulation():
+    """qdot(a8=True) == exact emulation of the two symmetric roundings
+    (per-row activations, per-output-column weights) with an int32
+    accumulator — only f32 scale-multiply rounding differs."""
+    from licv_vqa_tpu.ops.int8_matmul import qdot
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 24, 96)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(96, 64)) * 0.02, jnp.float32)
+    leaf = quantize_array(w)
+
+    got = np.asarray(qdot(x, leaf, preferred_element_type=jnp.float32, a8=True))
+
+    xn = np.asarray(x, np.float64)
+    sx = np.maximum(np.abs(xn).max(-1, keepdims=True), 1e-8) / 127.0
+    xq = np.clip(np.round(xn / sx), -127, 127).astype(np.int32)
+    wq = np.asarray(leaf["q"], np.int32)
+    sw = np.asarray(leaf["s"], np.float64)
+    want = (xq @ wq).astype(np.float64) * sx * sw
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_w8a8_qdot_dense_weight_ignores_flag():
+    from licv_vqa_tpu.ops.int8_matmul import qdot
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(4, 32)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(32, 16)), jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(qdot(x, w, a8=True)), np.asarray(qdot(x, w))
+    )
+
+
+def test_w8a8_grad_routes_through_dense_weight():
+    """jax.grad through the a8 path: straight-through on the activation
+    rounding, gx == gy @ W_dq^T (the frozen-weight contract)."""
+    from licv_vqa_tpu.ops.int8_matmul import qdot
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(20, 48)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(48, 24)) * 0.05, jnp.float32)
+    leaf = quantize_array(w)
+
+    g = jax.grad(lambda xv: qdot(xv, leaf, a8=True).sum())(x)
+    wdq = np.asarray(leaf["q"], np.float32) * np.asarray(leaf["s"], np.float32)
+    want = np.ones((20, 24), np.float32) @ wdq.T
+    np.testing.assert_allclose(np.asarray(g), want, rtol=1e-5, atol=1e-5)
+
+
+def test_w8a8_forward_fidelity_and_decode_gate():
+    """End-to-end: a tiny quantized model with w8a8_prefill=True produces
+    prefill logits close to the weight-only path (two extra int8 roundings
+    on the activations), and the s=1 decode step is BIT-IDENTICAL to the
+    weight-only path (the static token gate keeps decode weight-only)."""
+    import dataclasses
+
+    from licv_vqa_tpu.models import init_kv_cache
+    from licv_vqa_tpu.models.decoder import W8A8_MIN_TOKENS
+
+    hf = _tiny_hf_llama()
+    cfg = _our_cfg()
+    cfg_a8 = dataclasses.replace(cfg, w8a8_prefill=True)
+    params = convert_llama(hf_state_dict(hf), cfg, dtype=jnp.float32)
+    params = dict(params)
+    params["layers"] = quantize_layer_stack(params["layers"])
+
+    rng = np.random.default_rng(3)
+    s = W8A8_MIN_TOKENS + 4  # above the gate: prefill runs w8a8
+    ids = jnp.asarray(rng.integers(1, V, size=(2, s)))
+    mask = jnp.ones_like(ids)
+
+    logits_a8, _ = causal_lm_forward(cfg_a8, params, ids, mask)
+    logits_wo, _ = causal_lm_forward(cfg, params, ids, mask)
+    err = np.abs(np.asarray(logits_a8) - np.asarray(logits_wo)).max()
+    ref = np.abs(np.asarray(logits_wo)).max()
+    assert err < 0.05 * ref, (err, ref)
+
+    # decode step (s=1 < gate): bit-identical to weight-only
+    cache = init_kv_cache(cfg, 2, s + 4)
+    pos = mask.cumsum(-1) - 1
+    _, c1 = causal_lm_forward(cfg, params, ids, mask, cache=cache, positions=pos)
+    step_ids = ids[:, -1:]
+    step_pos = pos[:, -1:] + 1
+    la8, _ = causal_lm_forward(
+        cfg_a8, params, step_ids, mask, cache=c1, positions=step_pos
+    )
+    lwo, _ = causal_lm_forward(
+        cfg, params, step_ids, mask, cache=c1, positions=step_pos
+    )
+    np.testing.assert_array_equal(np.asarray(la8), np.asarray(lwo))

@@ -81,7 +81,7 @@ def bench_vision(cfg, params, bs: int) -> dict:
     }
 
 
-def bench_prefill(cfg, params, bind_decode, bs: int, s: int) -> dict:
+def bench_prefill(cfg, params, bind_decode, bs: int, s: int, tag: str = "") -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -117,7 +117,7 @@ def bench_prefill(cfg, params, bind_decode, bs: int, s: int) -> dict:
         + 4 * s * s * cfg.text.d_model * cfg.text.n_layers
     )
     return {
-        "phase": "bind_prefill",
+        "phase": "bind_prefill" + tag,
         "bs": bs,
         "s": s,
         "ms": round(dt * 1e3, 2),
@@ -140,13 +140,28 @@ def main(specs):
               flush=True)
     except Exception as e:
         print(f"vision bench failed: {e!r}", file=sys.stderr, flush=True)
+    # w8a8 A/B: same quantized weights, prefill matmuls on the int8 MXU
+    # double-rate path (lmm.w8a8_prefill) — the MFU delta IS the feature
+    import dataclasses
+
+    from licv_vqa_tpu.models.idefics import make_idefics_forward_fns
+
+    cfg_a8 = dataclasses.replace(
+        cfg, text=dataclasses.replace(cfg.text, w8a8_prefill=True)
+    )
+    _, bind_decode_a8 = make_idefics_forward_fns(cfg_a8, eos_token_id=2)
+
     for bs, s in specs:
-        try:
-            print(json.dumps(bench_prefill(cfg, params, bind_decode, bs, s)),
-                  flush=True)
-        except Exception as e:  # one bad shape must not lose the others
-            print(f"prefill bs={bs} s={s} failed: {e!r}", file=sys.stderr,
-                  flush=True)
+        for tag, c, bd in (
+            ("", cfg, bind_decode),
+            (":w8a8", cfg_a8, bind_decode_a8),
+        ):
+            try:
+                print(json.dumps(bench_prefill(c, params, bd, bs, s, tag)),
+                      flush=True)
+            except Exception as e:  # one bad shape must not lose the others
+                print(f"prefill{tag} bs={bs} s={s} failed: {e!r}",
+                      file=sys.stderr, flush=True)
 
 
 if __name__ == "__main__":
