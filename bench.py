@@ -114,6 +114,13 @@ def build(n_layers: int, quantize: bool = False, kv8: bool = False):
             # of the per-step byte budget (_stream_bytes counts leaf bytes,
             # so the roofline tightens to match)
             p["lm_head"] = quantize_array(p["lm_head"])
+            # bind-phase weights (lmm.quantize_vision equivalent): halves
+            # the ViT+resampler stream; decode rooflines are unaffected
+            # (vision runs once per question, outside the decode loop)
+            p["vision"]["layers"] = quantize_layer_stack(p["vision"]["layers"])
+            p["perceiver"]["blocks"] = quantize_layer_stack(
+                p["perceiver"]["blocks"]
+            )
         return p
 
     params = jax.jit(init)()

@@ -264,9 +264,10 @@ def encode_images(
     """(B, N_img, H, W, 3) → image latents (B, N_img·n_lat, De)."""
     b, n_img = pixel_values.shape[:2]
     flat = pixel_values.reshape((b * n_img,) + pixel_values.shape[2:])
-    feats = vision_forward(cfg.vision, params["vision"], flat)
+    a8 = cfg.text.w8a8_prefill  # one flag governs every bind-phase matmul
+    feats = vision_forward(cfg.vision, params["vision"], flat, a8=a8)
     if cfg.use_resampler:
-        feats = perceiver_forward(cfg.perceiver, params["perceiver"], feats)
+        feats = perceiver_forward(cfg.perceiver, params["perceiver"], feats, a8=a8)
     return feats.reshape(b, n_img * feats.shape[1], feats.shape[2])
 
 

@@ -188,23 +188,30 @@ def init_idefics2_params(key, cfg: Idefics2Config) -> dict:
 # ---------------------------------------------------------------------------
 
 
-def _perceiver_layer(cfg: Idefics2PerceiverCfg, p, latents, context, kv_mask=None):
+def _perceiver_layer(
+    cfg: Idefics2PerceiverCfg, p, latents, context, kv_mask=None, a8: bool = False
+):
+    from ..ops.int8_matmul import qdot
+    from .decoder import W8A8_MIN_TOKENS
+
     b, nl, d = latents.shape
     nh, nkv, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    a8_lat = a8 and nl >= W8A8_MIN_TOKENS  # static token gates (w8a8)
+    a8_kv = a8 and nl + context.shape[1] >= W8A8_MIN_TOKENS
     lat = L.rms_norm(p["lat_norm"], latents, cfg.norm_eps)
     ctx = L.rms_norm(p["ctx_norm"], context, cfg.norm_eps)
     kv_in = jnp.concatenate([ctx, lat], axis=1)
-    q = jnp.dot(lat, p["wq"]).reshape(b, nl, nh, hd)
-    k = jnp.dot(kv_in, p["wk"]).reshape(b, -1, nkv, hd)
-    v = jnp.dot(kv_in, p["wv"]).reshape(b, -1, nkv, hd)
+    q = qdot(lat, p["wq"], a8=a8_lat).reshape(b, nl, nh, hd)
+    k = qdot(kv_in, p["wk"], a8=a8_kv).reshape(b, -1, nkv, hd)
+    v = qdot(kv_in, p["wv"], a8=a8_kv).reshape(b, -1, nkv, hd)
     k = L.repeat_kv(k, nh // nkv)
     v = L.repeat_kv(v, nh // nkv)
     attn = L.dot_product_attention(q, k, v, mask=kv_mask)
-    latents = latents + jnp.dot(attn.reshape(b, nl, nh * hd), p["wo"]).astype(
-        latents.dtype
-    )
+    latents = latents + qdot(
+        attn.reshape(b, nl, nh * hd), p["wo"], a8=a8_lat
+    ).astype(latents.dtype)
     x = L.rms_norm(p["post_norm"], latents, cfg.norm_eps)
-    return latents + L.swiglu_mlp(p["mlp"], x)
+    return latents + L.swiglu_mlp(p["mlp"], x, a8=a8_lat)
 
 
 def patch_mask_from_pixel_mask(pixel_mask: jax.Array, patch: int) -> jax.Array:
@@ -236,8 +243,17 @@ def encode_images2(
             (b * n_img,) + pixel_attention_mask.shape[2:]
         )
         patch_mask = patch_mask_from_pixel_mask(pm, cfg.vision.patch_size)
-    feats = vision_forward(cfg.vision, params["vision"], flat, patch_mask=patch_mask)
-    feats = L.swiglu_mlp(params["connector"], feats)  # modality projection
+    from .decoder import W8A8_MIN_TOKENS
+
+    a8 = cfg.text.w8a8_prefill  # one flag governs every bind-phase matmul
+    feats = vision_forward(
+        cfg.vision, params["vision"], flat, patch_mask=patch_mask, a8=a8
+    )
+    feats = L.swiglu_mlp(  # modality projection
+        params["connector"],
+        feats,
+        a8=a8 and feats.shape[1] >= W8A8_MIN_TOKENS,
+    )
     pcfg = cfg.perceiver
     latents = jnp.broadcast_to(
         params["perceiver"]["latents"][None],
@@ -250,7 +266,7 @@ def encode_images2(
         kv_mask = jnp.concatenate([ctx_valid, lat_valid], axis=1)[:, None, None, :]
 
     def body(latents, p):
-        return _perceiver_layer(pcfg, p, latents, feats, kv_mask=kv_mask), None
+        return _perceiver_layer(pcfg, p, latents, feats, kv_mask=kv_mask, a8=a8), None
 
     latents, _ = jax.lax.scan(body, latents, params["perceiver"]["layers"])
     latents = L.rms_norm(params["perceiver"]["final_norm"], latents, pcfg.norm_eps)

@@ -406,6 +406,32 @@ def _maybe_quantize(cfg, bundle: ModelBundle) -> ModelBundle:
                     bundle.params["lm_head"]
                 )
                 logger.info("int8 weight-only quantization applied to lm_head")
+        vision = False
+        try:
+            vision = bool(cfg.lmm.get("quantize_vision", False))
+        except Exception:
+            vision = False
+        if vision:
+            # vision tower + perceiver/connector: always int8 (per-channel;
+            # the tower directly feeds every image token — int4's group
+            # error is too coarse here), regardless of the stack mode.
+            # Value: ~halves the bind-phase weight bytes AND, with
+            # lmm.w8a8_prefill, puts the whole bind phase (ViT encode,
+            # resampler, modality projection) on the int8-MXU path.
+            # Embeddings (patch/pos/class/latents) and norms stay bf16.
+            p = bundle.params
+            p["vision"]["layers"] = quantize_layer_stack(p["vision"]["layers"])
+            if "perceiver" in p:
+                per = p["perceiver"]
+                for key in ("blocks", "layers"):  # flamingo-style / idefics2
+                    if key in per:
+                        per[key] = quantize_layer_stack(per[key])
+            if "connector" in p:
+                p["connector"] = quantize_layer_stack(p["connector"])
+            logger.info(
+                "int8 weight-only quantization applied to vision tower"
+                " (+perceiver/connector)"
+            )
     return bundle
 
 

@@ -78,27 +78,31 @@ def patchify(pixels: jax.Array, patch: int) -> jax.Array:
 
 
 def _vit_layer(
-    cfg: VisionConfig, p: dict, h: jax.Array, mask=None
+    cfg: VisionConfig, p: dict, h: jax.Array, mask=None, a8: bool = False
 ) -> jax.Array:
+    from ..ops.int8_matmul import qdot
+
     b, s, d = h.shape
     nh, dh = cfg.n_heads, d // cfg.n_heads
     x = L.layer_norm(p["ln1"]["w"], p["ln1"]["b"], h, cfg.norm_eps)
     a = p["attn"]
-    q = (jnp.dot(x, a["wq"]) + a["bq"]).reshape(b, s, nh, dh)
-    k = (jnp.dot(x, a["wk"]) + a["bk"]).reshape(b, s, nh, dh)
-    v = (jnp.dot(x, a["wv"]) + a["bv"]).reshape(b, s, nh, dh)
+    q = (qdot(x, a["wq"], a8=a8) + a["bq"]).reshape(b, s, nh, dh)
+    k = (qdot(x, a["wk"], a8=a8) + a["bk"]).reshape(b, s, nh, dh)
+    v = (qdot(x, a["wv"], a8=a8) + a["bv"]).reshape(b, s, nh, dh)
     attn = L.dot_product_attention(q, k, v, mask=mask)
-    h = h + (jnp.dot(attn.reshape(b, s, d), a["wo"]) + a["bo"]).astype(h.dtype)
+    h = h + (
+        qdot(attn.reshape(b, s, d), a["wo"], a8=a8) + a["bo"]
+    ).astype(h.dtype)
 
     x2 = L.layer_norm(p["ln2"]["w"], p["ln2"]["b"], h, cfg.norm_eps)
     m = p["mlp"]
-    z = (jnp.dot(x2, m["w1"]) + m["b1"]).astype(jnp.float32)
+    z = (qdot(x2, m["w1"], a8=a8) + m["b1"]).astype(jnp.float32)
     if cfg.activation == "quick_gelu":  # OpenAI CLIP: x·σ(1.702x)
         z = z * jax.nn.sigmoid(1.702 * z)
     else:
         z = jax.nn.gelu(z, approximate=cfg.activation == "gelu_tanh")
     z = z.astype(h.dtype)
-    h = h + (jnp.dot(z, m["w2"]) + m["b2"]).astype(h.dtype)
+    h = h + (qdot(z, m["w2"], a8=a8) + m["b2"]).astype(h.dtype)
     return h
 
 
@@ -138,6 +142,7 @@ def vision_forward(
     params: dict,
     pixels: jax.Array,
     patch_mask: jax.Array = None,  # (B, gh, gw) bool — NaViT variable res
+    a8: bool = False,  # int8-MXU path for int8-quantized layers (w8a8)
 ) -> jax.Array:
     """(B, H, W, 3) float → last_hidden_state (B, N, D).
 
@@ -171,8 +176,12 @@ def vision_forward(
     if cfg.use_pre_norm:
         h = L.layer_norm(params["pre_ln"]["w"], params["pre_ln"]["b"], h, cfg.norm_eps)
 
+    from .decoder import W8A8_MIN_TOKENS
+
+    a8 = a8 and h.shape[1] >= W8A8_MIN_TOKENS  # static token gate
+
     def body(h, p):
-        return _vit_layer(cfg, p, h, mask=attn_mask), None
+        return _vit_layer(cfg, p, h, mask=attn_mask, a8=a8), None
 
     h, _ = jax.lax.scan(body, h, params["layers"])
     if cfg.use_post_norm:

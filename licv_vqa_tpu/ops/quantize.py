@@ -147,10 +147,13 @@ def _should_quantize(path: tuple, leaf: Any) -> bool:
     if not jnp.issubdtype(leaf.dtype, jnp.floating):
         return False
     names = [str(getattr(p, "key", getattr(p, "name", ""))) for p in path]
-    # norm params live under an ``ln*`` dict as {"w","b"} (openflamingo's
-    # gated-xattn ln_attn/ln_ff) — the bare "w" leaf key must not match the
-    # projection patterns below
-    if any(n.startswith("ln") for n in names):
+    # norm params live under a norm-named dict as {"w","b"} (openflamingo's
+    # gated-xattn ln_attn/ln_ff, the perceiver's ctx_ln/lat_ln/mlp_ln/q_ln/
+    # k_ln) — the bare "w" leaf key must not match the projection patterns
+    # below
+    if any(
+        n.startswith("ln") or n.endswith("_ln") or "norm" in n for n in names
+    ):
         return False
     name = next((n for n in names[::-1] if n), "")
     # quantize the big projections; never norms/gates/latents

@@ -627,6 +627,13 @@ def test_flamingo_w8a8_prefill_fidelity():
     params["xattn"]["ff_gate"] = jnp.ones_like(params["xattn"]["ff_gate"])
     params["layers"] = quantize_layer_stack(params["layers"])
     params["xattn"] = quantize_layer_stack(params["xattn"])
+    # quantize_vision equivalent: tower + perceiver blocks (encode_media
+    # then runs scale-on-output qdots; at tiny patch/latent counts the a8
+    # token gate stays off, which is exactly the production gate semantics)
+    params["vision"]["layers"] = quantize_layer_stack(params["vision"]["layers"])
+    params["perceiver"]["blocks"] = quantize_layer_stack(
+        params["perceiver"]["blocks"]
+    )
     cfg_a8 = dataclasses.replace(
         cfg, text=dataclasses.replace(cfg.text, w8a8_prefill=True)
     )

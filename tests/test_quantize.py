@@ -114,6 +114,7 @@ def test_cli_quantized_inference(tmp_path, monkeypatch):
             "lmm.quantize_head=true",  # int8 lm_head rides the same path
             "lmm.kv_cache=int8",  # int8 weights + int8 KV cache compose
             "lmm.w8a8_prefill=true",  # int8-MXU prefill composes too
+            "lmm.quantize_vision=true",  # int8 tower+perceiver composes too
             "run_name=e2e_q8",
             "test_icv=false",
             "test_icl=true",
@@ -638,3 +639,54 @@ def test_w8a8_forward_fidelity_and_decode_gate():
         cfg, params, step_ids, mask, cache=c1, positions=step_pos
     )
     np.testing.assert_array_equal(np.asarray(la8), np.asarray(lwo))
+
+
+def test_perceiver_norms_never_quantized():
+    """Regression: the perceiver's ctx_ln/lat_ln/mlp_ln/q_ln/k_ln dicts do
+    NOT start with "ln" — their stacked 2D "w" leaves must still be
+    recognized as norms, not projections."""
+    from licv_vqa_tpu.models.config import PerceiverConfig
+    from licv_vqa_tpu.models.perceiver import init_perceiver_params
+
+    cfg = PerceiverConfig(
+        d_model=32, n_heads=2, head_dim=16, d_ff=64, n_layers=2, n_latents=4
+    )
+    params = init_perceiver_params(jax.random.PRNGKey(0), cfg, qk_layer_norms=True)
+    q = quantize_layer_stack(params["blocks"])
+    for norm in ("ctx_ln", "lat_ln", "mlp_ln", "q_ln", "k_ln"):
+        assert not is_quantized_leaf(q[norm]["w"]), norm
+    for proj in ("wq", "wk", "wv", "wo", "fc", "c_proj"):
+        assert is_quantized_leaf(q[proj]), proj
+    # latents / final_ln (outside blocks) untouched by construction
+    q_all = quantize_layer_stack(params)
+    assert not is_quantized_leaf(q_all["latents"])
+    assert not is_quantized_leaf(q_all["final_ln"]["w"])
+
+
+def test_quantized_vision_tower_fidelity_and_a8():
+    """int8 vision layers through vision_forward: close to dense; w8a8
+    (a8=True, >=16 patches) engages — output changes but stays faithful."""
+    from licv_vqa_tpu.models.config import VisionConfig
+    from licv_vqa_tpu.models.vision import init_vision_params, vision_forward
+
+    cfg = VisionConfig(
+        d_model=32, n_layers=2, n_heads=2, d_ff=64, patch_size=14,
+        image_size=56, dtype=jnp.float32,
+    )
+    params = init_vision_params(jax.random.PRNGKey(0), cfg)
+    qparams = dict(params)
+    qparams["layers"] = quantize_layer_stack(params["layers"])
+    assert is_quantized_leaf(qparams["layers"]["attn"]["wq"])
+    assert not is_quantized_leaf(qparams["layers"]["attn"]["bq"])
+    assert not is_quantized_leaf(qparams["layers"]["ln1"]["w"])
+
+    rng = np.random.default_rng(4)
+    pixels = jnp.asarray(rng.normal(size=(2, 56, 56, 3)), jnp.float32)
+
+    dense = np.asarray(vision_forward(cfg, params, pixels))
+    q = np.asarray(vision_forward(cfg, qparams, pixels))
+    a8 = np.asarray(vision_forward(cfg, qparams, pixels, a8=True))
+    ref = np.abs(dense).max()
+    assert np.abs(q - dense).max() < 0.05 * ref
+    assert np.abs(a8 - dense).max() < 0.05 * ref
+    assert np.abs(a8 - q).max() > 0  # 16+1 tokens >= gate: a8 engaged
