@@ -43,6 +43,7 @@ DATASHEET_HBM_GBPS = 819.0  # v5e datasheet
 MEASURED_STREAM_BPS = 615.0e9  # measured sustained stream (v5e, this repo;
 # tools/bench_decode_breakdown.py `stream`/`matmul`: 503-615 GB/s)
 MXU_BF16_FLOPS = 197.0e12  # v5e peak
+MXU_INT8_OPS = 394.0e12  # v5e int8 double-rate peak (w8a8 bind/prefill path)
 VIT_H_FLOPS_PER_IMAGE = 2 * 630e6 * 257  # ViT-H/14: ~630M params × 257 toks
 LM_FLOPS_PER_TOKEN = 2 * 9e9  # flagship 9B decoder prefill
 KV_HEADS, KV_HEAD_DIM = 32, 128  # flagship KV geometry (K and V each)
@@ -50,13 +51,14 @@ KV_HEADS, KV_HEAD_DIM = 32, 128  # flagship KV geometry (K and V each)
 # (child spec, per-variant budget seconds), in order.
 # 16L bf16 measured good on hardware since round 1 → banked first (547.9
 # tok/s on v5e with the round-3 row-update KV cache); 32L int8 is the
-# flagship full depth on one v5e (509.8 tok/s at bs=8 — 100.9% of the
+# flagship full depth on one v5e (544.2 tok/s at bs=8 — 97.0% of the
 # measured-bandwidth ceiling); bs=64 + int8 KV cache amortizes the weight
-# stream 8× and halves cache traffic (serving-throughput headline: 1446.9
-# tok/s/chip measured on v5e, 70.1% of the corrected ceiling).  The LAST
-# variant is the reference's own eval shape (bs=1, num_beams=3,
-# max_new_tokens=5 — config/inference.yaml:11,26-30) in questions/sec/chip
-# (9.14 q/s measured) — printed last so it is the round's parsed headline.
+# stream 8× and halves cache traffic (serving-throughput headline: 1675.7
+# tok/s/chip measured on v5e with w8a8 prefill, 59.7% of the int8-peak
+# ceiling).  The LAST variant is the reference's own eval shape (bs=1,
+# num_beams=3, max_new_tokens=5 — config/inference.yaml:11,26-30) in
+# questions/sec/chip (10.8 q/s measured; 43.7 q/s at the optional bs=8
+# batched-eval variant) — printed last: the driver parses the final line.
 VARIANTS = (
     # (spec, per-variant budget, reserve): a variant is SKIPPED unless
     # budget + reserve seconds remain — reserve protects the headline
@@ -98,6 +100,11 @@ def build(n_layers: int, quantize: bool = False, kv8: bool = False):
             cfg9.text,
             n_layers=n_layers,
             kv_cache_dtype="int8" if kv8 else "bf16",
+            # int8 builds run bind/prefill matmuls w8a8 on the int8 MXU
+            # double-rate path (measured 1.43-1.47x at s=2048 on v5e,
+            # tools/bench_prefill_tpu.py); decode steps stay weight-only by
+            # the static token gate, so decode numbers are unaffected.
+            w8a8_prefill=quantize,
         ),
     )
 
@@ -195,7 +202,9 @@ def run(n_layers: int, quantize: bool = False, bs: int = 8, kv8: bool = False) -
     vis_flops = bs * VIT_H_FLOPS_PER_IMAGE
     prefill_flops = bs * LM_FLOPS_PER_TOKEN * PROMPT_LEN
     t_step_bound = (stream_bytes + kv_bytes) / MEASURED_STREAM_BPS
-    t_bind_bound = (vis_flops + prefill_flops) / MXU_BF16_FLOPS
+    # int8 builds bind/prefill w8a8 → the MXU ceiling is the int8 peak
+    mxu_peak = MXU_INT8_OPS if quantize else MXU_BF16_FLOPS
+    t_bind_bound = (vis_flops + prefill_flops) / mxu_peak
     # MAX_NEW-1 decode forwards emit MAX_NEW tokens (the first token comes
     # from prefill logits; the last needs no forward — infer/decode.py)
     achievable = bs * MAX_NEW / ((MAX_NEW - 1) * t_step_bound + t_bind_bound)
@@ -337,9 +346,10 @@ def run_eval_shape(n_layers: int = 32, bs: int = 1, quantize: bool = True) -> di
     )  # bf16 K+V
     vis_flops = bs * VIT_H_FLOPS_PER_IMAGE
     prefill_flops = bs * LM_FLOPS_PER_TOKEN * PROMPT_LEN
+    mxu_peak = MXU_INT8_OPS if quantize else MXU_BF16_FLOPS
     t_bound = (
-        vis_flops / MXU_BF16_FLOPS
-        + max(prefill_flops / (2 * MXU_BF16_FLOPS), stream_bytes / MEASURED_STREAM_BPS)
+        vis_flops / mxu_peak
+        + max(prefill_flops / mxu_peak, stream_bytes / MEASURED_STREAM_BPS)
         # EVAL_MAX_NEW-1 beam-step forwards emit EVAL_MAX_NEW tokens (the
         # last beam transition reuses in-hand logits — infer/decode.py)
         + (EVAL_MAX_NEW - 1) * (stream_bytes + kv_bytes) / MEASURED_STREAM_BPS
