@@ -266,13 +266,14 @@ def run_eval_shape(n_layers: int = 32, bs: int = 1, quantize: bool = True) -> di
     ).astype(jnp.bfloat16)
     max_len = PROMPT_LEN + EVAL_MAX_NEW + 1
 
-    @jax.jit
-    def gen(params, ids, mask, pixels, valid, icv):
+    def _gen(params, ids, mask, pixels, valid, icv):
         fwd = bind_decode(params, pixels, valid, ids, icv, max_len)
         return beam_generate(
             fwd, ids, mask, max_new_tokens=EVAL_MAX_NEW, eos_token_id=-1,
             pad_token_id=0, num_beams=NUM_BEAMS, length_penalty=0.0,
         )
+
+    gen = jax.jit(_gen)
 
     args = (
         params,
@@ -310,6 +311,44 @@ def run_eval_shape(n_layers: int = 32, bs: int = 1, quantize: bool = True) -> di
         sync(pending.pop(0))
     dt_pipe = (time.perf_counter() - t0) / reps
     qps = max(bs / dt_pipe, qps_serial)  # pipelining can only help; guard noise
+
+    # Depth-4 arm (same executable, deeper FIFO): through the tunnel the
+    # per-call dispatch itself costs ~10-30 ms of host time, so depth 2 may
+    # not fully hide it.  Diagnostic only unless it wins enough to justify
+    # changing the shipped infer_pipeline default.
+    pending = []
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        pending.append(gen(*args))
+        if len(pending) >= 4:
+            sync(pending.pop(0))
+    while pending:
+        sync(pending.pop(0))
+    qps_pipe4 = bs / ((time.perf_counter() - t0) / reps)
+
+    # Device-time view: chain `reps` whole questions inside ONE jitted
+    # fori_loop (serial dependency: the winning beam's last token perturbs
+    # the pixels, so XLA cannot CSE or reorder the iterations) and pay a
+    # single host readback — per-question DEVICE time with zero relay sync,
+    # i.e. what a non-tunneled deployment gets per chip.  Best effort: the
+    # headline must survive a failure (or a budget-eating compile) here.
+    qps_device = None
+    try:
+        @jax.jit
+        def gen_chain(params, ids, mask, pixels, valid, icv):
+            def body(_, px):
+                out = _gen(params, ids, mask, px, valid, icv)
+                eps = (out[0, -1] % 3 - 1).astype(px.dtype) * 1e-6
+                return px + eps
+
+            return jax.lax.fori_loop(0, reps, body, pixels)[0, 0, 0, 0, 0]
+
+        np.asarray(gen_chain(*args))  # compile + warm
+        t0 = time.perf_counter()
+        np.asarray(gen_chain(*args))
+        qps_device = bs / ((time.perf_counter() - t0) / reps)
+    except Exception as e:  # pragma: no cover - hardware-path diagnostics
+        print(f"bench: eval-shape device view failed: {e!r}", file=sys.stderr)
 
     # phase split: a bind+prefill-only program isolates everything before the
     # 5-step beam scan; decode time = total − bind+prefill.  Best effort —
@@ -371,7 +410,11 @@ def run_eval_shape(n_layers: int = 32, bs: int = 1, quantize: bool = True) -> di
         "questions_per_sec_serial": round(qps_serial, 2),
         "latency_ms_per_question": round(1e3 * bs / qps_serial, 1),
         "pipeline_depth": 2,
+        "questions_per_sec_pipeline4": round(qps_pipe4, 2),
     }
+    if qps_device is not None:
+        out["questions_per_sec_device"] = round(qps_device, 2)
+        out["device_ms_per_question"] = round(1e3 * bs / qps_device, 1)
     out.update(split)
     return out
 

@@ -7,8 +7,10 @@ weight-only so full depth fits one v5e) for Idefics2-8B-base (Mistral GQA +
 SigLIP + perceiver connector) and OpenFlamingo-9B (MPT/ALiBi + ViT-L +
 gated xattn).  Results recorded in STATUS.md.
 
-Usage: python tools/bench_families_tpu.py [idefics2|openflamingo] ...
-Env: BENCH_BS (default 8), BENCH_KV8=1 (int8 KV cache).
+Usage: python tools/bench_families_tpu.py [--eval-shape] [idefics2|openflamingo] ...
+  --eval-shape: reference eval workload instead (bs=1 beam-3 max_new=5;
+  serial wall q/s + device-time q/s via a chained fori_loop, one readback).
+Env: BENCH_BS (default 8), BENCH_KV8=1 (int8 KV cache), EVAL_REPS (default 10).
 """
 
 import os
@@ -26,12 +28,11 @@ PROMPT_LEN = 64
 MAX_NEW = 32
 
 
-def bench_family(family: str) -> dict:
+def _build_family(family: str):
+    """Family → (cfg, int8 params, bind_decode, img_hw); weights are
+    synthesized directly in int8 so the bf16 init never exists in HBM."""
     import jax
     import jax.numpy as jnp
-
-    from licv_vqa_tpu.infer.decode import greedy_generate
-    from licv_vqa_tpu.ops.quantize import quantize_layer_stack
 
     if family == "idefics2":
         from licv_vqa_tpu.models.idefics2 import (
@@ -95,13 +96,17 @@ def bench_family(family: str) -> dict:
 
         return jax.tree_util.tree_map_with_path(leaf, shapes)
 
-    del quantize_layer_stack
     params = jax.jit(synth)()
     jax.block_until_ready(jax.tree.leaves(params)[0])
     _, bind_decode = make_fns(cfg, eos_token_id=2)
+    return cfg, params, bind_decode, img_hw
+
+
+def _make_inputs(cfg, family: str, img_hw: int, bs: int):
+    import jax.numpy as jnp
 
     rng = np.random.default_rng(0)
-    ids = rng.integers(3, cfg.text.vocab_size - 8, size=(BS, PROMPT_LEN)).astype(
+    ids = rng.integers(3, cfg.text.vocab_size - 8, size=(bs, PROMPT_LEN)).astype(
         np.int32
     )
     if family == "idefics2":
@@ -110,12 +115,23 @@ def bench_family(family: str) -> dict:
     else:
         ids[:, 1] = cfg.image_token_id
     mask = np.ones_like(ids)
-    pixels = rng.normal(size=(BS, 1, img_hw, img_hw, 3)).astype(np.float32)
-    valid = np.ones((BS, 1), bool)
+    pixels = rng.normal(size=(bs, 1, img_hw, img_hw, 3)).astype(np.float32)
+    valid = np.ones((bs, 1), bool)
     icv = jnp.asarray(
         rng.normal(size=(cfg.text.n_layers, cfg.text.d_model)).astype(np.float32)
         * 0.1
     ).astype(jnp.bfloat16)
+    return (jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(pixels),
+            jnp.asarray(valid), icv)
+
+
+def bench_family(family: str) -> dict:
+    import jax
+
+    from licv_vqa_tpu.infer.decode import greedy_generate
+
+    cfg, params, bind_decode, img_hw = _build_family(family)
+    args = (params,) + _make_inputs(cfg, family, img_hw, BS)
 
     @jax.jit
     def gen(params, ids, mask, pixels, valid, icv):
@@ -124,8 +140,6 @@ def bench_family(family: str) -> dict:
             fwd, ids, mask, max_new_tokens=MAX_NEW, eos_token_id=-1, pad_token_id=0
         )
 
-    args = (params, jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(pixels),
-            jnp.asarray(valid), icv)
     np.asarray(gen(*args)[:, -1])  # compile + warm
     reps = 3
     t0 = time.perf_counter()
@@ -138,9 +152,61 @@ def bench_family(family: str) -> dict:
     return {"family": family, "tokens_per_sec": tok}
 
 
+def bench_family_eval(family: str) -> dict:
+    """Reference eval workload per family: bs=1, beam-3, max_new=5
+    (config/inference.yaml:11,26-30).  Reports serial wall q/s AND the
+    device-time view (EVAL_REPS questions chained in one fori_loop, one
+    readback — zero relay sync, same trick as bench_prefill_tpu)."""
+    import jax
+    import jax.numpy as jnp
+
+    from licv_vqa_tpu.infer.decode import beam_generate
+
+    NUM_BEAMS, EVAL_MAX_NEW, reps = 3, 5, int(os.environ.get("EVAL_REPS", 10))
+    cfg, params, bind_decode, img_hw = _build_family(family)
+    args = (params,) + _make_inputs(cfg, family, img_hw, 1)
+    max_len = PROMPT_LEN + EVAL_MAX_NEW + 1
+
+    def _gen(params, ids, mask, pixels, valid, icv):
+        fwd = bind_decode(params, pixels, valid, ids, icv, max_len)
+        return beam_generate(
+            fwd, ids, mask, max_new_tokens=EVAL_MAX_NEW, eos_token_id=-1,
+            pad_token_id=0, num_beams=NUM_BEAMS, length_penalty=0.0,
+        )
+
+    gen = jax.jit(_gen)
+    np.asarray(gen(*args)[:, -1])  # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        np.asarray(gen(*args)[:, -1])
+    qps_serial = reps / (time.perf_counter() - t0)
+
+    @jax.jit
+    def gen_chain(params, ids, mask, pixels, valid, icv):
+        def body(_, px):
+            out = _gen(params, ids, mask, px, valid, icv)
+            return px + (out[0, -1] % 3 - 1).astype(px.dtype) * 1e-6
+
+        return jax.lax.fori_loop(0, reps, body, pixels)[0, 0, 0, 0, 0]
+
+    np.asarray(gen_chain(*args))  # compile + warm
+    t0 = time.perf_counter()
+    np.asarray(gen_chain(*args))
+    qps_device = reps / (time.perf_counter() - t0)
+    print(f"{family}: eval shape (bs=1 beam-3 max_new=5) "
+          f"{qps_serial:.2f} q/s serial wall, {qps_device:.2f} q/s device-time",
+          flush=True)
+    return {"family": family, "qps_serial": qps_serial, "qps_device": qps_device}
+
+
 if __name__ == "__main__":
     import jax
 
     assert jax.default_backend() == "tpu", jax.default_backend()
-    for fam in sys.argv[1:] or ["idefics2", "openflamingo"]:
-        bench_family(fam)
+    argv = sys.argv[1:]
+    eval_shape = "--eval-shape" in argv
+    fams = [a for a in argv if not a.startswith("--")] or [
+        "idefics2", "openflamingo"
+    ]
+    for fam in fams:
+        (bench_family_eval if eval_shape else bench_family)(fam)
