@@ -264,8 +264,14 @@ def encode_images(
     """(B, N_img, H, W, 3) → image latents (B, N_img·n_lat, De)."""
     b, n_img = pixel_values.shape[:2]
     flat = pixel_values.reshape((b * n_img,) + pixel_values.shape[2:])
-    a8 = cfg.text.w8a8_prefill  # one flag governs every bind-phase matmul
-    feats = vision_forward(cfg.vision, params["vision"], flat, a8=a8)
+    # w8a8 governs the LM-side bind matmuls but NOT the ViT tower: at the
+    # tower's shapes the per-row activation-quantize (VPU, scales with
+    # B·n_patches) outweighs the int8-MXU gain — measured on v5e at bs=64
+    # int8+a8 286 ms vs 208 ms weight-only-class, and a wash at bs=8
+    # (tools/bench_prefill_tpu.py --vision-breakdown).  Tower weights stay
+    # int8 (weight-only) under lmm.quantize_vision.
+    a8 = cfg.text.w8a8_prefill
+    feats = vision_forward(cfg.vision, params["vision"], flat, a8=False)
     if cfg.use_resampler:
         feats = perceiver_forward(cfg.perceiver, params["perceiver"], feats, a8=a8)
     return feats.reshape(b, n_img * feats.shape[1], feats.shape[2])

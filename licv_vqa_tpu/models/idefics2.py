@@ -245,9 +245,11 @@ def encode_images2(
         patch_mask = patch_mask_from_pixel_mask(pm, cfg.vision.patch_size)
     from .decoder import W8A8_MIN_TOKENS
 
-    a8 = cfg.text.w8a8_prefill  # one flag governs every bind-phase matmul
+    # tower stays weight-only under w8a8: per-row activation-quantize costs
+    # more than the int8 MXU saves at ViT shapes (see idefics.encode_images)
+    a8 = cfg.text.w8a8_prefill
     feats = vision_forward(
-        cfg.vision, params["vision"], flat, patch_mask=patch_mask, a8=a8
+        cfg.vision, params["vision"], flat, patch_mask=patch_mask, a8=False
     )
     feats = L.swiglu_mlp(  # modality projection
         params["connector"],

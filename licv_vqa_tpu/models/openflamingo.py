@@ -197,8 +197,10 @@ def encode_media(cfg: OpenFlamingoConfig, params: dict, pixel_values: jax.Array)
     post-layernormed with the class token dropped (open_clip token output)."""
     b, n_img = pixel_values.shape[:2]
     flat = pixel_values.reshape((b * n_img,) + pixel_values.shape[2:])
-    a8 = cfg.text.w8a8_prefill  # one flag governs every bind-phase matmul
-    feats = vision_forward(cfg.vision, params["vision"], flat, a8=a8)
+    # tower stays weight-only under w8a8: per-row activation-quantize costs
+    # more than the int8 MXU saves at ViT shapes (see idefics.encode_images)
+    a8 = cfg.text.w8a8_prefill
+    feats = vision_forward(cfg.vision, params["vision"], flat, a8=False)
     feats = feats[:, 1:, :]  # drop class token
     latents = perceiver_forward(cfg.perceiver, params["perceiver"], feats, a8=a8)
     return latents.reshape(b, n_img * latents.shape[1], latents.shape[2])

@@ -641,6 +641,33 @@ def test_w8a8_forward_fidelity_and_decode_gate():
     np.testing.assert_array_equal(np.asarray(la8), np.asarray(lwo))
 
 
+def test_vision_tower_a8_inert_under_w8a8_prefill():
+    """The ViT tower stays WEIGHT-ONLY under lmm.w8a8_prefill: per-row
+    activation-quantize costs more than the int8 MXU saves at tower shapes
+    (v5e bs=64: 286 ms a8 vs 208 ms without — tools/bench_prefill_tpu.py
+    --vision-breakdown).  encode_images must be bit-identical with the flag
+    on and off when only the tower is quantized (the perceiver keeps a8, so
+    it stays unquantized here to isolate the tower)."""
+    import dataclasses
+
+    from licv_vqa_tpu.models.idefics import IdeficsConfig, init_idefics_params
+    from licv_vqa_tpu.models.idefics import encode_images
+
+    cfg = IdeficsConfig.tiny()
+    params = init_idefics_params(jax.random.PRNGKey(0), cfg)
+    params["vision"] = dict(params["vision"])
+    params["vision"]["layers"] = quantize_layer_stack(params["vision"]["layers"])
+    cfg_a8 = dataclasses.replace(
+        cfg, text=dataclasses.replace(cfg.text, w8a8_prefill=True)
+    )
+    rng = np.random.default_rng(11)
+    isz = cfg.vision.image_size
+    pixels = jnp.asarray(rng.normal(size=(2, 1, isz, isz, 3)), jnp.float32)
+    base = np.asarray(encode_images(cfg, params, pixels))
+    a8 = np.asarray(encode_images(cfg_a8, params, pixels))
+    np.testing.assert_array_equal(a8, base)
+
+
 def test_perceiver_norms_never_quantized():
     """Regression: the perceiver's ctx_ln/lat_ln/mlp_ln/q_ln/k_ln dicts do
     NOT start with "ln" — their stacked 2D "w" leaves must still be
