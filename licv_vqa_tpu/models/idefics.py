@@ -650,3 +650,93 @@ def make_idefics_forward_fns(cfg: IdeficsConfig, eos_token_id: int, params=None)
         return forward_fn
 
     return train_forward, bind_images
+
+
+# per-slot media state the continuous-batching engine must persist for
+# decode steps (infer/serving.py): batch axis of each key's subtree
+SERVING_MEDIA_AXES = {"latents": 0, "step_onehot": 0, "xattn_kv": 1}
+
+
+def make_idefics_serving_fns(cfg: IdeficsConfig, eos_token_id: int):
+    """Slot-oriented (prefill, decode_step) pair for the continuous-batching
+    serving engine (``infer/serving.py``).
+
+    Unlike ``bind_images`` — which closes over one request batch's media —
+    these keep the media state EXPLICIT so the engine can scatter it into
+    per-slot buffers at admission and feed the whole slot batch at decode:
+
+    - ``prefill(params, pixels, pixel_valid, input_ids, attention_mask,
+      icv_scaled, cache_len) -> (last_logits, cache, media, next_pos)``
+      runs image encode + bind + prefill into a FRESH cache of length
+      ``cache_len`` (the prompt bucket).
+    - ``decode_step(params, token_ids, attention_mask, positions, cache,
+      icv_scaled, media) -> (logits, cache)`` advances one token for every
+      slot; ``media`` rows belong to whatever request occupies each slot.
+    """
+
+    def prefill(
+        params, pixel_values, pixel_valid, input_ids, attention_mask,
+        icv_scaled, cache_len,
+    ):
+        latents = encode_images(cfg, params, pixel_values)
+        n_img = pixel_values.shape[1]
+        pv = pixel_valid[:, None, :].astype(jnp.float32)
+        prefill_onehot = (
+            image_attention_onehot(
+                input_ids, cfg.image_token_id, eos_token_id, n_img
+            )
+            * pv
+        )
+        step_onehot = (
+            last_image_onehot(input_ids, cfg.image_token_id, n_img) * pv
+        )
+        xattn_kv = precompute_xattn_kv(cfg, params, latents)
+        positions = _positions_from_mask(attention_mask)
+        cache = init_kv_cache(cfg.text, input_ids.shape[0], cache_len)
+        logits, cache = idefics_forward(
+            cfg,
+            params,
+            input_ids,
+            attention_mask,
+            latents,
+            prefill_onehot,
+            icv_scaled=icv_scaled,
+            cache=cache,
+            positions=positions,
+            prefill_flash=attention_mask,
+            xattn_kv=xattn_kv,
+            last_logit_only=True,
+        )
+        media = {
+            "latents": latents,
+            "step_onehot": step_onehot,
+            "xattn_kv": xattn_kv,
+        }
+        return (
+            logits[:, -1, :].astype(jnp.float32),
+            cache,
+            media,
+            positions[:, -1] + 1,
+        )
+
+    def decode_step(
+        params, token_ids, attention_mask, positions, cache, icv_scaled, media
+    ):
+        b, s = token_ids.shape
+        onehot = jnp.broadcast_to(
+            media["step_onehot"], (b, s, media["step_onehot"].shape[-1])
+        )
+        return idefics_forward(
+            cfg,
+            params,
+            token_ids,
+            attention_mask,
+            media["latents"],
+            onehot,
+            icv_scaled=icv_scaled,
+            cache=cache,
+            positions=positions,
+            xattn_kv=media["xattn_kv"],
+        )
+
+    return prefill, decode_step, SERVING_MEDIA_AXES

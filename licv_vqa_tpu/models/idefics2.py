@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from . import layers as L
 from .config import DecoderConfig, MLP_OUTPUT, VisionConfig
 from .decoder import (
+    _positions_from_mask,
     causal_lm_forward,
     forward_hidden,
     init_decoder_params,
@@ -400,3 +401,61 @@ def make_idefics2_forward_fns(cfg: Idefics2Config, eos_token_id: int, params=Non
         return forward_fn
 
     return train_forward, bind_images
+
+
+# no per-slot media: image latents merge into the prompt embeds at prefill
+# and never feed decode steps (infer/serving.py scatters nothing)
+SERVING_MEDIA_AXES: dict = {}
+
+
+def make_idefics2_serving_fns(cfg: Idefics2Config, eos_token_id: int):
+    """Slot-oriented (prefill, decode_step) for the continuous-batching
+    engine (``infer/serving.py``); see ``make_idefics_serving_fns`` for the
+    contract.  Idefics2 merges image latents into the prompt embeddings, so
+    decode steps carry NO media state (``media == {}``).  Square-resize
+    pixels only — NaViT ``pixel_attention_mask`` serving is not plumbed."""
+    del eos_token_id  # image binding needs no EOS packing here
+
+    def prefill(
+        params, pixel_values, pixel_valid, input_ids, attention_mask,
+        icv_scaled, cache_len,
+    ):
+        latents = encode_images2(cfg, params, pixel_values)
+        latents = latents * pixel_valid[:, :, None, None].astype(latents.dtype)
+        positions = _positions_from_mask(attention_mask)
+        cache = init_kv_cache(cfg.text, input_ids.shape[0], cache_len)
+        logits, cache = idefics2_forward(
+            cfg,
+            params,
+            input_ids,
+            attention_mask,
+            latents,
+            icv_scaled=icv_scaled,
+            cache=cache,
+            positions=positions,
+            prefill_flash=attention_mask,
+            last_logit_only=True,
+        )
+        return (
+            logits[:, -1, :].astype(jnp.float32),
+            cache,
+            {},
+            positions[:, -1] + 1,
+        )
+
+    def decode_step(
+        params, token_ids, attention_mask, positions, cache, icv_scaled, media
+    ):
+        del media
+        return idefics2_forward(
+            cfg,
+            params,
+            token_ids,
+            attention_mask,
+            None,
+            icv_scaled=icv_scaled,
+            cache=cache,
+            positions=positions,
+        )
+
+    return prefill, decode_step, SERVING_MEDIA_AXES

@@ -526,3 +526,82 @@ def make_openflamingo_forward_fns(
         return forward_fn
 
     return train_forward, bind_images
+
+
+# per-slot media for the continuous-batching engine (infer/serving.py):
+# batch axis of each key's subtree (xattn k/v are (G, B, Nk, h, dh))
+SERVING_MEDIA_AXES = {"latents": 0, "step_onehot": 0, "xattn_kv": 1}
+
+
+def make_openflamingo_serving_fns(cfg: OpenFlamingoConfig, eos_token_id: int):
+    """Slot-oriented (prefill, decode_step) for the continuous-batching
+    engine (``infer/serving.py``); see ``make_idefics_serving_fns`` for the
+    contract.  Every decode step cross-attends the slot's media latents, so
+    the engine persists ``{latents, step_onehot, xattn_kv}`` per slot."""
+
+    def prefill(
+        params, pixel_values, pixel_valid, input_ids, attention_mask,
+        icv_scaled, cache_len,
+    ):
+        latents = encode_media(cfg, params, pixel_values)
+        n_img = pixel_values.shape[1]
+        pv = pixel_valid[:, None, :].astype(jnp.float32)
+        prefill_onehot = (
+            image_attention_onehot(
+                input_ids, cfg.image_token_id, eos_token_id, n_img
+            )
+            * pv
+        )
+        step_onehot = (
+            last_image_onehot(input_ids, cfg.image_token_id, n_img) * pv
+        )
+        xattn_kv = precompute_xattn_kv(cfg, params, latents)
+        positions = _positions_from_mask(attention_mask)
+        cache = init_kv_cache(cfg.text, input_ids.shape[0], cache_len)
+        logits, cache = openflamingo_forward(
+            cfg,
+            params,
+            input_ids,
+            attention_mask,
+            latents,
+            prefill_onehot,
+            icv_scaled=icv_scaled,
+            cache=cache,
+            positions=positions,
+            xattn_kv=xattn_kv,
+            last_logit_only=True,
+            prefill_flash=attention_mask,
+        )
+        media = {
+            "latents": latents,
+            "step_onehot": step_onehot,
+            "xattn_kv": xattn_kv,
+        }
+        return (
+            logits[:, -1, :].astype(jnp.float32),
+            cache,
+            media,
+            positions[:, -1] + 1,
+        )
+
+    def decode_step(
+        params, token_ids, attention_mask, positions, cache, icv_scaled, media
+    ):
+        b, s = token_ids.shape
+        onehot = jnp.broadcast_to(
+            media["step_onehot"], (b, s, media["step_onehot"].shape[-1])
+        )
+        return openflamingo_forward(
+            cfg,
+            params,
+            token_ids,
+            attention_mask,
+            media["latents"],
+            onehot,
+            icv_scaled=icv_scaled,
+            cache=cache,
+            positions=positions,
+            xattn_kv=media["xattn_kv"],
+        )
+
+    return prefill, decode_step, SERVING_MEDIA_AXES
