@@ -178,17 +178,36 @@ def main(argv: list[str] | None = None):
             json.dump(result_dict, f, indent=4)
 
     if cfg.test_icv:
-        results = icv_inference(
-            val_ds,
-            bundle,
-            prompt_manager,
-            bs=int(cfg.bs),
-            generate_kwargs=gen_kwargs,
-            instruction=str(cfg.prompt.instruction),
-            icv_scaled=icv_scaled,
-            mesh=mesh,
-            pipeline_depth=int(cfg.get("infer_pipeline", 2)),
-        )
+        # infer_engine=continuous: greedy evals through the slot-based
+        # continuous-batching engine (ragged workloads keep every slot
+        # busy); beam search and the default stay on the static batch path
+        if (
+            str(cfg.get("infer_engine", "static")) == "continuous"
+            and int(gen_kwargs.get("num_beams", 1)) == 1
+        ):
+            from licv_vqa_tpu.infer.runner import icv_inference_continuous
+
+            results = icv_inference_continuous(
+                val_ds,
+                bundle,
+                prompt_manager,
+                generate_kwargs=gen_kwargs,
+                instruction=str(cfg.prompt.instruction),
+                icv_scaled=icv_scaled,
+                n_slots=int(cfg.bs),
+            )
+        else:
+            results = icv_inference(
+                val_ds,
+                bundle,
+                prompt_manager,
+                bs=int(cfg.bs),
+                generate_kwargs=gen_kwargs,
+                instruction=str(cfg.prompt.instruction),
+                icv_scaled=icv_scaled,
+                mesh=mesh,
+                pipeline_depth=int(cfg.get("infer_pipeline", 2)),
+            )
         evaluate_and_store(results, "icv result")
         with open(meta_info_dir / f"{base_info}icv.json", "w") as f:
             json.dump(results, f, indent=4)

@@ -282,6 +282,79 @@ def icv_inference(
     return pipe.drain()
 
 
+def icv_inference_continuous(
+    val_ds,
+    bundle,
+    prompt_manager: PromptManager,
+    generate_kwargs: dict,
+    instruction: str = "",
+    icv_scaled: Optional[jax.Array] = None,
+    progress: bool = True,
+    n_slots: int = 8,
+    sync_steps: int = 4,
+) -> dict:
+    """``icv_inference`` through the continuous-batching ServingEngine
+    (greedy only — ``num_beams`` must be 1; the reference's beam-3 default
+    stays on the static batch path).  Same output contract as
+    ``icv_inference``; per-request results are token-identical to the
+    greedy static path (tests/test_serving.py), but ragged workloads keep
+    every slot busy instead of draining whole batches."""
+    from .serving import Request, ServingEngine
+
+    if int(generate_kwargs.get("num_beams", 1)) != 1:
+        raise ValueError(
+            "continuous serving is greedy-only (num_beams=1); use "
+            "icv_inference for beam search"
+        )
+    max_new = int(generate_kwargs.get("max_new_tokens", 5))
+    min_new = int(generate_kwargs.get("min_new_tokens", 0))
+    proc = bundle.processor
+
+    samples, requests, lens = [], [], []
+    for idx, sample in enumerate(_maybe_tqdm(val_ds, progress)):
+        p = [instruction] if instruction else []
+        p += [sample["image"], prompt_manager.gen_query_text_without_label(sample)]
+        enc = proc.prepare_input([p], padding=True, padding_side="left")
+        mask = np.asarray(enc["attention_mask"][0], bool)
+        ids = np.asarray(enc["input_ids"][0])[mask]
+        lens.append(len(ids))
+        requests.append(
+            Request(
+                uid=idx,
+                input_ids=ids,
+                pixel_values=np.asarray(enc["pixel_values"][0]),
+                pixel_valid=np.asarray(enc["pixel_valid"][0], bool),
+                max_new=max_new,
+                min_new=min_new,
+            )
+        )
+        samples.append(sample)
+
+    # static prompt buckets: 64-multiples covering the observed lengths
+    # (one admit compile per distinct bucket)
+    buckets = tuple(sorted({-(-n // 64) * 64 for n in lens})) or (64,)
+    engine = ServingEngine.from_bundle(
+        bundle,
+        icv_scaled=icv_scaled,
+        n_slots=n_slots,
+        out_cap=max(max_new, 1),
+        prompt_buckets=buckets,
+        sync_steps=sync_steps,
+    )
+    for r in requests:
+        engine.submit(r)
+    tokens = engine.run()
+
+    results = {}
+    for idx, sample in enumerate(samples):
+        text = bundle.tokenizer.batch_decode(
+            [tokens[idx]], skip_special_tokens=True
+        )[0]
+        row = {k: v for k, v in sample.items() if k != "image"}
+        results[idx] = {"prediction": text, **row}
+    return results
+
+
 def icl_inference(
     train_ds,
     val_ds,

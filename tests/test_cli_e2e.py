@@ -183,6 +183,40 @@ def test_dp_sharded_inference_matches_single_device(env):
     assert len(preds("e2e_dpspec")) == len(preds1)
 
 
+def test_continuous_engine_inference_matches_static(env):
+    """infer_engine=continuous routes greedy test_icv evals through the
+    continuous-batching ServingEngine; predictions are identical to the
+    static batch path (and the reference's beam default is untouched)."""
+    import json as _json
+    import shutil
+
+    import inference as infer_cli
+    import train as train_cli
+
+    save_path = train_cli.main(
+        COMMON + ["trainer=debug", "data_cfg.bs=2", "run_name=e2e_static"]
+    )
+    shutil.copytree(save_path, save_path.parent / "e2e_cont")
+
+    args = COMMON + [
+        "test_icv=true",
+        "test_num=5",
+        "bs=2",
+        "generate_kwargs.max_new_tokens=3",
+        "generate_kwargs.num_beams=1",
+    ]
+    infer_cli.main(args + ["run_name=e2e_static"])
+    infer_cli.main(args + ["run_name=e2e_cont", "infer_engine=continuous"])
+
+    base = env / "results" / "inference" / "tiny-idefics" / "vqav2"
+
+    def preds(run):
+        p = _json.load(open(next((base / run / "meta_info").glob("*icv.json"))))
+        return [p[k]["prediction"] for k in sorted(p)]
+
+    assert preds("e2e_static") == preds("e2e_cont")
+
+
 def test_icl_inference_with_rice(env):
     import inference as infer_cli
 

@@ -1,0 +1,181 @@
+#!/usr/bin/env python
+"""Continuous batching vs static batching on the flagship serving shape.
+
+Workload: requests with ragged generation lengths (the regime real serving
+lives in — the reference's eval batches stop at a fixed ``max_new_tokens``,
+but mixed workloads don't).  Two arms over the SAME request set, SAME
+weights (32L idefics-9B int8 + int8 KV, bench.py's flagship build):
+
+- **static**: FIFO batches of ``n_slots`` through ``greedy_generate``; each
+  batch decodes to its own max (rounded up to a 16-step bucket — generous:
+  a per-batch-max static server), finished rows burn pad steps.
+- **engine**: the continuous-batching ServingEngine — finished slots refill
+  from the queue mid-flight.
+
+Both arms emit identical tokens per request (same greedy numerics), so
+useful-token throughput is directly comparable.  Reported per arm:
+wall tok/s (useful), row-steps (8 × decode steps — the padding-waste view),
+and the engine's step efficiency vs the ragged ideal.
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+EOS, PAD = 2, 0
+
+
+def make_workload(rng, n_req, bucket, out_cap, uniform=None):
+    from licv_vqa_tpu.infer.serving import Request
+
+    reqs = []
+    for i in range(n_req):
+        s = int(rng.integers(64, bucket - 8))
+        ids = rng.integers(3, 32000, size=(s,)).astype(np.int32)
+        ids[1] = 32001  # image token (idefics_9b image_token_id — asserted below)
+        max_new = uniform or int(rng.integers(8, out_cap + 1))
+        pixels = rng.normal(size=(1, 224, 224, 3)).astype(np.float32)
+        reqs.append(
+            Request(uid=i, input_ids=ids, pixel_values=pixels, max_new=max_new)
+        )
+    return reqs
+
+
+def run_static(cfg, params, bind, reqs, n_slots, bucket):
+    """FIFO batches; per-batch max_new rounded up to 16 (compile bucketing)."""
+    import jax.numpy as jnp
+
+    from licv_vqa_tpu.infer.decode import greedy_generate
+
+    results = {}
+    t0 = time.perf_counter()
+    row_steps = 0
+    for i in range(0, len(reqs), n_slots):
+        batch = reqs[i : i + n_slots]
+        real = len(batch)
+        batch = batch + [batch[-1]] * (n_slots - real)
+        ids = np.full((n_slots, bucket), PAD, np.int32)
+        mask = np.zeros((n_slots, bucket), np.int32)
+        for j, r in enumerate(batch):
+            n = len(r.input_ids)
+            ids[j, bucket - n :] = r.input_ids
+            mask[j, bucket - n :] = 1
+        pixels = jnp.asarray(np.stack([r.pixel_values for r in batch]))
+        pv = jnp.ones((n_slots, 1), bool)
+        max_new = -(-max(r.max_new for r in batch) // 16) * 16
+        fwd = bind(
+            params, pixels, pv, jnp.asarray(ids), None, bucket + max_new + 1
+        )
+        out = np.asarray(
+            greedy_generate(
+                fwd, jnp.asarray(ids), jnp.asarray(mask),
+                max_new_tokens=max_new, eos_token_id=EOS, pad_token_id=PAD,
+            )
+        )
+        row_steps += n_slots * max_new
+        for j, r in enumerate(batch[:real]):
+            gen = out[j, bucket:]
+            hits = np.nonzero(gen == EOS)[0]
+            cut = min(
+                r.max_new, (hits[0] + 1) if len(hits) else max_new
+            )
+            results[r.uid] = gen[:cut]
+    return results, time.perf_counter() - t0, row_steps
+
+
+def run_engine(cfg, params, reqs, n_slots, bucket, out_cap, sync_steps):
+    from licv_vqa_tpu.infer.serving import ServingEngine
+    from licv_vqa_tpu.models.idefics import make_idefics_serving_fns
+
+    prefill, decode, axes = make_idefics_serving_fns(cfg, eos_token_id=EOS)
+    engine = ServingEngine(
+        prefill, decode, axes, cfg.text, params,
+        eos_token_id=EOS, pad_token_id=PAD,
+        n_slots=n_slots, out_cap=out_cap, prompt_buckets=(bucket,),
+        sync_steps=sync_steps, admit_sizes=(2, 1),
+    )
+    for r in reqs:
+        engine.submit(r)
+    t0 = time.perf_counter()
+    got = engine.run()
+    return engine, got, time.perf_counter() - t0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--layers", type=int, default=32)
+    ap.add_argument("--requests", type=int, default=32)
+    ap.add_argument("--slots", type=int, default=8)
+    ap.add_argument("--bucket", type=int, default=128)
+    ap.add_argument("--out-cap", type=int, default=64)
+    ap.add_argument("--sync-steps", type=int, default=8)
+    ap.add_argument("--uniform", type=int, default=0,
+                    help="fixed max_new for the sanity arm (0 = ragged)")
+    args = ap.parse_args()
+
+    import jax
+
+    assert jax.default_backend() == "tpu", jax.default_backend()
+    from licv_vqa_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    import bench  # repo-root bench: the canonical flagship int8 build
+
+    cfg, params, bind = bench.build(args.layers, quantize=True, kv8=True)
+    assert cfg.image_token_id == 32001, cfg.image_token_id
+
+    rng = np.random.default_rng(0)
+    reqs = make_workload(
+        rng, args.requests, args.bucket, args.out_cap,
+        uniform=args.uniform or None,
+    )
+
+    # warmup pass (compiles both arms), then the timed pass
+    for tag in ("warmup", "timed"):
+        st_res, st_t, st_rows = run_static(
+            cfg, params, bind, reqs, args.slots, args.bucket
+        )
+        eng, en_res, en_t = run_engine(
+            cfg, params, reqs, args.slots, args.bucket, args.out_cap,
+            args.sync_steps,
+        )
+        if tag == "warmup":
+            # cross-check: both arms emit identical tokens per request
+            for r in reqs:
+                a, b = st_res[r.uid], en_res[r.uid]
+                assert np.array_equal(a, b), (r.uid, a, b)
+            print(f"[warmup] token parity static==engine on {len(reqs)} reqs")
+
+    useful = int(sum(len(v) for v in en_res.values()))
+    en_rows = args.slots * eng.steps_run
+    ideal_steps = -(-useful // args.slots)
+    out = {
+        "workload": "uniform" if args.uniform else "ragged",
+        "requests": args.requests,
+        "useful_tokens": useful,
+        "static": {
+            "s": round(st_t, 2),
+            "tok_s": round(useful / st_t, 1),
+            "row_steps": st_rows,
+        },
+        "engine": {
+            "s": round(en_t, 2),
+            "tok_s": round(useful / en_t, 1),
+            "row_steps": en_rows,
+            "decode_steps": eng.steps_run,
+            "step_efficiency_vs_ideal": round(ideal_steps / eng.steps_run, 3),
+        },
+        "speedup": round(st_t / en_t, 2),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
