@@ -27,7 +27,14 @@ All big state stays on device across calls (buffer donation — the multi-GB
 KV cache is never copied); the host loop only moves prompts in and token
 ids out.  Decode semantics per slot are EXACTLY ``infer.decode.
 greedy_generate`` (same argmax, EOS handling, ``min_new_tokens`` EOS
-suppression), token-for-token — tested in tests/test_serving.py.
+suppression), token-for-token — tested in tests/test_serving.py, and
+verified BITWISE on v5e at matching batch shapes (engine adm=1 prefill
+logits == static bs=1: maxdiff 0.0 on the 32L int8 flagship).  Across
+DIFFERENT batch shapes XLA's kernel selection makes bf16 logits
+shape-dependent (same row, bs=1 vs bs=8: up to ~1.4 logit drift through 32
+layers on v5e), so greedy argmax near ties can flip engine-vs-static just
+as it flips static-vs-static across batch sizes — inherent to compiled
+bf16 serving, not an engine artifact (tools/bench_serving_tpu.py).
 
 Why this beats the reference's static batching on ragged workloads: with
 per-request generation lengths, a static batch burns ``(max_len - len_i)``
@@ -98,6 +105,7 @@ class ServingEngine:
         sync_steps: int = 4,
         admit_sizes: tuple = (4, 2, 1),
         icv_scaled=None,
+        mesh=None,
     ):
         self._prefill = prefill_fn
         self._decode = decode_fn
@@ -113,6 +121,17 @@ class ServingEngine:
         self.admit_sizes = tuple(sorted({int(a) for a in admit_sizes} | {1}, reverse=True))
         self.cache_len = self.prompt_buckets[-1] + self.out_cap
         self._icv = icv_scaled
+        # multi-chip: the SLOT POOL shards over the mesh's dp axis (each
+        # chip holds n_slots/dp rows of the cache/state/media); admissions
+        # and harvests stay host-driven, GSPMD keeps every jitted step
+        # sharded.  Frozen weights should already be laid out on the mesh
+        # (runner._replicate_bundle_params — from_bundle does this).
+        self.mesh = mesh
+        if mesh is not None and self.n_slots % mesh.shape.get("dp", 1):
+            raise ValueError(
+                f"n_slots={self.n_slots} must divide over dp="
+                f"{mesh.shape.get('dp', 1)}"
+            )
 
         cache = init_kv_cache(text_cfg, self.n_slots, self.cache_len)
         # per-row write index: each slot advances independently
@@ -129,11 +148,46 @@ class ServingEngine:
             "last_logits": jnp.zeros((b, v), jnp.float32),
             "out": jnp.zeros((b, self.out_cap), jnp.int32),
         }
+        if mesh is not None:
+            self._cache = self._shard_cache(self._cache)
+            self._state = {
+                k: self._shard_batch0(x) for k, x in self._state.items()
+            }
         self._queue: deque[Request] = deque()
         self._slots: list[Optional[_Slot]] = [None] * self.n_slots
         self._admit_jits: dict = {}
         self._chunk_jit = None
         self.steps_run = 0  # decode steps dispatched (bench introspection)
+
+    # -- mesh sharding helpers ----------------------------------------------
+
+    def _named(self, spec):
+        from jax.sharding import NamedSharding
+
+        return NamedSharding(self.mesh, spec)
+
+    def _shard_batch0(self, x):
+        from jax.sharding import PartitionSpec as P
+
+        return jax.device_put(x, self._named(P("dp")))
+
+    def _shard_batch_ax(self, x, ax: int):
+        from jax.sharding import PartitionSpec as P
+
+        spec = P(*([None] * ax + ["dp"]))
+        return jax.device_put(x, self._named(spec))
+
+    def _shard_cache(self, cache: dict) -> dict:
+        """K/V planes carry batch at axis 1 ((L, B, S, ...)); pos/valid/index
+        at axis 0."""
+        out = dict(cache)
+        for key in ("k", "v"):
+            out[key] = jax.tree.map(
+                lambda x: self._shard_batch_ax(x, 1), cache[key]
+            )
+        for key in ("pos", "valid", "index"):
+            out[key] = self._shard_batch0(cache[key])
+        return out
 
     # -- construction -------------------------------------------------------
 
@@ -180,6 +234,10 @@ class ServingEngine:
             icv = expand_icv_to_layers(
                 icv, bundle.intervention_layers, cfg.text.n_layers
             )
+        if kw.get("mesh") is not None:
+            from .runner import _replicate_bundle_params
+
+            _replicate_bundle_params(bundle, kw["mesh"])
         return cls(
             norm_prefill,
             decode,
@@ -309,7 +367,8 @@ class ServingEngine:
             def f(aval):
                 shape = list(aval.shape)
                 shape[ax] = self.n_slots
-                return jnp.zeros(shape, aval.dtype)
+                z = jnp.zeros(shape, aval.dtype)
+                return self._shard_batch_ax(z, ax) if self.mesh is not None else z
 
             return f
 

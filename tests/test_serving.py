@@ -207,6 +207,35 @@ def test_engine_int8_cache_and_weights():
         np.testing.assert_array_equal(got[r.uid], want, err_msg=r.uid)
 
 
+def test_engine_dp_mesh_matches_single_device():
+    """The slot pool shards over the mesh's dp axis (multi-chip serving):
+    results are identical to the unsharded engine (f32 tiny model — batch
+    sharding never changes per-row math)."""
+    from jax.sharding import Mesh
+
+    cfg, params, bind, (prefill, decode, axes) = _idefics_setup()
+    rng = np.random.default_rng(9)
+    reqs = _make_requests(cfg, rng, 6)
+
+    def run(mesh):
+        engine = ServingEngine(
+            prefill, decode, axes, cfg.text, params,
+            eos_token_id=EOS, pad_token_id=PAD,
+            n_slots=4, out_cap=8, prompt_buckets=(16,),
+            sync_steps=2, admit_sizes=(2, 1), mesh=mesh,
+        )
+        for r in reqs:
+            engine.submit(r)
+        return engine.run()
+
+    base = run(None)
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(4), ("dp",))
+    sharded = run(mesh)
+    assert set(base) == set(sharded)
+    for uid in base:
+        np.testing.assert_array_equal(sharded[uid], base[uid], err_msg=uid)
+
+
 def test_engine_from_bundle():
     """Bundle-level construction: synthetic idefics bundle, uint8 pixels
     normalized on device — engine tokens match the bundle's own greedy

@@ -12,10 +12,16 @@ weights (32L idefics-9B int8 + int8 KV, bench.py's flagship build):
 - **engine**: the continuous-batching ServingEngine — finished slots refill
   from the queue mid-flight.
 
-Both arms emit identical tokens per request (same greedy numerics), so
-useful-token throughput is directly comparable.  Reported per arm:
-wall tok/s (useful), row-steps (8 × decode steps — the padding-waste view),
-and the engine's step efficiency vs the ragged ideal.
+Token parity caveat (measured, v5e): the engine is BITWISE identical to
+the static path at the same batch shape (prefill logits adm=1 vs static
+bs=1: maxdiff 0.0), but XLA's kernel choices make bf16 logits
+batch-SHAPE-dependent (the same row differs by up to ~1.4 logits between
+bs=1 and bs=8 through 32 layers), so greedy argmax can flip between arms —
+exactly as it flips for static batching across batch sizes.  With random
+weights the top-2 margin (~0.14 here) sits inside that noise, so streams
+diverge quickly; real weights have decisive margins most steps.  The bench
+therefore counts useful tokens PER ARM and reports the agreement fraction
+instead of asserting equality.
 """
 
 import argparse
@@ -147,32 +153,42 @@ def main():
             args.sync_steps,
         )
         if tag == "warmup":
-            # cross-check: both arms emit identical tokens per request
+            # agreement FYI (see module docstring: batch-shape bf16 numerics
+            # make exact parity across arms unattainable at 9B scale)
+            same = agree = total = 0
             for r in reqs:
                 a, b = st_res[r.uid], en_res[r.uid]
-                assert np.array_equal(a, b), (r.uid, a, b)
-            print(f"[warmup] token parity static==engine on {len(reqs)} reqs")
+                same += np.array_equal(a, b)
+                n = min(len(a), len(b))
+                agree += int((a[:n] == b[:n]).sum())
+                total += n
+            print(
+                f"[warmup] static-vs-engine: {same}/{len(reqs)} exact, "
+                f"{agree}/{total} positions agree"
+            )
 
-    useful = int(sum(len(v) for v in en_res.values()))
+    st_useful = int(sum(len(v) for v in st_res.values()))
+    en_useful = int(sum(len(v) for v in en_res.values()))
     en_rows = args.slots * eng.steps_run
-    ideal_steps = -(-useful // args.slots)
+    ideal_steps = -(-en_useful // args.slots)
     out = {
         "workload": "uniform" if args.uniform else "ragged",
         "requests": args.requests,
-        "useful_tokens": useful,
         "static": {
             "s": round(st_t, 2),
-            "tok_s": round(useful / st_t, 1),
+            "useful_tokens": st_useful,
+            "tok_s": round(st_useful / st_t, 1),
             "row_steps": st_rows,
         },
         "engine": {
             "s": round(en_t, 2),
-            "tok_s": round(useful / en_t, 1),
+            "useful_tokens": en_useful,
+            "tok_s": round(en_useful / en_t, 1),
             "row_steps": en_rows,
             "decode_steps": eng.steps_run,
             "step_efficiency_vs_ideal": round(ideal_steps / eng.steps_run, 3),
         },
-        "speedup": round(st_t / en_t, 2),
+        "speedup": round((en_useful / en_t) / (st_useful / st_t), 2),
     }
     print(json.dumps(out))
 
