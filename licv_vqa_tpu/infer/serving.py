@@ -79,6 +79,11 @@ class Request:
 class _Slot:
     request: Request
     prompt_len: int
+    # chunk count at admission: a state produced by chunk k (id k) reflects
+    # this slot only if admitted_at < k — the pipelined harvest reads LAGGED
+    # states, and a freed-then-reused slot still carries the previous
+    # occupant's finished/out flags there
+    admitted_at: int = 0
 
 
 class ServingEngine:
@@ -133,21 +138,9 @@ class ServingEngine:
                 f"{mesh.shape.get('dp', 1)}"
             )
 
-        cache = init_kv_cache(text_cfg, self.n_slots, self.cache_len)
-        # per-row write index: each slot advances independently
-        self._cache = dict(cache, index=jnp.zeros((self.n_slots,), jnp.int32))
+        self._cache = self._init_cache()
         self._media: Optional[dict] = None  # allocated at first admission
-        b, v = self.n_slots, text_cfg.vocab_size
-        self._state = {
-            "active": jnp.zeros((b,), bool),
-            "finished": jnp.zeros((b,), bool),
-            "tok_count": jnp.zeros((b,), jnp.int32),
-            "next_pos": jnp.zeros((b,), jnp.int32),
-            "max_new": jnp.ones((b,), jnp.int32),
-            "min_new": jnp.zeros((b,), jnp.int32),
-            "last_logits": jnp.zeros((b, v), jnp.float32),
-            "out": jnp.zeros((b, self.out_cap), jnp.int32),
-        }
+        self._state = self._init_state()
         if mesh is not None:
             self._cache = self._shard_cache(self._cache)
             self._state = {
@@ -158,6 +151,31 @@ class ServingEngine:
         self._admit_jits: dict = {}
         self._chunk_jit = None
         self.steps_run = 0  # decode steps dispatched (bench introspection)
+        self._chunk_count = 0  # chunks dispatched (harvest-lag generation id)
+        # wall-clock completion per uid, relative to the run() start (the
+        # latency story: early finishers return early instead of waiting
+        # for a static batch to drain)
+        self.completion_s: dict = {}
+
+    # -- fresh device state ---------------------------------------------------
+
+    def _init_cache(self) -> dict:
+        cache = init_kv_cache(self._text_cfg, self.n_slots, self.cache_len)
+        # per-row write index: each slot advances independently
+        return dict(cache, index=jnp.zeros((self.n_slots,), jnp.int32))
+
+    def _init_state(self) -> dict:
+        b, v = self.n_slots, self._text_cfg.vocab_size
+        return {
+            "active": jnp.zeros((b,), bool),
+            "finished": jnp.zeros((b,), bool),
+            "tok_count": jnp.zeros((b,), jnp.int32),
+            "next_pos": jnp.zeros((b,), jnp.int32),
+            "max_new": jnp.ones((b,), jnp.int32),
+            "min_new": jnp.zeros((b,), jnp.int32),
+            "last_logits": jnp.zeros((b, v), jnp.float32),
+            "out": jnp.zeros((b, self.out_cap), jnp.int32),
+        }
 
     # -- mesh sharding helpers ----------------------------------------------
 
@@ -266,8 +284,21 @@ class ServingEngine:
 
     def run(self) -> dict:
         """Drain the queue; returns {uid: np.ndarray generated token ids}
-        (up to and including EOS, exactly ``greedy_generate``'s emissions)."""
+        (up to and including EOS, exactly ``greedy_generate``'s emissions).
+        ``completion_s[uid]`` records each request's wall-clock completion
+        relative to this call."""
+        import time
+
         results: dict = {}
+        t0 = time.perf_counter()
+        # pipelined loop: dispatch chunk k+1 (async) BEFORE blocking on
+        # chunk k's flags, so the harvest readback overlaps device compute.
+        # Safe because state is never donated (only the cache is): chunk
+        # k's output state stays readable after k+1 consumes it.  Harvest
+        # therefore lags one chunk — a finished slot's flags are monotonic
+        # and its out/tok_count freeze once finished, so the stale read is
+        # exact, just one chunk late.
+        prev = None  # (state handle, generation id)
         while self._queue or any(s is not None for s in self._slots):
             self._admit_pending()
             if any(s is not None for s in self._slots):
@@ -275,7 +306,20 @@ class ServingEngine:
                     self.params, self._cache, self._media, self._state, self._icv
                 )
                 self.steps_run += self.sync_steps
-                results.update(self._harvest())
+                self._chunk_count += 1
+                if prev is not None:
+                    done = self._harvest(*prev)
+                    now = time.perf_counter() - t0
+                    for uid in done:
+                        self.completion_s[uid] = now
+                    results.update(done)
+                prev = (self._state, self._chunk_count)
+        # drain: the last chunk's flags were never read
+        done = self._harvest(self._state, self._chunk_count)
+        now = time.perf_counter() - t0
+        for uid in done:
+            self.completion_s[uid] = now
+        results.update(done)
         return results
 
     # -- admission -----------------------------------------------------------
@@ -348,7 +392,7 @@ class ServingEngine:
             jnp.asarray(min_new),
         )
         for r, s in zip(group, slots):
-            self._slots[s] = _Slot(r, len(r.input_ids))
+            self._slots[s] = _Slot(r, len(r.input_ids), self._chunk_count)
 
     def _alloc_media(self, pixels, pv, ids, mask, bucket) -> None:
         """Size the per-slot media buffers from the prefill's output avals
@@ -377,9 +421,56 @@ class ServingEngine:
             for k, ax in self._media_axes.items()
         }
 
+    def _scatter_admit(
+        self, cache, media, state, slots, bucket,
+        last, small, new_media, next_pos, max_new, min_new,
+    ):
+        """Scatter one prefilled admission group into the slot arrays —
+        shared by the host-driven admit jit and the fused on-device loop
+        (``slots`` may be a traced array)."""
+
+        def rows(big, sm):  # K/V planes: (L, B, S, ...) — cols [0:bucket]
+            return big.at[:, slots, :bucket].set(sm)
+
+        out_cache = dict(cache)
+        for key in ("k", "v"):
+            if isinstance(cache[key], dict):
+                out_cache[key] = {
+                    "q": rows(cache[key]["q"], small[key]["q"]),
+                    "s": rows(cache[key]["s"], small[key]["s"]),
+                }
+            else:
+                out_cache[key] = rows(cache[key], small[key])
+        out_cache["pos"] = cache["pos"].at[slots, :bucket].set(small["pos"])
+        out_cache["valid"] = (
+            cache["valid"].at[slots, :bucket].set(small["valid"])
+        )
+        out_cache["index"] = cache["index"].at[slots].set(small["index"])
+
+        out_media = dict(media)
+        for key, ax in self._media_axes.items():
+            scat = (
+                (lambda big, sm: big.at[slots].set(sm))
+                if ax == 0
+                else (lambda big, sm: big.at[:, slots].set(sm))
+            )
+            out_media[key] = jax.tree.map(scat, media[key], new_media[key])
+
+        st = dict(
+            state,
+            active=state["active"].at[slots].set(True),
+            finished=state["finished"].at[slots].set(False),
+            tok_count=state["tok_count"].at[slots].set(0),
+            next_pos=state["next_pos"].at[slots].set(next_pos),
+            max_new=state["max_new"].at[slots].set(max_new),
+            min_new=state["min_new"].at[slots].set(min_new),
+            last_logits=state["last_logits"].at[slots].set(last),
+            out=state["out"].at[slots].set(0),
+        )
+        return out_cache, out_media, st
+
     def _build_admit(self, bucket: int):
         prefill = self._prefill
-        axes = self._media_axes
 
         def admit(
             params, cache, media, state, icv, slots, pixels, pv, ids, mask,
@@ -388,48 +479,16 @@ class ServingEngine:
             last, small, new_media, next_pos = prefill(
                 params, pixels, pv, ids, mask, icv, bucket
             )
-
-            def rows(big, sm):  # K/V planes: (L, B, S, ...) — cols [0:bucket]
-                return big.at[:, slots, :bucket].set(sm)
-
-            out_cache = dict(cache)
-            for key in ("k", "v"):
-                if isinstance(cache[key], dict):
-                    out_cache[key] = {
-                        "q": rows(cache[key]["q"], small[key]["q"]),
-                        "s": rows(cache[key]["s"], small[key]["s"]),
-                    }
-                else:
-                    out_cache[key] = rows(cache[key], small[key])
-            out_cache["pos"] = cache["pos"].at[slots, :bucket].set(small["pos"])
-            out_cache["valid"] = (
-                cache["valid"].at[slots, :bucket].set(small["valid"])
+            return self._scatter_admit(
+                cache, media, state, slots, bucket,
+                last, small, new_media, next_pos, max_new, min_new,
             )
-            out_cache["index"] = cache["index"].at[slots].set(small["index"])
 
-            out_media = dict(media)
-            for key, ax in axes.items():
-                scat = (
-                    (lambda big, sm: big.at[slots].set(sm))
-                    if ax == 0
-                    else (lambda big, sm: big.at[:, slots].set(sm))
-                )
-                out_media[key] = jax.tree.map(scat, media[key], new_media[key])
-
-            st = dict(
-                state,
-                active=state["active"].at[slots].set(True),
-                finished=state["finished"].at[slots].set(False),
-                tok_count=state["tok_count"].at[slots].set(0),
-                next_pos=state["next_pos"].at[slots].set(next_pos),
-                max_new=state["max_new"].at[slots].set(max_new),
-                min_new=state["min_new"].at[slots].set(min_new),
-                last_logits=state["last_logits"].at[slots].set(last),
-                out=state["out"].at[slots].set(0),
-            )
-            return out_cache, out_media, st
-
-        return jax.jit(admit, donate_argnums=(1, 2, 3))
+        # state is deliberately NOT donated: the pipelined run() loop reads
+        # the PREVIOUS chunk's state for harvest after later calls consumed
+        # it — donation would invalidate those buffers.  State is ~1 MB
+        # (flags + last_logits + out); the multi-GB cache/media are donated.
+        return jax.jit(admit, donate_argnums=(1, 2))
 
     # -- decode --------------------------------------------------------------
 
@@ -438,82 +497,257 @@ class ServingEngine:
             self._chunk_jit = self._build_chunk()
         return self._chunk_jit
 
-    def _build_chunk(self):
+    def _make_step(self):
+        """One lockstep decode step over the whole pool — the shared body of
+        the host-driven chunk and the fused on-device loop.  Emits each
+        active-unfinished slot's pending token (greedy_generate-exact argmax
+        + min_new EOS suppression), forwards it, advances per-row indices."""
         decode_fn = self._decode
         eos, pad = self.eos_token_id, self.pad_token_id
-        sync_steps, out_cap = self.sync_steps, self.out_cap
+        cols = np.arange(self.out_cap, dtype=np.int32)
+
+        def step(params, state, cache, media, icv):
+            emit = state["active"] & ~state["finished"]
+            lg = state["last_logits"]
+            lg = jnp.where(
+                (state["tok_count"] < state["min_new"])[:, None],
+                lg.at[:, eos].set(NEG_INF),
+                lg,
+            )
+            tok = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+            tok = jnp.where(emit, tok, pad)
+            write = emit[:, None] & (
+                jnp.asarray(cols)[None, :] == state["tok_count"][:, None]
+            )
+            out = jnp.where(write, tok[:, None], state["out"])
+            finished = state["finished"] | (
+                emit
+                & ((tok == eos) | (state["tok_count"] + 1 >= state["max_new"]))
+            )
+            adv = emit.astype(jnp.int32)
+            old_index = cache["index"]
+            logits, cache = decode_fn(
+                params,
+                tok[:, None],
+                adv[:, None],
+                state["next_pos"][:, None],
+                cache,
+                icv,
+                media,
+            )
+            # rows that did not emit must not advance their write index
+            # (forward_hidden bumps every row; correct it per-row here —
+            # the masked row's K/V write landed with valid=False, so the
+            # column is re-written when the slot really advances)
+            cache = dict(cache, index=old_index + adv)
+            state = dict(
+                state,
+                last_logits=jnp.where(
+                    emit[:, None],
+                    logits[:, -1, :].astype(jnp.float32),
+                    state["last_logits"],
+                ),
+                tok_count=state["tok_count"] + adv,
+                next_pos=state["next_pos"] + adv,
+                finished=finished,
+                out=out,
+            )
+            return state, cache
+
+        return step
+
+    def _build_chunk(self):
+        step_once = self._make_step()
+        sync_steps = self.sync_steps
 
         def chunk(params, cache, media, state, icv):
-            cols = jnp.arange(out_cap, dtype=jnp.int32)
-
-            def step(carry, _):
+            def body(carry, _):
                 state, cache = carry
-                emit = state["active"] & ~state["finished"]
-                # greedy emit, matching decode.greedy_generate token-for-token
-                lg = state["last_logits"]
-                lg = jnp.where(
-                    (state["tok_count"] < state["min_new"])[:, None],
-                    lg.at[:, eos].set(NEG_INF),
-                    lg,
-                )
-                tok = jnp.argmax(lg, axis=-1).astype(jnp.int32)
-                tok = jnp.where(emit, tok, pad)
-                write = emit[:, None] & (
-                    cols[None, :] == state["tok_count"][:, None]
-                )
-                out = jnp.where(write, tok[:, None], state["out"])
-                finished = state["finished"] | (
-                    emit
-                    & (
-                        (tok == eos)
-                        | (state["tok_count"] + 1 >= state["max_new"])
-                    )
-                )
-                adv = emit.astype(jnp.int32)
-                old_index = cache["index"]
-                logits, cache = decode_fn(
-                    params,
-                    tok[:, None],
-                    adv[:, None],
-                    state["next_pos"][:, None],
-                    cache,
-                    icv,
-                    media,
-                )
-                # rows that did not emit must not advance their write index
-                # (forward_hidden bumps every row; correct it per-row here —
-                # the masked row's K/V write landed with valid=False, so the
-                # column is re-written when the slot really advances)
-                cache = dict(cache, index=old_index + adv)
-                state = dict(
-                    state,
-                    last_logits=jnp.where(
-                        emit[:, None],
-                        logits[:, -1, :].astype(jnp.float32),
-                        state["last_logits"],
-                    ),
-                    tok_count=state["tok_count"] + adv,
-                    next_pos=state["next_pos"] + adv,
-                    finished=finished,
-                    out=out,
-                )
+                state, cache = step_once(params, state, cache, media, icv)
                 return (state, cache), None
 
             (state, cache), _ = jax.lax.scan(
-                step, (state, cache), None, length=sync_steps
+                body, (state, cache), None, length=sync_steps
             )
             return cache, state
 
-        return jax.jit(chunk, donate_argnums=(1, 3))
+        # cache-only donation (see _build_admit: harvest reads lagged state)
+        return jax.jit(chunk, donate_argnums=(1,))
+
+    # -- fused on-device serving (offline/batch mode) -------------------------
+
+    def run_fused(self) -> dict:
+        """Drain the whole queue as ONE jitted on-device program.
+
+        The host-driven :meth:`run` pays a dispatch/sync round trip per
+        chunk and per admission — ~100 ms each through a remote-dispatch
+        relay, which dwarfs a ~15 ms decode step.  This mode moves the
+        ENTIRE scheduler onto the device: requests (padded to one prompt
+        bucket) upload once, then a ``lax.while_loop`` either admits the
+        next request into the first free slot (prefill + scatter — all
+        static shapes, the slot index is a traced scalar) or decodes one
+        lockstep step for the pool; finished slots release and refill with
+        ZERO host involvement, and results read back once at the end.
+        Trade-off vs run(): no mid-flight streaming/submission — built for
+        offline workloads (batch eval, dataset sweeps).
+
+        Token semantics are identical to :meth:`run` (same step body).
+        """
+        import time
+
+        reqs = list(self._queue)
+        self._queue.clear()
+        if not reqs:
+            return {}
+        r_n = len(reqs)
+        bucket = self._bucket_for(max(len(r.input_ids) for r in reqs))
+        pad = self.pad_token_id
+        ids = np.full((r_n, bucket), pad, np.int32)
+        mask = np.zeros((r_n, bucket), np.int32)
+        for i, r in enumerate(reqs):
+            n = len(r.input_ids)
+            ids[i, bucket - n :] = np.asarray(r.input_ids, np.int32)
+            mask[i, bucket - n :] = 1
+        pixels = np.stack([np.asarray(r.pixel_values) for r in reqs])
+        pv = np.stack(
+            [
+                np.ones(pixels.shape[1], bool)
+                if r.pixel_valid is None
+                else np.asarray(r.pixel_valid, bool)
+                for r in reqs
+            ]
+        )
+        max_new = np.asarray([r.max_new for r in reqs], np.int32)
+        min_new = np.asarray([r.min_new for r in reqs], np.int32)
+
+        if self._media is None:
+            self._alloc_media(pixels[:1], pv[:1], ids[:1], mask[:1], bucket)
+        key = ("fused", r_n, bucket, pixels.shape[1:], str(pixels.dtype))
+        if key not in self._admit_jits:
+            self._admit_jits[key] = self._build_fused(r_n, bucket)
+        t0 = time.perf_counter()
+        out, lens, stats = self._admit_jits[key](
+            self.params,
+            jnp.asarray(ids),
+            jnp.asarray(mask),
+            jnp.asarray(pixels),
+            jnp.asarray(pv),
+            jnp.asarray(max_new),
+            jnp.asarray(min_new),
+            self._icv,
+        )
+        out, lens, stats = jax.device_get((out, lens, stats))
+        self.fused_stats = {"admit_iters": int(stats[0]), "decode_iters": int(stats[1])}
+        done = time.perf_counter() - t0
+        results = {}
+        for i, r in enumerate(reqs):
+            results[r.uid] = out[i, : lens[i]].copy()
+            self.completion_s[r.uid] = done
+        return results
+
+    def _build_fused(self, r_n: int, bucket: int):
+        prefill = self._prefill
+        step_once = self._make_step()
+        n_slots = self.n_slots
+
+        def fused(params, ids, mask, pixels, pv, max_new, min_new, icv):
+            cache = self._init_cache()
+            state = self._init_state()
+            # zeros from SHAPES, not zeros_like(concrete buffers): the
+            # latter would constant-fold multi-MB zero arrays into the
+            # program (remote-compile payload bloat)
+            media = jax.tree.map(
+                lambda x: jnp.zeros(x.shape, x.dtype), self._media
+            )
+            carry = (
+                state,
+                cache,
+                media,
+                jnp.zeros((n_slots,), jnp.int32),  # slot -> request id
+                # +1 dump row: released slots' stale pointers scatter there
+                jnp.zeros((r_n + 1, self.out_cap), jnp.int32),
+                jnp.zeros((r_n + 1,), jnp.int32),
+                jnp.int32(0),  # next request to admit
+                jnp.zeros((2,), jnp.int32),  # (admit, decode) iteration stats
+            )
+
+            def cond(c):
+                state, *_, next_req, _stats = c
+                return (next_req < r_n) | jnp.any(state["active"])
+
+            def admit(c):
+                state, cache, media, slot_req, res_out, res_len, next_req, stats = c
+                j = next_req
+                slot = jnp.argmin(state["active"]).astype(jnp.int32)
+                ids_j = jax.lax.dynamic_slice(ids, (j, 0), (1, bucket))
+                mask_j = jax.lax.dynamic_slice(mask, (j, 0), (1, bucket))
+                px_j = jax.lax.dynamic_slice(
+                    pixels, (j,) + (0,) * (pixels.ndim - 1),
+                    (1,) + pixels.shape[1:],
+                )
+                pv_j = jax.lax.dynamic_slice(
+                    pv, (j,) + (0,) * (pv.ndim - 1), (1,) + pv.shape[1:]
+                )
+                last, small, new_media, next_pos = prefill(
+                    params, px_j, pv_j, ids_j, mask_j, icv, bucket
+                )
+                slots = slot[None]
+                cache, media, state = self._scatter_admit(
+                    cache, media, state, slots, bucket,
+                    last, small, new_media, next_pos,
+                    max_new[j][None], min_new[j][None],
+                )
+                return (
+                    state, cache, media,
+                    slot_req.at[slot].set(j),
+                    res_out, res_len, next_req + 1,
+                    stats.at[0].add(1),
+                )
+
+            def decode(c):
+                state, cache, media, slot_req, res_out, res_len, next_req, stats = c
+                new_state, cache = step_once(params, state, cache, media, icv)
+                newly = new_state["finished"] & ~state["finished"]
+                # release finished slots on the spot: their out rows scatter
+                # to results[request id]; everything else targets the dump
+                # row (index r_n), so stale pointers never collide
+                tgt = jnp.where(newly, slot_req, r_n)
+                res_out = res_out.at[tgt].set(new_state["out"])
+                res_len = res_len.at[tgt].set(new_state["tok_count"])
+                new_state = dict(
+                    new_state, active=new_state["active"] & ~newly
+                )
+                return (
+                    new_state, cache, media, slot_req,
+                    res_out, res_len, next_req,
+                    stats.at[1].add(1),
+                )
+
+            def body(c):
+                state, *_, next_req, _stats = c
+                can_admit = (~jnp.all(state["active"])) & (next_req < r_n)
+                return jax.lax.cond(can_admit, admit, decode, c)
+
+            out = jax.lax.while_loop(cond, body, carry)
+            return out[4][:r_n], out[5][:r_n], out[7]
+
+        return jax.jit(fused)
 
     # -- harvest -------------------------------------------------------------
 
-    def _harvest(self) -> dict:
-        live = [i for i, s in enumerate(self._slots) if s is not None]
+    def _harvest(self, state, state_gen: int) -> dict:
+        """Free finished slots visible in ``state`` (produced by chunk
+        ``state_gen``); slots admitted at or after that chunk still show the
+        previous occupant there and are skipped."""
+        live = [
+            i
+            for i, s in enumerate(self._slots)
+            if s is not None and s.admitted_at < state_gen
+        ]
         if not live:
             return {}
         finished, counts, out = jax.device_get(
-            (self._state["finished"], self._state["tok_count"], self._state["out"])
+            (state["finished"], state["tok_count"], state["out"])
         )
         results = {}
         for i in live:

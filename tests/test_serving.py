@@ -207,6 +207,32 @@ def test_engine_int8_cache_and_weights():
         np.testing.assert_array_equal(got[r.uid], want, err_msg=r.uid)
 
 
+@pytest.mark.parametrize("family", ["idefics", "idefics2"])
+def test_engine_fused_matches_greedy(family):
+    """run_fused — the whole scheduler inside ONE lax.while_loop (admission
+    via traced slot index + on-device release/refill) — emits exactly what
+    per-request greedy does, including slot reuse (6 requests, 3 slots)."""
+    cfg, params, bind, (prefill, decode, axes) = SETUPS[family]()
+    rng = np.random.default_rng(13)
+    reqs = _make_requests(cfg, rng, 6, min_new=1)
+
+    engine = ServingEngine(
+        prefill, decode, axes, cfg.text, params,
+        eos_token_id=EOS, pad_token_id=PAD,
+        n_slots=3, out_cap=8, prompt_buckets=(16,),
+    )
+    for r in reqs:
+        engine.submit(r)
+    got = engine.run_fused()
+
+    assert set(got) == {r.uid for r in reqs}
+    for r in reqs:
+        want = _reference_tokens(cfg, bind, params, r, None)
+        np.testing.assert_array_equal(
+            got[r.uid], want, err_msg=f"{family}:{r.uid}"
+        )
+
+
 def test_engine_dp_mesh_matches_single_device():
     """The slot pool shards over the mesh's dp axis (multi-chip serving):
     results are identical to the unsharded engine (f32 tiny model — batch

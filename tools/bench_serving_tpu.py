@@ -53,13 +53,29 @@ def make_workload(rng, n_req, bucket, out_cap, uniform=None):
     return reqs
 
 
-def run_static(cfg, params, bind, reqs, n_slots, bucket):
-    """FIFO batches; per-batch max_new rounded up to 16 (compile bucketing)."""
+def run_static(cfg, params, bind, reqs, n_slots, bucket, _jits={}):
+    """FIFO batches through the SHIPPED static path: one jit over
+    bind+greedy per max_new bucket (make_generate_fn structure); per-batch
+    max_new rounds up to 16 (generous: a per-batch-max static server)."""
+    import jax
     import jax.numpy as jnp
 
     from licv_vqa_tpu.infer.decode import greedy_generate
 
-    results = {}
+    def gen_for(max_new):
+        if max_new not in _jits:
+
+            def gen(params, ids, mask, pixels, pv):
+                fwd = bind(params, pixels, pv, ids, None, bucket + max_new + 1)
+                return greedy_generate(
+                    fwd, ids, mask,
+                    max_new_tokens=max_new, eos_token_id=EOS, pad_token_id=PAD,
+                )
+
+            _jits[max_new] = jax.jit(gen)
+        return _jits[max_new]
+
+    results, latency = {}, {}
     t0 = time.perf_counter()
     row_steps = 0
     for i in range(0, len(reqs), n_slots):
@@ -75,16 +91,13 @@ def run_static(cfg, params, bind, reqs, n_slots, bucket):
         pixels = jnp.asarray(np.stack([r.pixel_values for r in batch]))
         pv = jnp.ones((n_slots, 1), bool)
         max_new = -(-max(r.max_new for r in batch) // 16) * 16
-        fwd = bind(
-            params, pixels, pv, jnp.asarray(ids), None, bucket + max_new + 1
-        )
         out = np.asarray(
-            greedy_generate(
-                fwd, jnp.asarray(ids), jnp.asarray(mask),
-                max_new_tokens=max_new, eos_token_id=EOS, pad_token_id=PAD,
+            gen_for(max_new)(
+                params, jnp.asarray(ids), jnp.asarray(mask), pixels, pv
             )
         )
         row_steps += n_slots * max_new
+        batch_done = time.perf_counter() - t0
         for j, r in enumerate(batch[:real]):
             gen = out[j, bucket:]
             hits = np.nonzero(gen == EOS)[0]
@@ -92,25 +105,32 @@ def run_static(cfg, params, bind, reqs, n_slots, bucket):
                 r.max_new, (hits[0] + 1) if len(hits) else max_new
             )
             results[r.uid] = gen[:cut]
-    return results, time.perf_counter() - t0, row_steps
+            latency[r.uid] = batch_done
+    return results, time.perf_counter() - t0, row_steps, latency
 
 
-def run_engine(cfg, params, reqs, n_slots, bucket, out_cap, sync_steps):
+def make_engine(cfg, params, n_slots, bucket, out_cap, sync_steps):
     from licv_vqa_tpu.infer.serving import ServingEngine
     from licv_vqa_tpu.models.idefics import make_idefics_serving_fns
 
     prefill, decode, axes = make_idefics_serving_fns(cfg, eos_token_id=EOS)
-    engine = ServingEngine(
+    return ServingEngine(
         prefill, decode, axes, cfg.text, params,
         eos_token_id=EOS, pad_token_id=PAD,
         n_slots=n_slots, out_cap=out_cap, prompt_buckets=(bucket,),
         sync_steps=sync_steps, admit_sizes=(2, 1),
     )
+
+
+def run_engine(engine, reqs, fused=False):
+    """One drained workload on a WARM engine (a server reuses its jits —
+    building a fresh engine per workload re-traces the whole program and
+    dominates the measurement)."""
     for r in reqs:
         engine.submit(r)
     t0 = time.perf_counter()
-    got = engine.run()
-    return engine, got, time.perf_counter() - t0
+    got = engine.run_fused() if fused else engine.run()
+    return got, time.perf_counter() - t0
 
 
 def main():
@@ -143,15 +163,19 @@ def main():
         uniform=args.uniform or None,
     )
 
-    # warmup pass (compiles both arms), then the timed pass
+    eng = make_engine(
+        cfg, params, args.slots, args.bucket, args.out_cap, args.sync_steps
+    )
+    fu_eng = make_engine(
+        cfg, params, args.slots, args.bucket, args.out_cap, args.sync_steps
+    )
+    # warmup pass (compiles all arms), then the timed pass on warm engines
     for tag in ("warmup", "timed"):
-        st_res, st_t, st_rows = run_static(
+        st_res, st_t, st_rows, st_lat = run_static(
             cfg, params, bind, reqs, args.slots, args.bucket
         )
-        eng, en_res, en_t = run_engine(
-            cfg, params, reqs, args.slots, args.bucket, args.out_cap,
-            args.sync_steps,
-        )
+        en_res, en_t = run_engine(eng, reqs)
+        fu_res, fu_t = run_engine(fu_eng, reqs, fused=True)
         if tag == "warmup":
             # agreement FYI (see module docstring: batch-shape bf16 numerics
             # make exact parity across arms unattainable at 9B scale)
@@ -166,9 +190,11 @@ def main():
                 f"[warmup] static-vs-engine: {same}/{len(reqs)} exact, "
                 f"{agree}/{total} positions agree"
             )
+            eng.steps_run = 0  # count the timed pass only
 
     st_useful = int(sum(len(v) for v in st_res.values()))
     en_useful = int(sum(len(v) for v in en_res.values()))
+    fu_useful = int(sum(len(v) for v in fu_res.values()))
     en_rows = args.slots * eng.steps_run
     ideal_steps = -(-en_useful // args.slots)
     out = {
@@ -179,6 +205,8 @@ def main():
             "useful_tokens": st_useful,
             "tok_s": round(st_useful / st_t, 1),
             "row_steps": st_rows,
+            "latency_p50_s": round(float(np.median(list(st_lat.values()))), 2),
+            "latency_p95_s": round(float(np.percentile(list(st_lat.values()), 95)), 2),
         },
         "engine": {
             "s": round(en_t, 2),
@@ -187,8 +215,17 @@ def main():
             "row_steps": en_rows,
             "decode_steps": eng.steps_run,
             "step_efficiency_vs_ideal": round(ideal_steps / eng.steps_run, 3),
+            "latency_p50_s": round(float(np.median(list(eng.completion_s.values()))), 2),
+            "latency_p95_s": round(float(np.percentile(list(eng.completion_s.values()), 95)), 2),
         },
-        "speedup": round((en_useful / en_t) / (st_useful / st_t), 2),
+        "fused": {
+            "s": round(fu_t, 2),
+            "useful_tokens": fu_useful,
+            "tok_s": round(fu_useful / fu_t, 1),
+            **fu_eng.fused_stats,
+        },
+        "speedup_engine": round((en_useful / en_t) / (st_useful / st_t), 2),
+        "speedup_fused": round((fu_useful / fu_t) / (st_useful / st_t), 2),
     }
     print(json.dumps(out))
 
