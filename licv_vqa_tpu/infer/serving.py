@@ -583,9 +583,11 @@ class ServingEngine:
         chunk and per admission — ~100 ms each through a remote-dispatch
         relay, which dwarfs a ~15 ms decode step.  This mode moves the
         ENTIRE scheduler onto the device: requests (padded to one prompt
-        bucket) upload once, then a ``lax.while_loop`` either admits the
-        next request into the first free slot (prefill + scatter — all
-        static shapes, the slot index is a traced scalar) or decodes one
+        bucket) upload once, then a ``lax.while_loop`` either admits
+        pending requests into free slots (prefill + scatter — all static
+        shapes, traced slot indices; a K-lane group branch fills the pool
+        K requests per iteration with K = ``admit_sizes[0]``, the
+        one-slot-freed drip uses a single-lane prefill) or decodes one
         lockstep step for the pool; finished slots release and refill with
         ZERO host involvement, and results read back once at the end.
         Trade-off vs run(): no mid-flight streaming/submission — built for
@@ -649,6 +651,15 @@ class ServingEngine:
         prefill = self._prefill
         step_once = self._make_step()
         n_slots = self.n_slots
+        # group admission width from the engine's admit_sizes knob: when
+        # >=K slots are free AND >=K requests are pending, one loop
+        # iteration prefills K requests (initial pool fill costs n_slots/K
+        # iterations instead of n_slots); the steady one-slot-freed drip
+        # keeps the cheap single-lane prefill.  admit_sizes=(1,) forces
+        # adm=1 prefill numerics in fused mode too (prefill logits are
+        # batch-shape-dependent in bf16 — module docstring), and bounds
+        # the K-lane prefill's activation memory alongside the pool cache.
+        adm_k = min(self.admit_sizes[0], n_slots, r_n)
 
         def fused(params, ids, mask, pixels, pv, max_new, min_new, icv):
             cache = self._init_cache()
@@ -675,34 +686,35 @@ class ServingEngine:
                 state, *_, next_req, _stats = c
                 return (next_req < r_n) | jnp.any(state["active"])
 
-            def admit(c):
-                state, cache, media, slot_req, res_out, res_len, next_req, stats = c
-                j = next_req
-                slot = jnp.argmin(state["active"]).astype(jnp.int32)
-                ids_j = jax.lax.dynamic_slice(ids, (j, 0), (1, bucket))
-                mask_j = jax.lax.dynamic_slice(mask, (j, 0), (1, bucket))
-                px_j = jax.lax.dynamic_slice(
-                    pixels, (j,) + (0,) * (pixels.ndim - 1),
-                    (1,) + pixels.shape[1:],
-                )
-                pv_j = jax.lax.dynamic_slice(
-                    pv, (j,) + (0,) * (pv.ndim - 1), (1,) + pv.shape[1:]
-                )
-                last, small, new_media, next_pos = prefill(
-                    params, px_j, pv_j, ids_j, mask_j, icv, bucket
-                )
-                slots = slot[None]
-                cache, media, state = self._scatter_admit(
-                    cache, media, state, slots, bucket,
-                    last, small, new_media, next_pos,
-                    max_new[j][None], min_new[j][None],
-                )
-                return (
-                    state, cache, media,
-                    slot_req.at[slot].set(j),
-                    res_out, res_len, next_req + 1,
-                    stats.at[0].add(1),
-                )
+            def make_admit(k):
+                # k-lane admission: guarded by >=k free slots and >=k
+                # pending requests, so every lane is valid — stable argsort
+                # puts the k free (False) slots first and stays a
+                # permutation (distinct targets), no masking needed (k=1
+                # degenerates to first-free-slot, next-request admission)
+                def admit(c):
+                    state, cache, media, slot_req, res_out, res_len, next_req, stats = c
+                    js = next_req + jnp.arange(k, dtype=jnp.int32)
+                    slots = jnp.argsort(state["active"])[:k].astype(jnp.int32)
+                    last, small, new_media, next_pos = prefill(
+                        params, pixels[js], pv[js], ids[js], mask[js],
+                        icv, bucket,
+                    )
+                    cache, media, state = self._scatter_admit(
+                        cache, media, state, slots, bucket,
+                        last, small, new_media, next_pos,
+                        max_new[js], min_new[js],
+                    )
+                    return (
+                        state, cache, media,
+                        slot_req.at[slots].set(js),
+                        res_out, res_len, next_req + k,
+                        stats.at[0].add(1),
+                    )
+
+                return admit
+
+            admit, admit_k = make_admit(1), make_admit(adm_k)
 
             def decode(c):
                 state, cache, media, slot_req, res_out, res_len, next_req, stats = c
@@ -725,8 +737,19 @@ class ServingEngine:
 
             def body(c):
                 state, *_, next_req, _stats = c
-                can_admit = (~jnp.all(state["active"])) & (next_req < r_n)
-                return jax.lax.cond(can_admit, admit, decode, c)
+                free = jnp.sum(~state["active"])
+                pending = r_n - next_req
+                can_1 = (free >= 1) & (pending >= 1)
+
+                def admit_or_decode(c):
+                    return jax.lax.cond(can_1, admit, decode, c)
+
+                if adm_k == 1:
+                    # Python-level guard: don't trace/compile a dead K-lane
+                    # prefill program into the loop (remote-compile payload)
+                    return admit_or_decode(c)
+                can_k = (free >= adm_k) & (pending >= adm_k)
+                return jax.lax.cond(can_k, admit_k, admit_or_decode, c)
 
             out = jax.lax.while_loop(cond, body, carry)
             return out[4][:r_n], out[5][:r_n], out[7]

@@ -118,7 +118,7 @@ def make_engine(cfg, params, n_slots, bucket, out_cap, sync_steps):
         prefill, decode, axes, cfg.text, params,
         eos_token_id=EOS, pad_token_id=PAD,
         n_slots=n_slots, out_cap=out_cap, prompt_buckets=(bucket,),
-        sync_steps=sync_steps, admit_sizes=(2, 1),
+        sync_steps=sync_steps, admit_sizes=(4, 2, 1),
     )
 
 
