@@ -282,11 +282,16 @@ class ServingEngine:
             )
         self._queue.append(request)
 
-    def run(self) -> dict:
+    def run(self, on_complete: Optional[Callable] = None) -> dict:
         """Drain the queue; returns {uid: np.ndarray generated token ids}
         (up to and including EOS, exactly ``greedy_generate``'s emissions).
         ``completion_s[uid]`` records each request's wall-clock completion
-        relative to this call."""
+        relative to this call.
+
+        ``on_complete(uid, tokens)`` fires as each request finishes —
+        streaming consumption; the callback may ``submit()`` follow-up
+        requests, which admit into freed slots without draining the pool
+        (the loop re-reads the queue every iteration)."""
         import time
 
         results: dict = {}
@@ -310,15 +315,19 @@ class ServingEngine:
                 if prev is not None:
                     done = self._harvest(*prev)
                     now = time.perf_counter() - t0
-                    for uid in done:
+                    for uid, toks in done.items():
                         self.completion_s[uid] = now
+                        if on_complete is not None:
+                            on_complete(uid, toks)
                     results.update(done)
                 prev = (self._state, self._chunk_count)
         # drain: the last chunk's flags were never read
         done = self._harvest(self._state, self._chunk_count)
         now = time.perf_counter() - t0
-        for uid in done:
+        for uid, toks in done.items():
             self.completion_s[uid] = now
+            if on_complete is not None:
+                on_complete(uid, toks)
         results.update(done)
         return results
 

@@ -233,6 +233,41 @@ def test_engine_fused_matches_greedy(family):
         )
 
 
+def test_engine_streaming_callback_and_followup_submission():
+    """on_complete streams results as slots finish, and a callback may
+    submit follow-up work mid-flight (online serving): follow-ups admit
+    into freed slots and their tokens still match per-request greedy."""
+    cfg, params, bind, (prefill, decode, axes) = _idefics_setup()
+    rng = np.random.default_rng(21)
+    first = _make_requests(cfg, rng, 3)
+    followups = {r.uid: f for r, f in zip(first, _make_requests(cfg, rng, 3))}
+    for r in first:
+        followups[r.uid].uid = f"follow-{r.uid}"
+
+    engine = ServingEngine(
+        prefill, decode, axes, cfg.text, params,
+        eos_token_id=EOS, pad_token_id=PAD,
+        n_slots=2, out_cap=8, prompt_buckets=(16,), sync_steps=2,
+    )
+    streamed = {}
+
+    def on_complete(uid, toks):
+        streamed[uid] = toks
+        if uid in followups:  # online follow-up submission
+            engine.submit(followups[uid])
+
+    for r in first:
+        engine.submit(r)
+    got = engine.run(on_complete=on_complete)
+
+    assert streamed.keys() == got.keys()
+    all_reqs = first + list(followups.values())
+    assert set(got) == {r.uid for r in all_reqs}
+    for r in all_reqs:
+        want = _reference_tokens(cfg, bind, params, r, None)
+        np.testing.assert_array_equal(got[r.uid], want, err_msg=str(r.uid))
+
+
 def test_engine_dp_mesh_matches_single_device():
     """The slot pool shards over the mesh's dp axis (multi-chip serving):
     results are identical to the unsharded engine (f32 tiny model — batch
