@@ -315,6 +315,12 @@ def icv_inference_continuous(
         p = [instruction] if instruction else []
         p += [sample["image"], prompt_manager.gen_query_text_without_label(sample)]
         enc = proc.prepare_input([p], padding=True, padding_side="left")
+        if "pixel_attention_mask" in enc:
+            raise ValueError(
+                "continuous serving does not support NaViT variable "
+                "resolution (pixel_attention_mask); use the static path "
+                "(infer_engine=static) or lmm.image_size square resizing"
+            )
         mask = np.asarray(enc["attention_mask"][0], bool)
         ids = np.asarray(enc["input_ids"][0])[mask]
         lens.append(len(ids))
