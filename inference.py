@@ -178,13 +178,11 @@ def main(argv: list[str] | None = None):
             json.dump(result_dict, f, indent=4)
 
     if cfg.test_icv:
-        # infer_engine=continuous: greedy evals through the slot-based
+        # infer_engine=continuous: evals through the slot-based
         # continuous-batching engine (ragged workloads keep every slot
-        # busy); beam search and the default stay on the static batch path
-        if (
-            str(cfg.get("infer_engine", "static")) == "continuous"
-            and int(gen_kwargs.get("num_beams", 1)) == 1
-        ):
+        # busy) — greedy pools and beam-group pools both; the default
+        # stays on the static batch path
+        if str(cfg.get("infer_engine", "static")) == "continuous":
             from licv_vqa_tpu.infer.runner import icv_inference_continuous
 
             results = icv_inference_continuous(

@@ -293,19 +293,17 @@ def icv_inference_continuous(
     n_slots: int = 8,
     sync_steps: int = 4,
 ) -> dict:
-    """``icv_inference`` through the continuous-batching ServingEngine
-    (greedy only — ``num_beams`` must be 1; the reference's beam-3 default
-    stays on the static batch path).  Same output contract as
-    ``icv_inference``; per-request results are token-identical to the
-    greedy static path (tests/test_serving.py), but ragged workloads keep
-    every slot busy instead of draining whole batches."""
-    from .serving import Request, ServingEngine
+    """``icv_inference`` through the continuous-batching engine — greedy
+    requests ride ``ServingEngine``; ``num_beams > 1`` (the reference's
+    beam-3 eval default) rides ``BeamServingEngine``, whose groups free
+    early at ``length_penalty=0`` once their beam pool is decided.  Same
+    output contract as ``icv_inference``; per-request results are
+    token-identical to the static path's per-request decode
+    (tests/test_serving.py), but ragged workloads keep every slot busy
+    instead of draining whole batches."""
+    from .serving import BeamServingEngine, Request, ServingEngine
 
-    if int(generate_kwargs.get("num_beams", 1)) != 1:
-        raise ValueError(
-            "continuous serving is greedy-only (num_beams=1); use "
-            "icv_inference for beam search"
-        )
+    num_beams = int(generate_kwargs.get("num_beams", 1))
     max_new = int(generate_kwargs.get("max_new_tokens", 5))
     min_new = int(generate_kwargs.get("min_new_tokens", 0))
     proc = bundle.processor
@@ -339,14 +337,22 @@ def icv_inference_continuous(
     # static prompt buckets: 64-multiples covering the observed lengths
     # (one admit compile per distinct bucket)
     buckets = tuple(sorted({-(-n // 64) * 64 for n in lens})) or (64,)
-    engine = ServingEngine.from_bundle(
-        bundle,
+    kw = dict(
         icv_scaled=icv_scaled,
         n_slots=n_slots,
         out_cap=max(max_new, 1),
         prompt_buckets=buckets,
         sync_steps=sync_steps,
     )
+    if num_beams > 1:
+        engine = BeamServingEngine.from_bundle(
+            bundle,
+            num_beams=num_beams,
+            length_penalty=float(generate_kwargs.get("length_penalty", 0.0)),
+            **kw,
+        )
+    else:
+        engine = ServingEngine.from_bundle(bundle, **kw)
     for r in requests:
         engine.submit(r)
     tokens = engine.run()

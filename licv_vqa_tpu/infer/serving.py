@@ -767,6 +767,11 @@ class ServingEngine:
 
     # -- harvest -------------------------------------------------------------
 
+    def _harvest_rows(self):
+        """Pool row that carries each tracked slot's result (identity for the
+        greedy engine; group row 0 for the beam engine)."""
+        return lambda i: i
+
     def _harvest(self, state, state_gen: int) -> dict:
         """Free finished slots visible in ``state`` (produced by chunk
         ``state_gen``); slots admitted at or after that chunk still show the
@@ -781,9 +786,328 @@ class ServingEngine:
         finished, counts, out = jax.device_get(
             (state["finished"], state["tok_count"], state["out"])
         )
+        row = self._harvest_rows()
         results = {}
         for i in live:
-            if finished[i]:
-                results[self._slots[i].request.uid] = out[i, : counts[i]].copy()
+            r = row(i)
+            if finished[r]:
+                results[self._slots[i].request.uid] = out[r, : counts[r]].copy()
                 self._slots[i] = None
         return results
+
+
+class BeamServingEngine(ServingEngine):
+    """Continuous batching for BEAM SEARCH — the reference's default eval
+    decode (``num_beams=3``, reference: config/inference.yaml:26-30), which
+    the greedy engine could not serve (TODO follow-up: "beam-search slots").
+
+    Each request occupies a contiguous GROUP of ``num_beams`` pool rows
+    (``n_slots`` counts REQUESTS; the pool allocates ``n_slots*num_beams``
+    rows).  Admission prefills once per request and replicates the prefill
+    K/V / media / logits across the group's rows (exactly ``beam_generate``'s
+    ``jnp.repeat`` after the shared prefill).  Each lockstep decode step runs
+    one HF-semantics beam transition per live group — top-2K candidate
+    expansion, EOS candidates retired to a K-slot finished pool, live beams
+    re-selected — then permutes only the DECODED TAIL of the group's cache
+    rows by beam parent (rows below the smallest prompt bucket are
+    prefill-written and bitwise identical across a group's beams, the same
+    argument as decode._beam_gather_cache) and forwards the K selected
+    tokens.  Per-request results are the HF-finalized best hypothesis,
+    token-identical to ``beam_generate`` (tests/test_serving.py).
+
+    Raggedness the static beam path cannot exploit:
+    - mixed prompt buckets and per-request ``max_new`` (groups free and
+      refill independently);
+    - **early release** at ``length_penalty == 0.0`` (the reference's
+      setting): once a group's finished pool holds K hypotheses and its
+      worst pooled score >= its best live score, no continuation can enter
+      the pool or win the final merge (per-step logprobs are <= 0), so the
+      final answer is already decided — the group frees immediately instead
+      of burning the remaining ``max_new - t`` lockstep steps.  This is
+      HF's ``BeamHypotheses.is_done`` condition; exactness is argued in
+      decode.beam_generate's docstring (ties resolve toward the pool in
+      both places).  For ``length_penalty != 0`` groups always run the full
+      ``max_new`` steps (scores there are length-rescaled at merge time and
+      the early bound no longer holds for lp > 0).
+
+    Length-penalty caveat: hypothesis scores divide by ``true prompt length
+    + generated length``; the static batch path divides by the PADDED batch
+    length (HF semantics — batching-dependent).  Identical at the
+    reference's ``length_penalty=0.0``; for lp != 0 the engine matches a
+    bs=1 (unpadded) HF run, which is the batching-independent answer.
+
+    v1 scope: single-device pool (no dp mesh — the per-group transition
+    would reshape across the dp shard boundary) and no ``run_fused``.
+    """
+
+    def __init__(
+        self,
+        prefill_fn,
+        decode_fn,
+        media_axes,
+        text_cfg,
+        params,
+        *,
+        num_beams: int = 3,
+        length_penalty: float = 0.0,
+        n_slots: int = 4,
+        mesh=None,
+        **kw,
+    ):
+        if num_beams < 2:
+            raise ValueError("BeamServingEngine needs num_beams >= 2; use "
+                             "ServingEngine for greedy")
+        if mesh is not None:
+            raise NotImplementedError(
+                "beam serving is single-device v1 (per-group transitions "
+                "cross dp shard boundaries); run one engine per chip"
+            )
+        self.num_beams = int(num_beams)
+        self.length_penalty = float(length_penalty)
+        self.n_groups = int(n_slots)
+        super().__init__(
+            prefill_fn, decode_fn, media_axes, text_cfg, params,
+            n_slots=self.n_groups * self.num_beams, **kw,
+        )
+        # slot tracking is per GROUP (one request per group)
+        self._slots = [None] * self.n_groups
+
+    # -- state ----------------------------------------------------------------
+
+    def _init_state(self) -> dict:
+        st = super()._init_state()
+        g, k, cap = self.n_slots // self.num_beams, self.num_beams, self.out_cap
+        st.update(
+            # true (unpadded) prompt length per row — the lp divisor
+            plen=jnp.zeros((self.n_slots,), jnp.int32),
+            beam_live=jnp.full((g, k), NEG_INF, jnp.float32),
+            beam_fin=jnp.full((g, k), NEG_INF, jnp.float32),
+            beam_fin_tok=jnp.full((g, k, cap), self.pad_token_id, jnp.int32),
+        )
+        return st
+
+    # -- admission ------------------------------------------------------------
+
+    def _build_admit(self, bucket: int):
+        prefill = self._prefill
+        nb = self.num_beams
+        cap, pad = self.out_cap, self.pad_token_id
+
+        def admit(
+            params, cache, media, state, icv, groups, pixels, pv, ids, mask,
+            max_new, min_new,
+        ):
+            adm = ids.shape[0]
+            last, small, new_media, next_pos = prefill(
+                params, pixels, pv, ids, mask, icv, bucket
+            )
+            # replicate the shared prefill across each group's beam rows
+            # (beam_generate's rep step); rows of group g are [g*nb, (g+1)*nb)
+            rows = (groups[:, None] * nb + jnp.arange(nb)[None, :]).reshape(-1)
+            rep0 = lambda x: jnp.repeat(x, nb, axis=0)
+            small = dict(
+                {k: jax.tree.map(lambda x: jnp.repeat(x, nb, axis=1), small[k])
+                 for k in ("k", "v")},
+                pos=rep0(small["pos"]),
+                valid=rep0(small["valid"]),
+                # prefill caches carry a SCALAR write index (init_kv_cache);
+                # broadcast per request before replicating across beam rows
+                index=rep0(jnp.broadcast_to(small["index"], (adm,))),
+            )
+            new_media = {
+                k: jax.tree.map(
+                    partial(jnp.repeat, repeats=nb, axis=ax), new_media[k]
+                )
+                for k, ax in self._media_axes.items()
+            }
+            cache, media, st = self._scatter_admit(
+                cache, media, state, rows, bucket,
+                rep0(last), small, new_media, rep0(next_pos),
+                rep0(max_new), rep0(min_new),
+            )
+            # beam bookkeeping: beam 0 starts at score 0, the rest at -inf
+            # (forces the first transition to expand only the shared prefill
+            # distribution once — decode.beam_generate's live_scores init)
+            live0 = jnp.full((adm, nb), NEG_INF).at[:, 0].set(0.0)
+            st = dict(
+                st,
+                plen=st["plen"].at[rows].set(
+                    rep0(jnp.sum(mask, axis=1).astype(jnp.int32))
+                ),
+                beam_live=st["beam_live"].at[groups].set(live0),
+                beam_fin=st["beam_fin"].at[groups].set(
+                    jnp.full((adm, nb), NEG_INF)
+                ),
+                beam_fin_tok=st["beam_fin_tok"].at[groups].set(
+                    jnp.full((adm, nb, cap), pad, jnp.int32)
+                ),
+            )
+            return cache, media, st
+
+        return jax.jit(admit, donate_argnums=(1, 2))
+
+    # -- decode ---------------------------------------------------------------
+
+    def _tail_permute(self, cache, sel_rows):
+        """Permute only the decoded tail of the K/V planes by ``sel_rows``
+        (pool-row parent index).  Rows below the smallest prompt bucket are
+        prefill-written and identical across a group's beams; ``pos``/
+        ``valid``/``index`` advance in lockstep within a group, so only the
+        K/V tails can differ (decode._beam_gather_cache, per-row form)."""
+        start = self.prompt_buckets[0]
+
+        def tail(x):
+            t = jax.lax.slice_in_dim(x, start, x.shape[2], axis=2)
+            t = jnp.take(t, sel_rows, axis=1)
+            return jax.lax.dynamic_update_slice_in_dim(x, t, start, axis=2)
+
+        out = dict(cache)
+        for key in ("k", "v"):
+            out[key] = jax.tree.map(tail, cache[key])
+        return out
+
+    def _make_step(self):
+        decode_fn = self._decode
+        eos, pad = self.eos_token_id, self.pad_token_id
+        k, cap, lp = self.num_beams, self.out_cap, self.length_penalty
+        g, rows = self.n_slots // self.num_beams, self.n_slots
+        early_ok = lp == 0.0  # see class docstring
+        cols = np.arange(cap, dtype=np.int32)
+
+        def step(params, state, cache, media, icv):
+            act = state["active"][::k]
+            emit = act & ~state["finished"][::k]  # (G,) live groups
+            t = state["tok_count"][::k]
+            max_new_g = state["max_new"][::k]
+            min_new_g = state["min_new"][::k]
+            plen_g = state["plen"][::k]
+
+            # ---- beam transition (decode.beam_generate::transition) ----
+            logp = jax.nn.log_softmax(
+                state["last_logits"].reshape(g, k, -1), axis=-1
+            )
+            vocab = logp.shape[-1]
+            logp = jnp.where(
+                (t < min_new_g)[:, None, None],
+                logp.at[:, :, eos].set(NEG_INF),
+                logp,
+            )
+            cand = state["beam_live"][:, :, None] + logp
+            top_scores, top_idx = jax.lax.top_k(cand.reshape(g, k * vocab), 2 * k)
+            src_beam = top_idx // vocab
+            token = (top_idx % vocab).astype(jnp.int32)
+            is_eos = token == eos
+
+            out_g = state["out"].reshape(g, k, cap)
+            parent_hist = jnp.take_along_axis(out_g, src_beam[:, :, None], axis=1)
+            cand_hist = jnp.where(
+                jnp.asarray(cols)[None, None, :] == t[:, None, None],
+                token[:, :, None],
+                parent_hist,
+            )
+
+            # finished pool: EOS candidates ranked < K compete for K slots;
+            # HF's length penalty divides by (prompt + generated) length
+            lp_len = (plen_g + t + 1).astype(jnp.float32)
+            rank_ok = jnp.arange(2 * k, dtype=jnp.int32)[None, :] < k
+            eos_scores = jnp.where(
+                is_eos & rank_ok, top_scores / (lp_len[:, None] ** lp), NEG_INF
+            )
+            pool_s = jnp.concatenate([state["beam_fin"], eos_scores], axis=1)
+            pool_t = jnp.concatenate([state["beam_fin_tok"], cand_hist], axis=1)
+            new_fin, best_i = jax.lax.top_k(pool_s, k)
+            new_fin_tok = jnp.take_along_axis(pool_t, best_i[:, :, None], axis=1)
+
+            live_cand = jnp.where(is_eos, NEG_INF, top_scores)
+            new_live, sel = jax.lax.top_k(live_cand, k)
+            new_beam = jnp.take_along_axis(src_beam, sel, axis=1)
+            new_tok = jnp.take_along_axis(token, sel, axis=1)
+            new_out = jnp.take_along_axis(cand_hist, sel[:, :, None], axis=1)
+
+            # ---- group finish: last transition, or safe early release ----
+            last_t = t + 1 >= max_new_g
+            early = (
+                jnp.all(new_fin > NEG_INF / 2, axis=1)
+                & (jnp.min(new_fin, axis=1) >= jnp.max(new_live, axis=1))
+                if early_ok
+                else jnp.zeros((g,), bool)
+            )
+            fin_now = emit & (last_t | early)
+            cont = emit & ~fin_now
+
+            # finalize finishing groups: merge live beams into the pool
+            # (beam_generate's HF finalize) and pick the best hypothesis
+            live_final = new_live / (lp_len[:, None] ** lp)
+            all_s = jnp.concatenate([new_fin, live_final], axis=1)
+            all_t = jnp.concatenate([new_fin_tok, new_out], axis=1)
+            best = jnp.argmax(all_s, axis=1)
+            best_tok = jnp.take_along_axis(all_t, best[:, None, None], axis=1)[:, 0]
+            hit = best_tok == eos
+            best_len = jnp.where(
+                jnp.any(hit, axis=1),
+                jnp.argmax(hit, axis=1).astype(jnp.int32) + 1,
+                t + 1,
+            )
+
+            # ---- write back per-row state ----
+            cont_r = jnp.repeat(cont, k)
+            out = jnp.where(
+                cont_r[:, None], new_out.reshape(rows, cap), state["out"]
+            )
+            out = out.at[::k].set(
+                jnp.where(fin_now[:, None], best_tok, out[::k])
+            )
+            adv = cont_r.astype(jnp.int32)
+            tok_count = state["tok_count"] + adv
+            tok_count = tok_count.at[::k].set(
+                jnp.where(fin_now, best_len, tok_count[::k])
+            )
+            state = dict(
+                state,
+                beam_live=jnp.where(emit[:, None], new_live, state["beam_live"]),
+                beam_fin=jnp.where(emit[:, None], new_fin, state["beam_fin"]),
+                beam_fin_tok=jnp.where(
+                    emit[:, None, None], new_fin_tok, state["beam_fin_tok"]
+                ),
+                finished=state["finished"] | jnp.repeat(fin_now, k),
+                out=out,
+                tok_count=tok_count,
+                next_pos=state["next_pos"] + adv,
+            )
+
+            # ---- cache tail reorder by beam parent, then one forward ----
+            par_rows = (
+                jnp.arange(g, dtype=jnp.int32)[:, None] * k + new_beam
+            ).reshape(rows)
+            sel_rows = jnp.where(cont_r, par_rows, jnp.arange(rows))
+            cache = self._tail_permute(cache, sel_rows)
+
+            tok = jnp.where(cont_r, new_tok.reshape(rows), pad)
+            old_index = cache["index"]
+            logits, cache = decode_fn(
+                params, tok[:, None], adv[:, None],
+                (state["next_pos"] - adv)[:, None], cache, icv, media,
+            )
+            cache = dict(cache, index=old_index + adv)
+            state = dict(
+                state,
+                last_logits=jnp.where(
+                    cont_r[:, None],
+                    logits[:, -1, :].astype(jnp.float32),
+                    state["last_logits"],
+                ),
+            )
+            return state, cache
+
+        return step
+
+    # -- fused / harvest -------------------------------------------------------
+
+    def run_fused(self) -> dict:
+        raise NotImplementedError(
+            "run_fused is greedy-only; beam groups use the host-driven run()"
+        )
+
+    def _harvest_rows(self):
+        k = self.num_beams
+        return lambda i: i * k

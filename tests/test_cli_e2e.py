@@ -184,9 +184,10 @@ def test_dp_sharded_inference_matches_single_device(env):
 
 
 def test_continuous_engine_inference_matches_static(env):
-    """infer_engine=continuous routes greedy test_icv evals through the
-    continuous-batching ServingEngine; predictions are identical to the
-    static batch path (and the reference's beam default is untouched)."""
+    """infer_engine=continuous routes test_icv evals through the
+    continuous-batching engines — greedy through ServingEngine AND the
+    reference's beam-3 default through BeamServingEngine; predictions are
+    identical to the static batch path both ways."""
     import json as _json
     import shutil
 
@@ -196,17 +197,25 @@ def test_continuous_engine_inference_matches_static(env):
     save_path = train_cli.main(
         COMMON + ["trainer=debug", "data_cfg.bs=2", "run_name=e2e_static"]
     )
-    shutil.copytree(save_path, save_path.parent / "e2e_cont")
+    for run in ("e2e_cont", "e2e_static_beam", "e2e_cont_beam"):
+        shutil.copytree(save_path, save_path.parent / run)
 
     args = COMMON + [
         "test_icv=true",
         "test_num=5",
         "bs=2",
         "generate_kwargs.max_new_tokens=3",
-        "generate_kwargs.num_beams=1",
     ]
-    infer_cli.main(args + ["run_name=e2e_static"])
-    infer_cli.main(args + ["run_name=e2e_cont", "infer_engine=continuous"])
+    greedy = ["generate_kwargs.num_beams=1"]
+    beam = ["generate_kwargs.num_beams=3"]
+    infer_cli.main(args + greedy + ["run_name=e2e_static"])
+    infer_cli.main(
+        args + greedy + ["run_name=e2e_cont", "infer_engine=continuous"]
+    )
+    infer_cli.main(args + beam + ["run_name=e2e_static_beam"])
+    infer_cli.main(
+        args + beam + ["run_name=e2e_cont_beam", "infer_engine=continuous"]
+    )
 
     base = env / "results" / "inference" / "tiny-idefics" / "vqav2"
 
@@ -215,6 +224,7 @@ def test_continuous_engine_inference_matches_static(env):
         return [p[k]["prediction"] for k in sorted(p)]
 
     assert preds("e2e_static") == preds("e2e_cont")
+    assert preds("e2e_static_beam") == preds("e2e_cont_beam")
 
 
 def test_icl_inference_with_rice(env):

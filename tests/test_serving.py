@@ -14,8 +14,12 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from licv_vqa_tpu.infer.decode import greedy_generate
-from licv_vqa_tpu.infer.serving import Request, ServingEngine
+from licv_vqa_tpu.infer.decode import beam_generate, greedy_generate
+from licv_vqa_tpu.infer.serving import (
+    BeamServingEngine,
+    Request,
+    ServingEngine,
+)
 
 EOS, PAD = 2, 0
 
@@ -205,6 +209,141 @@ def test_engine_int8_cache_and_weights():
     for r in reqs:
         want = _reference_tokens(cfg, bind, params, r, None)
         np.testing.assert_array_equal(got[r.uid], want, err_msg=r.uid)
+
+
+def _reference_beam_tokens(cfg, bind, params, req, icv, num_beams, lp=0.0):
+    """Per-request (bs=1, unpadded) beam_generate through the family's bind
+    closure, trimmed at EOS inclusive — the engine's output contract."""
+    ids = jnp.asarray(req.input_ids[None])
+    mask = jnp.ones_like(ids)
+    pixels = jnp.asarray(req.pixel_values[None])
+    pv = jnp.ones((1, pixels.shape[1]), bool)
+    fwd = bind(
+        params, pixels, pv, ids, icv, int(ids.shape[1]) + req.max_new + 1
+    )
+    out = np.asarray(
+        beam_generate(
+            fwd, ids, mask,
+            max_new_tokens=req.max_new,
+            eos_token_id=EOS,
+            pad_token_id=PAD,
+            num_beams=num_beams,
+            length_penalty=lp,
+            min_new_tokens=req.min_new,
+        )
+    )[0]
+    gen = out[len(req.input_ids) :]
+    eos_hits = np.nonzero(gen == EOS)[0]
+    return gen[: eos_hits[0] + 1] if len(eos_hits) else gen
+
+
+@pytest.mark.parametrize("family", sorted(SETUPS))
+def test_beam_engine_matches_beam_generate(family):
+    """Beam-3 continuous batching (the reference's default eval decode,
+    config/inference.yaml:26-30): 5 mixed requests through 2 request
+    groups (forced group reuse + mixed buckets) return EXACTLY the best
+    hypothesis per-request beam_generate returns."""
+    cfg, params, bind, (prefill, decode, axes) = SETUPS[family]()
+    rng = np.random.default_rng(17)
+    reqs = _make_requests(cfg, rng, 5)
+
+    engine = BeamServingEngine(
+        prefill, decode, axes, cfg.text, params,
+        num_beams=3, eos_token_id=EOS, pad_token_id=PAD,
+        n_slots=2, out_cap=8, prompt_buckets=(8, 16),
+        sync_steps=2, admit_sizes=(2, 1),
+    )
+    for r in reqs:
+        engine.submit(r)
+    got = engine.run()
+
+    assert set(got) == {r.uid for r in reqs}
+    for r in reqs:
+        want = _reference_beam_tokens(cfg, bind, params, r, None, 3)
+        np.testing.assert_array_equal(
+            got[r.uid], want, err_msg=f"{family}:{r.uid}"
+        )
+
+
+@pytest.mark.parametrize("lp", [0.0, 1.0])
+def test_beam_engine_icv_min_new_length_penalty(lp):
+    """ICV steering + min_new EOS suppression + both length-penalty
+    regimes (lp=0: early-release path live; lp=1: groups run the full
+    max_new) match per-request beam_generate."""
+    cfg, params, bind, (prefill, decode, axes) = _idefics_setup()
+    rng = np.random.default_rng(23)
+    reqs = _make_requests(cfg, rng, 4, min_new=2)
+    icv = jnp.asarray(
+        rng.normal(size=(cfg.text.n_layers, cfg.text.d_model)) * 0.1,
+        jnp.float32,
+    )
+
+    engine = BeamServingEngine(
+        prefill, decode, axes, cfg.text, params,
+        num_beams=2, length_penalty=lp,
+        eos_token_id=EOS, pad_token_id=PAD,
+        n_slots=2, out_cap=8, prompt_buckets=(16,),
+        sync_steps=3, icv_scaled=icv,
+    )
+    for r in reqs:
+        engine.submit(r)
+    got = engine.run()
+    for r in reqs:
+        want = _reference_beam_tokens(cfg, bind, params, r, icv, 2, lp=lp)
+        np.testing.assert_array_equal(got[r.uid], want, err_msg=str(r.uid))
+
+
+def test_beam_engine_int8_cache_and_weights():
+    """Beam groups over quantized weights + int8 KV cache (the flagship
+    serving build): tail-only parent gathers permute {"q","s"} planes."""
+    import dataclasses as dc
+
+    from licv_vqa_tpu.models.idefics import (
+        IdeficsConfig,
+        init_idefics_params,
+        make_idefics_forward_fns,
+        make_idefics_serving_fns,
+    )
+    from licv_vqa_tpu.ops.quantize import quantize_layer_stack
+
+    cfg = IdeficsConfig.tiny()
+    cfg = dc.replace(
+        cfg, text=dc.replace(cfg.text, kv_cache_dtype="int8")
+    )
+    params = init_idefics_params(jax.random.PRNGKey(0), cfg)
+    params["layers"] = quantize_layer_stack(params["layers"])
+    _, bind = make_idefics_forward_fns(cfg, eos_token_id=EOS)
+    prefill, decode, axes = make_idefics_serving_fns(cfg, eos_token_id=EOS)
+
+    rng = np.random.default_rng(29)
+    reqs = _make_requests(cfg, rng, 3)
+    engine = BeamServingEngine(
+        prefill, decode, axes, cfg.text, params,
+        num_beams=3, eos_token_id=EOS, pad_token_id=PAD,
+        n_slots=1, out_cap=8, prompt_buckets=(16,), sync_steps=2,
+    )
+    for r in reqs:
+        engine.submit(r)
+    got = engine.run()
+    for r in reqs:
+        want = _reference_beam_tokens(cfg, bind, params, r, None, 3)
+        np.testing.assert_array_equal(got[r.uid], want, err_msg=str(r.uid))
+
+
+def test_beam_engine_guards():
+    cfg, params, bind, (prefill, decode, axes) = _idefics_setup()
+    with pytest.raises(ValueError, match="num_beams"):
+        BeamServingEngine(
+            prefill, decode, axes, cfg.text, params,
+            num_beams=1, eos_token_id=EOS, pad_token_id=PAD,
+        )
+    engine = BeamServingEngine(
+        prefill, decode, axes, cfg.text, params,
+        num_beams=2, eos_token_id=EOS, pad_token_id=PAD, n_slots=1,
+        prompt_buckets=(8,), out_cap=4,
+    )
+    with pytest.raises(NotImplementedError, match="greedy-only"):
+        engine.run_fused()
 
 
 @pytest.mark.parametrize("family", ["idefics", "idefics2"])

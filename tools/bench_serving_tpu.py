@@ -109,17 +109,81 @@ def run_static(cfg, params, bind, reqs, n_slots, bucket, _jits={}):
     return results, time.perf_counter() - t0, row_steps, latency
 
 
-def make_engine(cfg, params, n_slots, bucket, out_cap, sync_steps):
-    from licv_vqa_tpu.infer.serving import ServingEngine
+def run_static_beam(cfg, params, bind, reqs, n_slots, bucket, num_beams,
+                    _jits={}):
+    """FIFO batches through the SHIPPED static beam path (beam_generate,
+    the reference's default eval decode); per-batch max_new rounds up to 8
+    on ragged workloads (exact when uniform — matching icv_inference's
+    config-driven max_new jit)."""
+    import jax
+    import jax.numpy as jnp
+
+    from licv_vqa_tpu.infer.decode import beam_generate
+
+    def gen_for(max_new):
+        if max_new not in _jits:
+
+            def gen(params, ids, mask, pixels, pv):
+                fwd = bind(params, pixels, pv, ids, None, bucket + max_new + 1)
+                return beam_generate(
+                    fwd, ids, mask,
+                    max_new_tokens=max_new, eos_token_id=EOS,
+                    pad_token_id=PAD, num_beams=num_beams,
+                )
+
+            _jits[max_new] = jax.jit(gen)
+        return _jits[max_new]
+
+    results, latency = {}, {}
+    t0 = time.perf_counter()
+    row_steps = 0
+    for i in range(0, len(reqs), n_slots):
+        batch = reqs[i : i + n_slots]
+        real = len(batch)
+        batch = batch + [batch[-1]] * (n_slots - real)
+        ids = np.full((n_slots, bucket), PAD, np.int32)
+        mask = np.zeros((n_slots, bucket), np.int32)
+        for j, r in enumerate(batch):
+            n = len(r.input_ids)
+            ids[j, bucket - n :] = r.input_ids
+            mask[j, bucket - n :] = 1
+        pixels = jnp.asarray(np.stack([r.pixel_values for r in batch]))
+        pv = jnp.ones((n_slots, 1), bool)
+        cap = max(r.max_new for r in batch)
+        max_new = cap if len({r.max_new for r in batch}) == 1 else -(-cap // 8) * 8
+        out = np.asarray(
+            gen_for(max_new)(
+                params, jnp.asarray(ids), jnp.asarray(mask), pixels, pv
+            )
+        )
+        row_steps += n_slots * num_beams * max_new
+        batch_done = time.perf_counter() - t0
+        for j, r in enumerate(batch[:real]):
+            gen = out[j, bucket:]
+            hits = np.nonzero(gen == EOS)[0]
+            cut = min(r.max_new, (hits[0] + 1) if len(hits) else max_new)
+            results[r.uid] = gen[:cut]
+            latency[r.uid] = batch_done
+    return results, time.perf_counter() - t0, row_steps, latency
+
+
+def make_engine(cfg, params, n_slots, bucket, out_cap, sync_steps,
+                num_beams=1):
+    from licv_vqa_tpu.infer.serving import BeamServingEngine, ServingEngine
     from licv_vqa_tpu.models.idefics import make_idefics_serving_fns
 
     prefill, decode, axes = make_idefics_serving_fns(cfg, eos_token_id=EOS)
-    return ServingEngine(
-        prefill, decode, axes, cfg.text, params,
+    kw = dict(
         eos_token_id=EOS, pad_token_id=PAD,
         n_slots=n_slots, out_cap=out_cap, prompt_buckets=(bucket,),
         sync_steps=sync_steps, admit_sizes=(4, 2, 1),
     )
+    if num_beams > 1:
+        return BeamServingEngine(
+            prefill, decode, axes, cfg.text, params,
+            num_beams=num_beams, **kw,
+        )
+    return ServingEngine(prefill, decode, axes, cfg.text, params, **kw)
 
 
 def run_engine(engine, reqs, fused=False):
@@ -143,6 +207,10 @@ def main():
     ap.add_argument("--sync-steps", type=int, default=8)
     ap.add_argument("--uniform", type=int, default=0,
                     help="fixed max_new for the sanity arm (0 = ragged)")
+    ap.add_argument("--beam", type=int, default=0,
+                    help="num_beams > 1: BeamServingEngine vs static "
+                         "beam_generate batches (same pool rows: slots "
+                         "groups x beams); fused arm skipped")
     args = ap.parse_args()
 
     import jax
@@ -163,19 +231,28 @@ def main():
         uniform=args.uniform or None,
     )
 
+    nb = max(args.beam, 1)
     eng = make_engine(
-        cfg, params, args.slots, args.bucket, args.out_cap, args.sync_steps
+        cfg, params, args.slots, args.bucket, args.out_cap, args.sync_steps,
+        num_beams=nb,
     )
-    fu_eng = make_engine(
+    fu_eng = None if nb > 1 else make_engine(
         cfg, params, args.slots, args.bucket, args.out_cap, args.sync_steps
     )
     # warmup pass (compiles all arms), then the timed pass on warm engines
     for tag in ("warmup", "timed"):
-        st_res, st_t, st_rows, st_lat = run_static(
-            cfg, params, bind, reqs, args.slots, args.bucket
-        )
+        if nb > 1:
+            st_res, st_t, st_rows, st_lat = run_static_beam(
+                cfg, params, bind, reqs, args.slots, args.bucket, nb
+            )
+        else:
+            st_res, st_t, st_rows, st_lat = run_static(
+                cfg, params, bind, reqs, args.slots, args.bucket
+            )
         en_res, en_t = run_engine(eng, reqs)
-        fu_res, fu_t = run_engine(fu_eng, reqs, fused=True)
+        fu_res, fu_t = (
+            run_engine(fu_eng, reqs, fused=True) if fu_eng else ({}, 1.0)
+        )
         if tag == "warmup":
             # agreement FYI (see module docstring: batch-shape bf16 numerics
             # make exact parity across arms unattainable at 9B scale)
@@ -195,10 +272,11 @@ def main():
     st_useful = int(sum(len(v) for v in st_res.values()))
     en_useful = int(sum(len(v) for v in en_res.values()))
     fu_useful = int(sum(len(v) for v in fu_res.values()))
-    en_rows = args.slots * eng.steps_run
+    en_rows = args.slots * nb * eng.steps_run
     ideal_steps = -(-en_useful // args.slots)
     out = {
         "workload": "uniform" if args.uniform else "ragged",
+        "num_beams": nb,
         "requests": args.requests,
         "static": {
             "s": round(st_t, 2),
@@ -218,15 +296,18 @@ def main():
             "latency_p50_s": round(float(np.median(list(eng.completion_s.values()))), 2),
             "latency_p95_s": round(float(np.percentile(list(eng.completion_s.values()), 95)), 2),
         },
-        "fused": {
+        "speedup_engine": round((en_useful / en_t) / (st_useful / st_t), 2),
+    }
+    if fu_eng is not None:
+        out["fused"] = {
             "s": round(fu_t, 2),
             "useful_tokens": fu_useful,
             "tok_s": round(fu_useful / fu_t, 1),
             **fu_eng.fused_stats,
-        },
-        "speedup_engine": round((en_useful / en_t) / (st_useful / st_t), 2),
-        "speedup_fused": round((fu_useful / fu_t) / (st_useful / st_t), 2),
-    }
+        }
+        out["speedup_fused"] = round(
+            (fu_useful / fu_t) / (st_useful / st_t), 2
+        )
     print(json.dumps(out))
 
 
