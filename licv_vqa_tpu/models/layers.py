@@ -208,6 +208,76 @@ def flash_attention_usable(cfg, q_len: int, n_heads: int, head_dim: int) -> bool
     )
 
 
+def flash_bidir_usable(s: int) -> bool:
+    """Static predicate for the NON-causal (vision tower) flash path: real
+    TPU only (Mosaic does not lower on the CPU test mesh), and only LONG
+    vision sequences.  Measured on v5e (ViT-H s=257, bs=8, 32L): the Pallas
+    kernel LOSES to XLA at short s (17 ms vs 4 ms — per-grid-cell Mosaic
+    overhead at 128-blocks dominates when the whole score matrix is ~256 KB),
+    but at SigLIP-NaViT lengths (s=4900: XLA materializes a (B,H,S,S) f32
+    score tensor ≈ 1.5 GB/image) the flash kernel is the only sane path.
+    ``LICV_VIT_FLASH=0`` kills the path."""
+    import os
+
+    return (
+        jax.default_backend() == "tpu"
+        and s >= 1024
+        and os.environ.get("LICV_VIT_FLASH", "1") != "0"
+    )
+
+
+def flash_attention_bidir_tpu(
+    q: jax.Array,  # (B, S, H, Dh)
+    k: jax.Array,
+    v: jax.Array,
+    valid: Optional[jax.Array] = None,  # (B, S) bool; None = all real
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Bidirectional flash attention for the vision towers (Pallas TPU).
+
+    S pads to the next 128 multiple; padded/invalid tokens go to segment 1
+    (real tokens segment 2), so REAL tokens never attend them.  Outputs at
+    invalid positions are garbage-by-contract: every consumer masks them
+    (idefics2 perceiver ``kv_mask``; the CLIP towers have no invalid
+    tokens).  Note the XLA path instead lets invalid QUERIES attend valid
+    keys — both conventions only differ at positions downstream masks."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        SegmentIds,
+        flash_attention,
+    )
+
+    b, s, h, dh = q.shape
+    scale = float(scale if scale is not None else 1.0 / np.sqrt(dh))
+    sp = -(-s // 128) * 128
+    pad = sp - s
+    if pad:
+        pad4 = ((0, 0), (0, pad), (0, 0), (0, 0))
+        q, k, v = (jnp.pad(x, pad4) for x in (q, k, v))
+    if valid is None:
+        seg_row = jnp.ones((b, s), jnp.int32)
+    else:
+        seg_row = valid.astype(jnp.int32)
+    seg = jnp.pad(seg_row, ((0, 0), (0, pad))) + 1  # real=2, pad/invalid=1
+    blk = min(128, sp)
+    sizes = BlockSizes(
+        block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
+        block_q_major_dkv=blk, block_k_major_dkv=blk, block_k_dkv=blk,
+        block_q_dkv=blk, block_k_major_dq=blk, block_k_dq=blk,
+        block_q_dq=blk,
+    )
+    out = flash_attention(
+        q.transpose(0, 2, 1, 3),
+        k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3),
+        segment_ids=SegmentIds(q=seg, kv=seg),
+        causal=False,
+        sm_scale=scale,
+        block_sizes=sizes,
+    )
+    return out.transpose(0, 2, 1, 3)[:, :s]
+
+
 def causal_mask(
     q_positions: jax.Array,  # (B, Sq) absolute positions
     k_positions: jax.Array,  # (B, Sk)

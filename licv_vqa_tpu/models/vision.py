@@ -78,7 +78,8 @@ def patchify(pixels: jax.Array, patch: int) -> jax.Array:
 
 
 def _vit_layer(
-    cfg: VisionConfig, p: dict, h: jax.Array, mask=None, a8: bool = False
+    cfg: VisionConfig, p: dict, h: jax.Array, mask=None, valid=None,
+    a8: bool = False,
 ) -> jax.Array:
     from ..ops.int8_matmul import qdot
 
@@ -89,7 +90,16 @@ def _vit_layer(
     q = (qdot(x, a["wq"], a8=a8) + a["bq"]).reshape(b, s, nh, dh)
     k = (qdot(x, a["wk"], a8=a8) + a["bk"]).reshape(b, s, nh, dh)
     v = (qdot(x, a["wv"], a8=a8) + a["bv"]).reshape(b, s, nh, dh)
-    attn = L.dot_product_attention(q, k, v, mask=mask)
+    if L.flash_bidir_usable(s):
+        # Pallas flash for LONG vision sequences only (SigLIP-NaViT 4900
+        # patches): avoids XLA's (B, H, S, S) f32 score materialization
+        # (~1.5 GB/image at s=4900).  At ViT-H's s=257 XLA wins (see
+        # flash_bidir_usable).  ``valid`` covers the NaViT patch mask
+        # (invalid outputs are consumed by nothing: the perceiver kv_mask
+        # drops them).
+        attn = L.flash_attention_bidir_tpu(q, k, v, valid=valid)
+    else:
+        attn = L.dot_product_attention(q, k, v, mask=mask)
     h = h + (
         qdot(attn.reshape(b, s, d), a["wo"], a8=a8) + a["bo"]
     ).astype(h.dtype)
@@ -164,6 +174,7 @@ def vision_forward(
         h = jnp.concatenate([cls, h], axis=1)
         h = h + params["pos_embed"][None, : h.shape[1], :]
         attn_mask = None
+        valid = None
     else:
         gh, gw = hh // cfg.patch_size, ww // cfg.patch_size
         table_side = cfg.image_size // cfg.patch_size
@@ -173,6 +184,7 @@ def vision_forward(
         h = h + params["pos_embed"][pos_ids]
         flat = patch_mask.reshape(b, -1)
         attn_mask = flat[:, None, None, :]  # mask keys of padded patches
+        valid = flat
     if cfg.use_pre_norm:
         h = L.layer_norm(params["pre_ln"]["w"], params["pre_ln"]["b"], h, cfg.norm_eps)
 
@@ -181,7 +193,7 @@ def vision_forward(
     a8 = a8 and h.shape[1] >= W8A8_MIN_TOKENS  # static token gate
 
     def body(h, p):
-        return _vit_layer(cfg, p, h, mask=attn_mask, a8=a8), None
+        return _vit_layer(cfg, p, h, mask=attn_mask, valid=valid, a8=a8), None
 
     h, _ = jax.lax.scan(body, h, params["layers"])
     if cfg.use_post_norm:
