@@ -177,14 +177,35 @@ def main(argv: list[str] | None = None):
         with open(metric_file_path, "w") as f:
             json.dump(result_dict, f, indent=4)
 
+    # infer_engine=continuous: evals through the slot-based
+    # continuous-batching engine (ragged workloads keep every slot busy) —
+    # greedy pools and beam-group pools both; the default stays static
+    continuous = str(cfg.get("infer_engine", "static")) == "continuous"
+
+    def warn_continuous_lp():
+        # At length_penalty != 0 the continuous beam engine scores
+        # hypotheses by the TRUE (unpadded) prompt length while the static
+        # path uses the padded batch length (HF semantics are
+        # batching-dependent); flipping engines can then change
+        # predictions.  Identical at the reference's lp=0.0.
+        if (
+            int(gen_kwargs.get("num_beams", 1)) > 1
+            and float(gen_kwargs.get("length_penalty", 0.0)) != 0.0
+        ):
+            logger.warning(
+                "infer_engine=continuous with num_beams>1 and "
+                "length_penalty=%s: the engine uses the true prompt "
+                "length as the lp divisor (matches an unpadded bs=1 HF "
+                "run); the static path uses the padded batch length — "
+                "predictions may differ between engines",
+                gen_kwargs.get("length_penalty"),
+            )
+
     if cfg.test_icv:
-        # infer_engine=continuous: evals through the slot-based
-        # continuous-batching engine (ragged workloads keep every slot
-        # busy) — greedy pools and beam-group pools both; the default
-        # stays on the static batch path
-        if str(cfg.get("infer_engine", "static")) == "continuous":
+        if continuous:
             from licv_vqa_tpu.infer.runner import icv_inference_continuous
 
+            warn_continuous_lp()
             results = icv_inference_continuous(
                 val_ds,
                 bundle,
@@ -238,18 +259,33 @@ def main(argv: list[str] | None = None):
                 ice_idx_list = [
                     random.sample(pool, int(shot_num)) for _ in range(len(val_ds))
                 ]
-            results = icl_inference(
-                train_ds,
-                val_ds,
-                ice_idx_list,
-                bundle,
-                prompt_manager,
-                bs=int(cfg.bs),
-                generate_kwargs=gen_kwargs,
-                instruction=str(cfg.prompt.instruction),
-                mesh=mesh,
-                pipeline_depth=int(cfg.get("infer_pipeline", 2)),
-            )
+            if continuous:
+                from licv_vqa_tpu.infer.runner import icl_inference_continuous
+
+                warn_continuous_lp()
+                results = icl_inference_continuous(
+                    train_ds,
+                    val_ds,
+                    ice_idx_list,
+                    bundle,
+                    prompt_manager,
+                    generate_kwargs=gen_kwargs,
+                    instruction=str(cfg.prompt.instruction),
+                    n_slots=int(cfg.bs),
+                )
+            else:
+                results = icl_inference(
+                    train_ds,
+                    val_ds,
+                    ice_idx_list,
+                    bundle,
+                    prompt_manager,
+                    bs=int(cfg.bs),
+                    generate_kwargs=gen_kwargs,
+                    instruction=str(cfg.prompt.instruction),
+                    mesh=mesh,
+                    pipeline_depth=int(cfg.get("infer_pipeline", 2)),
+                )
             # reference key wording includes the metric (inference.py:226,236)
             metric_word = "ACC" if task_name == "vqa" else "CIDEr"
             evaluate_and_store(

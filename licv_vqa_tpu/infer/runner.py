@@ -282,25 +282,18 @@ def icv_inference(
     return pipe.drain()
 
 
-def icv_inference_continuous(
-    val_ds,
+def _run_continuous(
+    prompt_iter,
     bundle,
-    prompt_manager: PromptManager,
     generate_kwargs: dict,
-    instruction: str = "",
-    icv_scaled: Optional[jax.Array] = None,
-    progress: bool = True,
-    n_slots: int = 8,
-    sync_steps: int = 4,
+    icv_scaled,
+    n_slots: int,
+    sync_steps: int,
 ) -> dict:
-    """``icv_inference`` through the continuous-batching engine — greedy
-    requests ride ``ServingEngine``; ``num_beams > 1`` (the reference's
-    beam-3 eval default) rides ``BeamServingEngine``, whose groups free
-    early at ``length_penalty=0`` once their beam pool is decided.  Same
-    output contract as ``icv_inference``; per-request results are
-    token-identical to the static path's per-request decode
-    (tests/test_serving.py), but ragged workloads keep every slot busy
-    instead of draining whole batches."""
+    """Shared continuous-batching eval loop: encode each ``(sample, prompt)``
+    pair from ``prompt_iter`` into an engine ``Request``, run the pool, and
+    return the ``icv_inference``-shaped results dict.  ``num_beams > 1``
+    (the reference's beam-3 eval default) rides ``BeamServingEngine``."""
     from .serving import BeamServingEngine, Request, ServingEngine
 
     num_beams = int(generate_kwargs.get("num_beams", 1))
@@ -309,16 +302,8 @@ def icv_inference_continuous(
     proc = bundle.processor
 
     samples, requests, lens = [], [], []
-    for idx, sample in enumerate(_maybe_tqdm(val_ds, progress)):
-        p = [instruction] if instruction else []
-        p += [sample["image"], prompt_manager.gen_query_text_without_label(sample)]
+    for idx, (sample, p) in enumerate(prompt_iter):
         enc = proc.prepare_input([p], padding=True, padding_side="left")
-        if "pixel_attention_mask" in enc:
-            raise ValueError(
-                "continuous serving does not support NaViT variable "
-                "resolution (pixel_attention_mask); use the static path "
-                "(infer_engine=static) or lmm.image_size square resizing"
-            )
         mask = np.asarray(enc["attention_mask"][0], bool)
         ids = np.asarray(enc["input_ids"][0])[mask]
         lens.append(len(ids))
@@ -330,6 +315,13 @@ def icv_inference_continuous(
                 pixel_valid=np.asarray(enc["pixel_valid"][0], bool),
                 max_new=max_new,
                 min_new=min_new,
+                # idefics2 NaViT variable resolution: per-request real-pixel
+                # mask; the engine groups admissions by media shape
+                pixel_attention_mask=(
+                    np.asarray(enc["pixel_attention_mask"][0])
+                    if "pixel_attention_mask" in enc
+                    else None
+                ),
             )
         )
         samples.append(sample)
@@ -343,6 +335,8 @@ def icv_inference_continuous(
         out_cap=max(max_new, 1),
         prompt_buckets=buckets,
         sync_steps=sync_steps,
+        # mixed-shot ICL: media buffers carry the widest request's images
+        max_images=max(r.pixel_values.shape[0] for r in requests),
     )
     if num_beams > 1:
         engine = BeamServingEngine.from_bundle(
@@ -365,6 +359,80 @@ def icv_inference_continuous(
         row = {k: v for k, v in sample.items() if k != "image"}
         results[idx] = {"prediction": text, **row}
     return results
+
+
+def icv_inference_continuous(
+    val_ds,
+    bundle,
+    prompt_manager: PromptManager,
+    generate_kwargs: dict,
+    instruction: str = "",
+    icv_scaled: Optional[jax.Array] = None,
+    progress: bool = True,
+    n_slots: int = 8,
+    sync_steps: int = 4,
+) -> dict:
+    """``icv_inference`` through the continuous-batching engine.  Same
+    output contract as ``icv_inference``; per-request results are
+    token-identical to the static path's per-request decode
+    (tests/test_serving.py), but ragged workloads keep every slot busy
+    instead of draining whole batches."""
+
+    def prompts():
+        for sample in _maybe_tqdm(val_ds, progress):
+            p = [instruction] if instruction else []
+            p += [
+                sample["image"],
+                prompt_manager.gen_query_text_without_label(sample),
+            ]
+            yield sample, p
+
+    return _run_continuous(
+        prompts(), bundle, generate_kwargs, icv_scaled, n_slots, sync_steps
+    )
+
+
+def icl_inference_continuous(
+    train_ds,
+    val_ds,
+    ice_idx_list: list[list[int]],
+    bundle,
+    prompt_manager: PromptManager,
+    generate_kwargs: dict,
+    instruction: str = "",
+    progress: bool = True,
+    n_slots: int = 8,
+    sync_steps: int = 4,
+) -> dict:
+    """``icl_inference`` through the continuous-batching engine — the
+    reference's raggedest workload (prompt lengths vary ~30x across
+    ``few_shot_list``, reference: inference.py:324-378): per-request slots
+    free the moment a request finishes instead of draining a padded batch,
+    and mixed shot counts admit as shape-homogeneous groups against
+    ``max_images``-wide media buffers.  Output contract and per-request
+    tokens match ``icl_inference`` (engine-vs-static CLI parity in
+    tests/test_cli_e2e.py)."""
+
+    def prompts():
+        for idx, sample in enumerate(_maybe_tqdm(val_ds, progress)):
+            p = [instruction] if instruction else []
+            for si in ice_idx_list[idx]:
+                shot = train_ds[si]
+                p += [
+                    shot["image"],
+                    prompt_manager.gen_ice_text_with_label(
+                        shot, add_sep_token=True
+                    ),
+                ]
+            p += [
+                sample["image"],
+                prompt_manager.gen_query_text_without_label(sample),
+            ]
+            yield sample, p
+
+    return _run_continuous(
+        prompts(), bundle, generate_kwargs, None, n_slots, sync_steps
+    )
 
 
 def icl_inference(

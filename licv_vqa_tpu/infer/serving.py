@@ -73,6 +73,9 @@ class Request:
     max_new: int
     min_new: int = 0
     pixel_valid: Optional[np.ndarray] = None  # (N_img,) bool; default all-on
+    # NaViT variable resolution (idefics2): real-pixel mask (N_img, H, W).
+    # Only families whose prefill accepts ``pixel_attention_mask`` may set it.
+    pixel_attention_mask: Optional[np.ndarray] = None
 
 
 @dataclasses.dataclass
@@ -111,6 +114,9 @@ class ServingEngine:
         admit_sizes: tuple = (4, 2, 1),
         icv_scaled=None,
         mesh=None,
+        max_images: Optional[int] = None,
+        supports_pixel_attention_mask: bool = False,
+        merged_admit_fn: Optional[Callable] = None,
     ):
         self._prefill = prefill_fn
         self._decode = decode_fn
@@ -126,6 +132,21 @@ class ServingEngine:
         self.admit_sizes = tuple(sorted({int(a) for a in admit_sizes} | {1}, reverse=True))
         self.cache_len = self.prompt_buckets[-1] + self.out_cap
         self._icv = icv_scaled
+        # mixed-image-count serving (ICL sweeps: k+1 images per request):
+        # media buffers size to ``max_images``; admissions run the vision
+        # tower at each group's TRUE image count and the media scatter
+        # zero-pads up to the buffer (zero latents/xattn-KV are never
+        # attended — the per-image onehot/valid masks derive from
+        # pixel_valid, which is False beyond a request's real images).
+        self.max_images = None if max_images is None else int(max_images)
+        self.supports_pixel_attention_mask = bool(supports_pixel_attention_mask)
+        # chunked prefill (family-provided merged step): one program runs a
+        # pool decode step AND the admission prefill with packed projections
+        # — admissions stop stalling the pool and the prefill rides the
+        # decode step's weight stream (models/*.make_*_merged_admit_fn).
+        # Single-device v1: the dp-sharded pool keeps the plain admit (the
+        # prefill lane's group batch has no dp layout).
+        self._merged_admit = merged_admit_fn if mesh is None else None
         # multi-chip: the SLOT POOL shards over the mesh's dp axis (each
         # chip holds n_slots/dp rows of the cache/state/media); admissions
         # and harvests stay host-driven, GSPMD keeps every jitted step
@@ -140,6 +161,7 @@ class ServingEngine:
 
         self._cache = self._init_cache()
         self._media: Optional[dict] = None  # allocated at first admission
+        self._media_n_img: Optional[int] = None  # buffer image-count width
         self._state = self._init_state()
         if mesh is not None:
             self._cache = self._shard_cache(self._cache)
@@ -151,11 +173,21 @@ class ServingEngine:
         self._admit_jits: dict = {}
         self._chunk_jit = None
         self.steps_run = 0  # decode steps dispatched (bench introspection)
+        self.merged_admits = 0  # admissions that rode the merged program
         self._chunk_count = 0  # chunks dispatched (harvest-lag generation id)
         # wall-clock completion per uid, relative to the run() start (the
         # latency story: early finishers return early instead of waiting
         # for a static batch to drain)
         self.completion_s: dict = {}
+        # online-serving clocks (run_online): per-uid arrival, admission and
+        # first-token-observed times relative to the serve start.  TTFT is
+        # observed at harvest readbacks, so it is an upper bound late by at
+        # most one chunk (sync_steps decode steps).
+        self.arrival_s: dict = {}
+        self.admission_s: dict = {}
+        self.first_token_s: dict = {}
+        self._clock_t0: Optional[float] = None
+        self._stop_requested = False
 
     # -- fresh device state ---------------------------------------------------
 
@@ -224,12 +256,14 @@ class ServingEngine:
         )
 
         cfg = bundle.model_cfg
+        pam_ok = False
         if isinstance(cfg, IdeficsConfig):
             fns = make_idefics_serving_fns(cfg, bundle.eos_token_id)
             mean, std = CLIP_MEAN, CLIP_STD
         elif isinstance(cfg, Idefics2Config):
             fns = make_idefics2_serving_fns(cfg, bundle.eos_token_id)
             mean, std = SIGLIP_MEAN, SIGLIP_STD
+            pam_ok = True  # NaViT variable resolution
         elif isinstance(cfg, OpenFlamingoConfig):
             fns = make_openflamingo_serving_fns(cfg, bundle.eos_token_id)
             mean, std = CLIP_MEAN, CLIP_STD
@@ -240,10 +274,35 @@ class ServingEngine:
         mean_a = jnp.asarray(mean, jnp.float32)
         inv_std = 1.0 / jnp.asarray(std, jnp.float32)
 
-        def norm_prefill(params, pixels, pv, ids, mask, icv, cache_len):
+        def norm_pixels(pixels):
             if pixels.dtype == jnp.uint8:
                 pixels = (pixels.astype(jnp.float32) / 255.0 - mean_a) * inv_std
-            return prefill(params, pixels, pv, ids, mask, icv, cache_len)
+            return pixels
+
+        def norm_prefill(params, pixels, pv, ids, mask, icv, cache_len, **kw):
+            return prefill(
+                params, norm_pixels(pixels), pv, ids, mask, icv, cache_len, **kw
+            )
+
+        # chunked prefill: greedy engines on the idefics family get the
+        # merged admit+decode program (beam groups keep the plain admit —
+        # their step is the beam transition, not _make_step_parts)
+        merged = None
+        if isinstance(cfg, IdeficsConfig) and not issubclass(
+            cls, BeamServingEngine
+        ):
+            from ..models.idefics import make_idefics_merged_admit_fn
+
+            raw_merged = make_idefics_merged_admit_fn(cfg, bundle.eos_token_id)
+
+            def merged(
+                params, dec_tok, dec_adv, dec_pos, cache, media, icv,
+                pixels, pv, ids, mask, cache_len,
+            ):
+                return raw_merged(
+                    params, dec_tok, dec_adv, dec_pos, cache, media, icv,
+                    norm_pixels(pixels), pv, ids, mask, cache_len,
+                )
 
         icv = kw.pop("icv_scaled", None)
         if icv is not None and bundle.intervention_layers is not None:
@@ -265,6 +324,8 @@ class ServingEngine:
             eos_token_id=bundle.eos_token_id,
             pad_token_id=bundle.pad_token_id,
             icv_scaled=icv,
+            supports_pixel_attention_mask=pam_ok,
+            merged_admit_fn=merged,
             **kw,
         )
 
@@ -279,6 +340,28 @@ class ServingEngine:
             raise ValueError(
                 f"prompt length {len(request.input_ids)} exceeds the largest "
                 f"bucket {self.prompt_buckets[-1]}"
+            )
+        if request.pixel_attention_mask is not None and not (
+            self.supports_pixel_attention_mask
+        ):
+            raise ValueError(
+                "this engine's model family does not take a "
+                "pixel_attention_mask (NaViT variable resolution is an "
+                "idefics2 feature)"
+            )
+        n_img = np.asarray(request.pixel_values).shape[0]
+        if self.max_images is not None and n_img > self.max_images:
+            raise ValueError(
+                f"request has {n_img} images > engine max_images="
+                f"{self.max_images}"
+            )
+        if self._media_n_img is not None and n_img > self._media_n_img:
+            # media buffers were already sized (from max_images or the first
+            # admission); a wider request can no longer fit
+            raise ValueError(
+                f"request has {n_img} images but media buffers are sized "
+                f"for {self._media_n_img}; construct the engine with "
+                f"max_images={n_img}"
             )
         self._queue.append(request)
 
@@ -339,16 +422,28 @@ class ServingEngine:
                 return b
         raise ValueError(f"prompt length {n} exceeds buckets")
 
+    def _group_key(self, r: Request):
+        """Admission-compatibility key: same prompt bucket AND same media
+        shapes (np.stack in _admit_group needs uniform pixel/mask shapes;
+        mixed-image-count or mixed-resolution workloads split into
+        shape-homogeneous groups)."""
+        pam = r.pixel_attention_mask
+        return (
+            self._bucket_for(len(r.input_ids)),
+            tuple(np.asarray(r.pixel_values).shape),
+            None if pam is None else tuple(np.asarray(pam).shape),
+        )
+
     def _admit_pending(self) -> None:
         free = [i for i, s in enumerate(self._slots) if s is None]
         while free and self._queue:
-            bucket = self._bucket_for(len(self._queue[0].input_ids))
-            # collect same-bucket requests in queue order (others keep their
+            key = self._group_key(self._queue[0])
+            # collect same-shape requests in queue order (others keep their
             # positions — standard length-grouped admission)
             group: list[Request] = []
             limit = min(self.admit_sizes[0], len(free))
             for r in list(self._queue):
-                if self._bucket_for(len(r.input_ids)) == bucket:
+                if self._group_key(r) == key:
                     group.append(r)
                     if len(group) == limit:
                         break
@@ -357,7 +452,7 @@ class ServingEngine:
             for r in group:
                 self._queue.remove(r)
             slots = [free.pop() for _ in group]
-            self._admit_group(group, slots, bucket)
+            self._admit_group(group, slots, key[0])
 
     def _admit_group(self, group: list, slots: list, bucket: int) -> None:
         adm = len(group)
@@ -380,13 +475,31 @@ class ServingEngine:
         max_new = np.asarray([r.max_new for r in group], np.int32)
         min_new = np.asarray([r.min_new for r in group], np.int32)
         slot_arr = np.asarray(slots, np.int32)
+        pam = None
+        if group[0].pixel_attention_mask is not None:  # uniform per group key
+            pam = np.stack(
+                [np.asarray(r.pixel_attention_mask) for r in group]
+            )
 
         if self._media is None:
-            self._alloc_media(pixels, pv, ids, mask, bucket)
-        key = (adm, bucket, pixels.shape[1:], str(pixels.dtype))
+            self._alloc_media(pixels, pv, ids, mask, bucket, pam=pam)
+        # merged admit+decode (chunked prefill) only pays off when the pool
+        # has occupants to keep decoding; an empty pool takes the plain
+        # prefill-only program (cheaper compile, no dead decode lane)
+        merged = (
+            self._merged_admit is not None
+            and pam is None
+            and any(s is not None for s in self._slots)
+        )
+        pam_key = None if pam is None else pam.shape[1:]
+        key = (adm, bucket, pixels.shape[1:], str(pixels.dtype), pam_key, merged)
         if key not in self._admit_jits:
-            self._admit_jits[key] = self._build_admit(bucket)
-        self._cache, self._media, self._state = self._admit_jits[key](
+            self._admit_jits[key] = (
+                self._build_merged_admit(bucket)
+                if merged
+                else self._build_admit(bucket, with_pam=pam is not None)
+            )
+        args = [
             self.params,
             self._cache,
             self._media,
@@ -399,22 +512,52 @@ class ServingEngine:
             jnp.asarray(mask),
             jnp.asarray(max_new),
             jnp.asarray(min_new),
-        )
+        ]
+        if pam is not None:
+            args.append(jnp.asarray(pam))
+        self._cache, self._media, self._state = self._admit_jits[key](*args)
+        if merged:
+            # the merged program advanced the pool one lockstep step: count
+            # it as a chunk (ids stay monotonic; this state fully reflects
+            # the slots it admits, so admitted_at = its id - 1 makes them
+            # harvestable from it onward and not from any earlier state)
+            self.steps_run += 1
+            self._chunk_count += 1
+            self.merged_admits += 1
+        admitted_at = self._chunk_count - 1 if merged else self._chunk_count
         for r, s in zip(group, slots):
-            self._slots[s] = _Slot(r, len(r.input_ids), self._chunk_count)
+            self._slots[s] = _Slot(r, len(r.input_ids), admitted_at)
 
-    def _alloc_media(self, pixels, pv, ids, mask, bucket) -> None:
+    def _alloc_media(self, pixels, pv, ids, mask, bucket, pam=None) -> None:
         """Size the per-slot media buffers from the prefill's output avals
-        (no compute): batch axis → n_slots, other dims/dtypes as traced."""
-        _, _, media_aval, _ = jax.eval_shape(
-            partial(self._prefill, cache_len=bucket),
+        (no compute): batch axis → n_slots, other dims/dtypes as traced.
+        With ``max_images`` set, buffers size to that image count (the
+        admission's scatter zero-pads narrower groups up to it)."""
+        n_img = pixels.shape[1] if self.max_images is None else self.max_images
+        px_shape = (pixels.shape[0], n_img) + pixels.shape[2:]
+        avals = [
             self.params,
-            jax.ShapeDtypeStruct(pixels.shape, pixels.dtype),
-            jax.ShapeDtypeStruct(pv.shape, pv.dtype),
+            jax.ShapeDtypeStruct(px_shape, pixels.dtype),
+            jax.ShapeDtypeStruct((pv.shape[0], n_img), pv.dtype),
             jax.ShapeDtypeStruct(ids.shape, jnp.int32),
             jax.ShapeDtypeStruct(mask.shape, jnp.int32),
             self._icv,
-        )
+        ]
+        if pam is None:
+            fn = partial(self._prefill, cache_len=bucket)
+        else:
+            # pam must be a POSITIONAL eval_shape arg (a partial-bound
+            # ShapeDtypeStruct kwarg would reach the fn un-abstracted)
+            fn = lambda p, px, v, i, m, icv, pm: self._prefill(  # noqa: E731
+                p, px, v, i, m, icv, bucket, pixel_attention_mask=pm
+            )
+            avals.append(
+                jax.ShapeDtypeStruct(
+                    (pam.shape[0], n_img) + pam.shape[2:], pam.dtype
+                )
+            )
+        _, _, media_aval, _ = jax.eval_shape(fn, *avals)
+        self._media_n_img = n_img
 
         def alloc(ax):
             def f(aval):
@@ -458,11 +601,23 @@ class ServingEngine:
 
         out_media = dict(media)
         for key, ax in self._media_axes.items():
-            scat = (
-                (lambda big, sm: big.at[slots].set(sm))
-                if ax == 0
-                else (lambda big, sm: big.at[:, slots].set(sm))
-            )
+
+            def scat(big, sm, ax=ax):
+                # zero-pad up to the buffer's non-batch dims (mixed image
+                # counts: a k-image group scatters into max_images-wide
+                # buffers; zero latents/xattn-KV/onehot columns are never
+                # attended because the per-image masks derive from
+                # pixel_valid, False beyond the group's real images)
+                pads = [
+                    (0, 0) if d == ax else (0, big.shape[d] - sm.shape[d])
+                    for d in range(sm.ndim)
+                ]
+                if any(p != (0, 0) for p in pads):
+                    sm = jnp.pad(sm, pads)
+                return (
+                    big.at[slots].set(sm) if ax == 0 else big.at[:, slots].set(sm)
+                )
+
             out_media[key] = jax.tree.map(scat, media[key], new_media[key])
 
         st = dict(
@@ -478,15 +633,16 @@ class ServingEngine:
         )
         return out_cache, out_media, st
 
-    def _build_admit(self, bucket: int):
+    def _build_admit(self, bucket: int, with_pam: bool = False):
         prefill = self._prefill
 
         def admit(
             params, cache, media, state, icv, slots, pixels, pv, ids, mask,
-            max_new, min_new,
+            max_new, min_new, *pam,
         ):
+            kw = {"pixel_attention_mask": pam[0]} if with_pam else {}
             last, small, new_media, next_pos = prefill(
-                params, pixels, pv, ids, mask, icv, bucket
+                params, pixels, pv, ids, mask, icv, bucket, **kw
             )
             return self._scatter_admit(
                 cache, media, state, slots, bucket,
@@ -499,6 +655,39 @@ class ServingEngine:
         # (flags + last_logits + out); the multi-GB cache/media are donated.
         return jax.jit(admit, donate_argnums=(1, 2))
 
+    def _build_merged_admit(self, bucket: int):
+        """Admission as ONE merged program: a pool decode step (exact
+        ``_make_step`` emit/update math) + the group's prefill, with the
+        decoder projections packed over both token streams so the per-layer
+        weights stream from HBM once for both (chunked prefill; see
+        ``models.idefics.make_idefics_merged_admit_fn``).  Token semantics
+        per slot are unchanged — the pool just no longer stalls while a
+        prefill runs."""
+        merged_fn = self._merged_admit
+        emit_phase, post_phase = self._make_step_parts()
+
+        def admit(
+            params, cache, media, state, icv, slots, pixels, pv, ids, mask,
+            max_new, min_new,
+        ):
+            emit, tok, adv, out, finished = emit_phase(state)
+            old_index = cache["index"]
+            (
+                dec_logits, cache, last_p, small, new_media, next_pos_p,
+            ) = merged_fn(
+                params, tok[:, None], adv[:, None],
+                state["next_pos"][:, None], cache, media, icv,
+                pixels, pv, ids, mask, bucket,
+            )
+            cache = dict(cache, index=old_index + adv)  # non-emitting rows hold
+            state = post_phase(state, dec_logits, emit, adv, out, finished)
+            return self._scatter_admit(
+                cache, media, state, slots, bucket,
+                last_p, small, new_media, next_pos_p, max_new, min_new,
+            )
+
+        return jax.jit(admit, donate_argnums=(1, 2))
+
     # -- decode --------------------------------------------------------------
 
     def _chunk(self):
@@ -506,16 +695,16 @@ class ServingEngine:
             self._chunk_jit = self._build_chunk()
         return self._chunk_jit
 
-    def _make_step(self):
-        """One lockstep decode step over the whole pool — the shared body of
-        the host-driven chunk and the fused on-device loop.  Emits each
-        active-unfinished slot's pending token (greedy_generate-exact argmax
-        + min_new EOS suppression), forwards it, advances per-row indices."""
-        decode_fn = self._decode
+    def _make_step_parts(self):
+        """The greedy step's bookkeeping, split around the forward so the
+        merged admit+decode program (``_build_merged_admit``) can reuse the
+        EXACT emit/update math with a different forward in the middle."""
         eos, pad = self.eos_token_id, self.pad_token_id
         cols = np.arange(self.out_cap, dtype=np.int32)
 
-        def step(params, state, cache, media, icv):
+        def emit_phase(state):
+            """Pending-token emission for every active-unfinished slot:
+            greedy_generate-exact argmax + min_new EOS suppression."""
             emit = state["active"] & ~state["finished"]
             lg = state["last_logits"]
             lg = jnp.where(
@@ -533,7 +722,34 @@ class ServingEngine:
                 emit
                 & ((tok == eos) | (state["tok_count"] + 1 >= state["max_new"]))
             )
-            adv = emit.astype(jnp.int32)
+            return emit, tok, emit.astype(jnp.int32), out, finished
+
+        def post_phase(state, logits, emit, adv, out, finished):
+            return dict(
+                state,
+                last_logits=jnp.where(
+                    emit[:, None],
+                    logits[:, -1, :].astype(jnp.float32),
+                    state["last_logits"],
+                ),
+                tok_count=state["tok_count"] + adv,
+                next_pos=state["next_pos"] + adv,
+                finished=finished,
+                out=out,
+            )
+
+        return emit_phase, post_phase
+
+    def _make_step(self):
+        """One lockstep decode step over the whole pool — the shared body of
+        the host-driven chunk and the fused on-device loop.  Emits each
+        active-unfinished slot's pending token (greedy_generate-exact argmax
+        + min_new EOS suppression), forwards it, advances per-row indices."""
+        decode_fn = self._decode
+        emit_phase, post_phase = self._make_step_parts()
+
+        def step(params, state, cache, media, icv):
+            emit, tok, adv, out, finished = emit_phase(state)
             old_index = cache["index"]
             logits, cache = decode_fn(
                 params,
@@ -549,18 +765,7 @@ class ServingEngine:
             # the masked row's K/V write landed with valid=False, so the
             # column is re-written when the slot really advances)
             cache = dict(cache, index=old_index + adv)
-            state = dict(
-                state,
-                last_logits=jnp.where(
-                    emit[:, None],
-                    logits[:, -1, :].astype(jnp.float32),
-                    state["last_logits"],
-                ),
-                tok_count=state["tok_count"] + adv,
-                next_pos=state["next_pos"] + adv,
-                finished=finished,
-                out=out,
-            )
+            state = post_phase(state, logits, emit, adv, out, finished)
             return state, cache
 
         return step
@@ -818,17 +1023,19 @@ class BeamServingEngine(ServingEngine):
     Raggedness the static beam path cannot exploit:
     - mixed prompt buckets and per-request ``max_new`` (groups free and
       refill independently);
-    - **early release** at ``length_penalty == 0.0`` (the reference's
-      setting): once a group's finished pool holds K hypotheses and its
+    - **early release** at ``length_penalty <= 0.0`` (the reference uses
+      0.0): once a group's finished pool holds K hypotheses and its
       worst pooled score >= its best live score, no continuation can enter
-      the pool or win the final merge (per-step logprobs are <= 0), so the
-      final answer is already decided — the group frees immediately instead
-      of burning the remaining ``max_new - t`` lockstep steps.  This is
-      HF's ``BeamHypotheses.is_done`` condition; exactness is argued in
-      decode.beam_generate's docstring (ties resolve toward the pool in
-      both places).  For ``length_penalty != 0`` groups always run the full
-      ``max_new`` steps (scores there are length-rescaled at merge time and
-      the early bound no longer holds for lp > 0).
+      the pool or win the final merge (per-step logprobs are <= 0, and for
+      lp < 0 the divisor ``len**lp`` is in (0, 1], so a future finisher's
+      penalized score is <= its raw live score — strictly below the pool's
+      worst), so the final answer is already decided — the group frees
+      immediately instead of burning the remaining ``max_new - t`` lockstep
+      steps.  This is HF's ``BeamHypotheses.is_done`` condition; exactness
+      is argued in decode.beam_generate's docstring (ties resolve toward
+      the pool in both places).  For ``length_penalty > 0`` groups always
+      run the full ``max_new`` steps (a later EOS divides by a larger
+      length and can score HIGHER, so the early bound no longer holds).
 
     Length-penalty caveat: hypothesis scores divide by ``true prompt length
     + generated length``; the static batch path divides by the PADDED batch
@@ -862,6 +1069,12 @@ class BeamServingEngine(ServingEngine):
                 "beam serving is single-device v1 (per-group transitions "
                 "cross dp shard boundaries); run one engine per chip"
             )
+        if kw.pop("merged_admit_fn", None) is not None:
+            raise NotImplementedError(
+                "merged admit+decode (chunked prefill) is greedy-only: the "
+                "beam pool's step is the beam transition, not the greedy "
+                "emit the merged program embeds"
+            )
         self.num_beams = int(num_beams)
         self.length_penalty = float(length_penalty)
         self.n_groups = int(n_slots)
@@ -888,18 +1101,19 @@ class BeamServingEngine(ServingEngine):
 
     # -- admission ------------------------------------------------------------
 
-    def _build_admit(self, bucket: int):
+    def _build_admit(self, bucket: int, with_pam: bool = False):
         prefill = self._prefill
         nb = self.num_beams
         cap, pad = self.out_cap, self.pad_token_id
 
         def admit(
             params, cache, media, state, icv, groups, pixels, pv, ids, mask,
-            max_new, min_new,
+            max_new, min_new, *pam,
         ):
             adm = ids.shape[0]
+            kw = {"pixel_attention_mask": pam[0]} if with_pam else {}
             last, small, new_media, next_pos = prefill(
-                params, pixels, pv, ids, mask, icv, bucket
+                params, pixels, pv, ids, mask, icv, bucket, **kw
             )
             # replicate the shared prefill across each group's beam rows
             # (beam_generate's rep step); rows of group g are [g*nb, (g+1)*nb)
@@ -971,7 +1185,7 @@ class BeamServingEngine(ServingEngine):
         eos, pad = self.eos_token_id, self.pad_token_id
         k, cap, lp = self.num_beams, self.out_cap, self.length_penalty
         g, rows = self.n_slots // self.num_beams, self.n_slots
-        early_ok = lp == 0.0  # see class docstring
+        early_ok = lp <= 0.0  # see class docstring
         cols = np.arange(cap, dtype=np.int32)
 
         def step(params, state, cache, media, icv):

@@ -510,6 +510,168 @@ def decoder_layer(
     return h, new_kv
 
 
+def _pack_tokens(x_d: jax.Array, x_p: jax.Array) -> jax.Array:
+    """Flatten two (B, S, D) token streams into ONE (1, T, D) matmul operand.
+
+    The whole point of the merged decode+prefill step (chunked prefill, the
+    XLA-static-shape answer to Sarathi/vLLM token batching): every layer
+    weight is streamed from HBM exactly ONCE per step for BOTH the
+    bandwidth-bound decode tokens and the compute-bound prefill tokens —
+    the prefill rides in the decode step's weight stream for ~free MXU
+    headroom instead of stalling the pool as a separate program."""
+    d = x_d.shape[-1]
+    return jnp.concatenate(
+        [x_d.reshape(1, -1, d), x_p.reshape(1, -1, d)], axis=1
+    )
+
+
+def _unpack_tokens(y: jax.Array, shape_d: tuple, shape_p: tuple):
+    t1 = shape_d[0] * shape_d[1]
+    return (
+        y[0, :t1].reshape(shape_d + y.shape[2:]),
+        y[0, t1:].reshape(shape_p + y.shape[2:]),
+    )
+
+
+def merged_decoder_layer(
+    cfg: DecoderConfig,
+    p: dict,  # single layer's params (no leading L)
+    h_d: jax.Array,  # (B1, 1, D) decode-lane hidden (the slot pool)
+    h_p: jax.Array,  # (B2, S2, D) prefill-lane hidden (the admission group)
+    rope_d: Optional[tuple],  # (cos, sin) per lane (None for ALiBi)
+    rope_p: Optional[tuple],
+    mask_d: jax.Array,  # decode_cache_view mask over the pool cache
+    kv_write_d: tuple,  # (k_cache_l, v_cache_l, index) — pool cache, per-row
+    mask_p: jax.Array,  # decode_cache_view mask over the FRESH prefill cache
+    kv_write_p: tuple,  # (k_cache_l, v_cache_l, index=0) — fresh cache
+    flash_valid_p: Optional[jax.Array],  # (B2, S2): prefill flash eligibility
+    icv_row_d,  # per-lane ICV rows ((D,) / (row, flag) / None)
+    icv_row_p,
+):
+    """One decoder layer over BOTH lanes with all projections packed.
+
+    Numerics: matmuls run WEIGHT-ONLY (no w8a8) in the merged step — per-row
+    activation quantization would change the decode lane's numerics vs the
+    plain lockstep step, and the prefill lane's MXU time is hidden under the
+    decode lane's weight stream anyway.  Row-wise results equal the unpacked
+    per-lane matmuls in exact arithmetic (each output row is an independent
+    dot); on TPU bf16 the usual batch-shape kernel-selection drift applies —
+    the same caveat already documented for engine-vs-static batching.
+
+    Attention stays per-lane: decode attends the pool cache
+    (``_cached_attention``), prefill attends itself (flash when eligible,
+    else the split-softmax path against its fresh cache).  Returns
+    ``(h_d, h_p, new_kv_d, new_kv_p)`` with each lane's new K/V rows for the
+    caller's bulk cache writes."""
+    from ..ops.int8_matmul import qdot
+
+    b1, s1, d = h_d.shape
+    b2, s2, _ = h_p.shape
+    nh, nkv, dh = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+
+    x = _pack_tokens(
+        _norm(cfg, p["ln1"], p.get("ln1_b"), h_d),
+        _norm(cfg, p["ln1"], p.get("ln1_b"), h_p),
+    )
+    q = qdot(x, p["attn"]["wq"])
+    k = qdot(x, p["attn"]["wk"])
+    v = qdot(x, p["attn"]["wv"])
+    q_d, q_p = _unpack_tokens(q.reshape(1, -1, nh, dh), (b1, s1), (b2, s2))
+    k_d, k_p = _unpack_tokens(k.reshape(1, -1, nkv, dh), (b1, s1), (b2, s2))
+    v_d, v_p = _unpack_tokens(v.reshape(1, -1, nkv, dh), (b1, s1), (b2, s2))
+    if cfg.positional == "rope":
+        q_d, k_d = L.apply_rope(q_d, *rope_d), L.apply_rope(k_d, *rope_d)
+        q_p, k_p = L.apply_rope(q_p, *rope_p), L.apply_rope(k_p, *rope_p)
+    if "q_norm" in p["attn"]:  # idefics qk_layer_norms
+        q_d = L.rms_norm(p["attn"]["q_norm"], q_d, cfg.norm_eps)
+        k_d = L.rms_norm(p["attn"]["k_norm"], k_d, cfg.norm_eps)
+        q_p = L.rms_norm(p["attn"]["q_norm"], q_p, cfg.norm_eps)
+        k_p = L.rms_norm(p["attn"]["k_norm"], k_p, cfg.norm_eps)
+
+    def lane_attention(q, k, v, mask, kv_write, flash_valid):
+        """decoder_layer's cached-attention schedule for one lane (same
+        int8-round-trip invariant: attention sees what decode reads back)."""
+        k_cache, v_cache, index = kv_write
+        k_local, v_local = k, v
+        if isinstance(k_cache, dict):  # int8 KV cache
+            from ..ops.quantize import dequantize_kv, quantize_kv_rows
+
+            kq, ks = quantize_kv_rows(k)
+            vq, vs = quantize_kv_rows(v)
+            new_kv = ({"q": kq, "s": ks}, {"q": vq, "s": vs})
+            k_local = dequantize_kv(kq, ks, q.dtype)
+            v_local = dequantize_kv(vq, vs, q.dtype)
+        else:
+            new_kv = (k, v)
+        s = q.shape[1]
+        use_flash = (
+            flash_valid is not None
+            and cfg.positional == "rope"
+            and cfg.attn_logit_softcap is None
+            and L.flash_attention_usable(cfg, s, nh, dh)
+        )
+        if use_flash:  # self-contained prefill into an empty cache
+            attn = L.flash_attention_tpu(
+                q,
+                L.repeat_kv(k_local, nh // nkv),
+                L.repeat_kv(v_local, nh // nkv),
+                flash_valid,
+            )
+        else:
+            attn = _cached_attention(
+                q,
+                k_cache,
+                v_cache,
+                L.repeat_kv(k_local, nh // nkv),
+                L.repeat_kv(v_local, nh // nkv),
+                mask,
+                None,
+                index,
+                logit_softcap=cfg.attn_logit_softcap,
+            )
+        return attn, new_kv
+
+    attn_d, new_kv_d = lane_attention(q_d, k_d, v_d, mask_d, kv_write_d, None)
+    attn_p, new_kv_p = lane_attention(
+        q_p, k_p, v_p, mask_p, kv_write_p, flash_valid_p
+    )
+
+    ao = qdot(
+        _pack_tokens(
+            attn_d.reshape(b1, s1, nh * dh), attn_p.reshape(b2, s2, nh * dh)
+        ),
+        p["attn"]["wo"],
+    )
+    ao_d, ao_p = _unpack_tokens(ao, (b1, s1), (b2, s2))
+    h_d = h_d + ao_d.astype(h_d.dtype)
+    h_p = h_p + ao_p.astype(h_p.dtype)
+
+    x2 = _pack_tokens(
+        _norm(cfg, p["ln2"], p.get("ln2_b"), h_d),
+        _norm(cfg, p["ln2"], p.get("ln2_b"), h_p),
+    )
+    mlp = (
+        L.swiglu_mlp(p["mlp"], x2)
+        if cfg.activation == "silu_glu"
+        else L.gelu_mlp(p["mlp"], x2)
+    )
+    mlp_d, mlp_p = _unpack_tokens(mlp, (b1, s1), (b2, s2))
+    if cfg.injection_site == MLP_OUTPUT:
+        if icv_row_d is not None:
+            mlp_d = _apply_icv(mlp_d, icv_row_d)
+        if icv_row_p is not None:
+            mlp_p = _apply_icv(mlp_p, icv_row_p)
+    h_d = h_d + mlp_d
+    h_p = h_p + mlp_p
+
+    if cfg.injection_site == BLOCK_OUTPUT:
+        if icv_row_d is not None:
+            h_d = _apply_icv(h_d, icv_row_d)
+        if icv_row_p is not None:
+            h_p = _apply_icv(h_p, icv_row_p)
+    return h_d, h_p, new_kv_d, new_kv_p
+
+
 def _dequant(p, dtype):
     from ..ops.quantize import dequantize_tree
 

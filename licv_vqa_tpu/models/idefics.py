@@ -657,6 +657,179 @@ def make_idefics_forward_fns(cfg: IdeficsConfig, eos_token_id: int, params=None)
 SERVING_MEDIA_AXES = {"latents": 0, "step_onehot": 0, "xattn_kv": 1}
 
 
+def make_idefics_merged_admit_fn(cfg: IdeficsConfig, eos_token_id: int):
+    """ONE program = one pool decode step + one admission-group prefill,
+    with every decoder-layer projection packed over both token streams
+    (``decoder.merged_decoder_layer``) — the XLA-static-shape form of
+    chunked prefill: admissions no longer stall the pool, and the prefill
+    matmuls ride the decode step's per-layer weight stream (read ONCE from
+    HBM for both lanes) instead of paying their own.
+
+    Contract (consumed by ``ServingEngine._build_merged_admit``)::
+
+        merged_step(params, dec_tok (B1,1), dec_adv (B1,1), dec_pos (B1,1),
+                    cache, media, icv_scaled,
+                    pixels, pv, ids, mask, cache_len)
+          -> (dec_logits (B1,1,V), new_cache,
+              pre_last_logits (B2,V) f32, pre_cache, pre_media, pre_next_pos)
+
+    Decode-lane semantics are EXACTLY ``make_idefics_serving_fns``'s
+    ``decode_step`` (same embedding/mask/rope/xattn/ICV math — row-wise
+    identical in exact arithmetic; the packed matmuls carry the usual bf16
+    batch-shape kernel-selection caveat already documented for the engine).
+    Prefill-lane semantics are exactly the serving ``prefill``.  Gated
+    xattn runs per lane (its weights are read once per lane — the lanes'
+    sequence lengths differ so their xattn can't share one attention call);
+    only the DECODER projections + MLP + lm_head pack."""
+    t = cfg.text
+    interval = cfg.cross_layer_interval
+    n_groups = t.n_layers // interval
+    from .decoder import (
+        apply_kv_rows,
+        decode_cache_view,
+        merged_decoder_layer,
+    )
+
+    def merged_step(
+        params, dec_tok, dec_adv, dec_pos, cache, media, icv_scaled,
+        pixels, pv, ids, mask, cache_len,
+    ):
+        b1 = dec_tok.shape[0]
+        b2, s2 = ids.shape
+
+        # ---- prefill-lane media (vision tower + resampler + xattn KV) ----
+        latents_p = encode_images(cfg, params, pixels)
+        n_img = pixels.shape[1]
+        pvf = pv[:, None, :].astype(jnp.float32)
+        prefill_onehot = (
+            image_attention_onehot(ids, cfg.image_token_id, eos_token_id, n_img)
+            * pvf
+        )
+        step_onehot = last_image_onehot(ids, cfg.image_token_id, n_img) * pvf
+        xattn_kv_p = precompute_xattn_kv(cfg, params, latents_p)
+        pos_p = _positions_from_mask(mask)
+        cache_p = init_kv_cache(t, b2, cache_len)
+
+        # ---- per-lane attention views / rope ----
+        index_d = cache["index"]
+        mask_d, cache_pos_d, cache_valid_d = decode_cache_view(
+            cache, dec_pos, dec_adv, 1
+        )
+        index_p = cache_p["index"]
+        mask_p, cache_pos_p, cache_valid_p = decode_cache_view(
+            cache_p, pos_p, mask, s2
+        )
+        rope_d = L.rope_cos_sin(dec_pos, t.head_dim, t.rope_theta)
+        rope_p = L.rope_cos_sin(pos_p, t.head_dim, t.rope_theta)
+
+        # ---- per-lane xattn masks (decode: step onehot; prefill: full) ----
+        onehot_d = jnp.broadcast_to(
+            media["step_onehot"], (b1, 1, media["step_onehot"].shape[-1])
+        )
+        n_lat_d = media["latents"].shape[1] // onehot_d.shape[-1]
+        xmask_d = jnp.repeat(onehot_d, n_lat_d, axis=-1) > 0
+        gate_d = jnp.any(xmask_d, axis=-1).astype(jnp.float32)
+        xmask_d = xmask_d[:, None, :, :]
+        n_lat_p = latents_p.shape[1] // prefill_onehot.shape[-1]
+        xmask_p = jnp.repeat(prefill_onehot, n_lat_p, axis=-1) > 0
+        gate_p = jnp.any(xmask_p, axis=-1).astype(jnp.float32)
+        xmask_p = xmask_p[:, None, :, :]
+
+        h_d = params["embed"][dec_tok].astype(t.dtype)
+        h_p = params["embed"][ids].astype(t.dtype)
+
+        have_icv = icv_scaled is not None
+        icv_xs = (
+            jax.tree.map(
+                lambda x: x.astype(t.dtype)
+                if jnp.issubdtype(x.dtype, jnp.floating)
+                else x,
+                icv_scaled,
+            )
+            if have_icv
+            else jnp.zeros((t.n_layers, 1), t.dtype)
+        )
+
+        def body(carry, xs):
+            h_d, h_p = carry
+            p_l, icv_row, kv_d_l, kv_p_l, li = xs
+
+            def do_xattn(hh):
+                hd, hp = hh
+                g = li // interval
+                pick = lambda ax: lambda x: jax.lax.dynamic_index_in_dim(
+                    x, g, ax, keepdims=False
+                )
+                xp = jax.tree.map(pick(0), params["xattn"])
+                kv_gd = jax.tree.map(pick(0), media["xattn_kv"])
+                kv_gp = jax.tree.map(pick(0), xattn_kv_p)
+                hd = gated_xattn_block(
+                    cfg, xp, hd, media["latents"], xmask_d, gate_d, kv=kv_gd
+                )
+                hp = gated_xattn_block(
+                    cfg, xp, hp, latents_p, xmask_p, gate_p, kv=kv_gp
+                )
+                return hd, hp
+
+            if n_groups > 0:
+                h_d, h_p = jax.lax.cond(
+                    (li % interval == 0) & (li // interval < n_groups),
+                    do_xattn,
+                    lambda hh: hh,
+                    (h_d, h_p),
+                )
+            icv_arg = icv_row if have_icv else None
+            h_d, h_p, nk_d, nk_p = merged_decoder_layer(
+                t, p_l, h_d, h_p, rope_d, rope_p,
+                mask_d, (kv_d_l[0], kv_d_l[1], index_d),
+                mask_p, (kv_p_l[0], kv_p_l[1], index_p),
+                mask,  # prefill_flash: prefill into an empty cache
+                icv_arg, icv_arg,
+            )
+            return (h_d, h_p), (nk_d, nk_p)
+
+        (h_d, h_p), (kv_d_out, kv_p_out) = jax.lax.scan(
+            body,
+            (h_d, h_p),
+            (
+                params["layers"],
+                icv_xs,
+                (cache["k"], cache["v"]),
+                (cache_p["k"], cache_p["v"]),
+                jnp.arange(t.n_layers),
+            ),
+        )
+        new_cache = dict(
+            apply_kv_rows(cache, kv_d_out[0], kv_d_out[1]),
+            pos=cache_pos_d, valid=cache_valid_d, index=index_d + 1,
+        )
+        new_cache_p = dict(
+            apply_kv_rows(cache_p, kv_p_out[0], kv_p_out[1]),
+            pos=cache_pos_p, valid=cache_valid_p, index=index_p + s2,
+        )
+
+        # final norm per lane, ONE packed lm_head read for both lanes
+        h_d = L.rms_norm(params["final_norm"], h_d, t.norm_eps)  # (B1,1,D)
+        h_pl = L.rms_norm(params["final_norm"], h_p[:, -1:, :], t.norm_eps)
+        logits = logits_from_hidden(
+            t, params, jnp.concatenate([h_d, h_pl], axis=0)
+        )  # (B1+B2, 1, V)
+        dec_logits = logits[:b1]
+        last_p = logits[b1:, -1, :].astype(jnp.float32)
+
+        media_p = {
+            "latents": latents_p,
+            "step_onehot": step_onehot,
+            "xattn_kv": xattn_kv_p,
+        }
+        return (
+            dec_logits, new_cache, last_p, new_cache_p, media_p,
+            pos_p[:, -1] + 1,
+        )
+
+    return merged_step
+
+
 def make_idefics_serving_fns(cfg: IdeficsConfig, eos_token_id: int):
     """Slot-oriented (prefill, decode_step) pair for the continuous-batching
     serving engine (``infer/serving.py``).

@@ -412,15 +412,20 @@ def make_idefics2_serving_fns(cfg: Idefics2Config, eos_token_id: int):
     """Slot-oriented (prefill, decode_step) for the continuous-batching
     engine (``infer/serving.py``); see ``make_idefics_serving_fns`` for the
     contract.  Idefics2 merges image latents into the prompt embeddings, so
-    decode steps carry NO media state (``media == {}``).  Square-resize
-    pixels only — NaViT ``pixel_attention_mask`` serving is not plumbed."""
+    decode steps carry NO media state (``media == {}``).  NaViT variable
+    resolution rides the optional ``pixel_attention_mask`` kwarg (the engine
+    passes it per admission group; mixed resolutions split into
+    shape-homogeneous groups)."""
     del eos_token_id  # image binding needs no EOS packing here
 
     def prefill(
         params, pixel_values, pixel_valid, input_ids, attention_mask,
-        icv_scaled, cache_len,
+        icv_scaled, cache_len, pixel_attention_mask=None,
     ):
-        latents = encode_images2(cfg, params, pixel_values)
+        latents = encode_images2(
+            cfg, params, pixel_values,
+            pixel_attention_mask=pixel_attention_mask,
+        )
         latents = latents * pixel_valid[:, :, None, None].astype(latents.dtype)
         positions = _positions_from_mask(attention_mask)
         cache = init_kv_cache(cfg.text, input_ids.shape[0], cache_len)

@@ -20,3 +20,13 @@ def test_bench_variants_smoke():
     r2 = bench.run(1, quantize=True, bs=1, kv8=True)
     assert r2["unit"] == "tokens/s/chip" and r2["value"] > 0
     assert r2["pct_of_achievable"] > 0
+
+
+def test_bench_serving_variant_smoke():
+    import bench
+
+    r = bench.run_serving(n_layers=1, n_slots=2, quantize=True, kv8=True)
+    assert r["unit"] == "tokens/s/chip" and r["value"] > 0
+    assert r["merged_admits"] > 0  # the chunked-prefill program really ran
+    assert r["static_batch_tokens_per_sec"] > 0
+    assert r["pct_of_achievable"] > 0

@@ -53,27 +53,86 @@ def make_workload(rng, n_req, bucket, out_cap, uniform=None):
     return reqs
 
 
-def run_static(cfg, params, bind, reqs, n_slots, bucket, _jits={}):
-    """FIFO batches through the SHIPPED static path: one jit over
-    bind+greedy per max_new bucket (make_generate_fn structure); per-batch
-    max_new rounds up to 16 (generous: a per-batch-max static server)."""
-    import jax
+def make_icl_workload(rng, n_req, shots_list, max_new):
+    """The reference's raggedest workload (few_shot_list sweep, reference:
+    inference.py:324-378): each request carries k shots + 1 query image and
+    a ~35-token-per-shot prompt, with k cycling through ``shots_list`` —
+    prompt lengths spread ~(max k)/(min k) across one stream.  Decode is the
+    reference's eval setting (fixed ``max_new``)."""
+    from licv_vqa_tpu.infer.serving import Request
+
+    reqs = []
+    for i in range(n_req):
+        k = shots_list[i % len(shots_list)]
+        s = 25 + 35 * k + int(rng.integers(0, 20))
+        ids = rng.integers(3, 32000, size=(s,)).astype(np.int32)
+        for j in range(k + 1):
+            ids[2 + j * 35] = 32001
+        pixels = rng.normal(size=(k + 1, 224, 224, 3)).astype(np.float32)
+        reqs.append(
+            Request(uid=i, input_ids=ids, pixel_values=pixels, max_new=max_new)
+        )
+    # FIFO arrival order interleaves shot counts (the engine exploits this;
+    # a static server eats the padding)
+    rng.shuffle(reqs)
+    return reqs
+
+
+def _batch_arrays(batch, bucket):
+    """LEFT-padded ids/mask + per-batch-max image stacks (mixed image
+    counts pad with pixel_valid=False rows — the shipped static path's
+    processor does the same per batch)."""
     import jax.numpy as jnp
+
+    n = len(batch)
+    n_img = max(r.pixel_values.shape[0] for r in batch)
+    hw = batch[0].pixel_values.shape[1:]
+    ids = np.full((n, bucket), PAD, np.int32)
+    mask = np.zeros((n, bucket), np.int32)
+    px = np.zeros((n, n_img) + hw, np.float32)
+    pv = np.zeros((n, n_img), bool)
+    for j, r in enumerate(batch):
+        s = len(r.input_ids)
+        ids[j, bucket - s :] = r.input_ids
+        mask[j, bucket - s :] = 1
+        k = r.pixel_values.shape[0]
+        px[j, :k] = r.pixel_values
+        pv[j, :k] = True
+    return (jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(px),
+            jnp.asarray(pv))
+
+
+def _batch_bucket(batch, bucket, per_batch_bucket):
+    if not per_batch_bucket:
+        return bucket
+    return -(-max(len(r.input_ids) for r in batch) // 64) * 64
+
+
+def run_static(cfg, params, bind, reqs, n_slots, bucket,
+               per_batch_bucket=False, _jits={}):
+    """FIFO batches through the SHIPPED static path: one jit over
+    bind+greedy per (max_new, prompt-bucket, image-count) combination
+    (make_generate_fn structure); per-batch max_new rounds up to 16
+    (generous: a per-batch-max static server).  ``per_batch_bucket`` pads
+    prompts to the BATCH max (64-rounded) instead of the global bucket —
+    the fair static baseline for mixed-shot ICL workloads."""
+    import jax
 
     from licv_vqa_tpu.infer.decode import greedy_generate
 
-    def gen_for(max_new):
-        if max_new not in _jits:
+    def gen_for(max_new, bucket_b, n_img):
+        key = (max_new, bucket_b, n_img)
+        if key not in _jits:
 
             def gen(params, ids, mask, pixels, pv):
-                fwd = bind(params, pixels, pv, ids, None, bucket + max_new + 1)
+                fwd = bind(params, pixels, pv, ids, None, bucket_b + max_new + 1)
                 return greedy_generate(
                     fwd, ids, mask,
                     max_new_tokens=max_new, eos_token_id=EOS, pad_token_id=PAD,
                 )
 
-            _jits[max_new] = jax.jit(gen)
-        return _jits[max_new]
+            _jits[key] = jax.jit(gen)
+        return _jits[key]
 
     results, latency = {}, {}
     t0 = time.perf_counter()
@@ -82,24 +141,18 @@ def run_static(cfg, params, bind, reqs, n_slots, bucket, _jits={}):
         batch = reqs[i : i + n_slots]
         real = len(batch)
         batch = batch + [batch[-1]] * (n_slots - real)
-        ids = np.full((n_slots, bucket), PAD, np.int32)
-        mask = np.zeros((n_slots, bucket), np.int32)
-        for j, r in enumerate(batch):
-            n = len(r.input_ids)
-            ids[j, bucket - n :] = r.input_ids
-            mask[j, bucket - n :] = 1
-        pixels = jnp.asarray(np.stack([r.pixel_values for r in batch]))
-        pv = jnp.ones((n_slots, 1), bool)
+        bucket_b = _batch_bucket(batch, bucket, per_batch_bucket)
+        ids, mask, pixels, pv = _batch_arrays(batch, bucket_b)
         max_new = -(-max(r.max_new for r in batch) // 16) * 16
         out = np.asarray(
-            gen_for(max_new)(
-                params, jnp.asarray(ids), jnp.asarray(mask), pixels, pv
+            gen_for(max_new, bucket_b, pixels.shape[1])(
+                params, ids, mask, pixels, pv
             )
         )
         row_steps += n_slots * max_new
         batch_done = time.perf_counter() - t0
         for j, r in enumerate(batch[:real]):
-            gen = out[j, bucket:]
+            gen = out[j, bucket_b:]
             hits = np.nonzero(gen == EOS)[0]
             cut = min(
                 r.max_new, (hits[0] + 1) if len(hits) else max_new
@@ -110,29 +163,38 @@ def run_static(cfg, params, bind, reqs, n_slots, bucket, _jits={}):
 
 
 def run_static_beam(cfg, params, bind, reqs, n_slots, bucket, num_beams,
-                    _jits={}):
+                    per_batch_bucket=False, _jits={}):
     """FIFO batches through the SHIPPED static beam path (beam_generate,
     the reference's default eval decode); per-batch max_new rounds up to 8
     on ragged workloads (exact when uniform — matching icv_inference's
-    config-driven max_new jit)."""
+    config-driven max_new jit).
+
+    Ragged-workload approximation: the best hypothesis is decoded at the
+    batch max_new and then truncated to each request's r.max_new.  Beam
+    output is NOT prefix-stable, so a truncated sequence is not a valid
+    decode at any setting — the warmup agreement FYI and useful-token
+    accounting are exact only on uniform workloads (where no cut happens);
+    on ragged ones they are an upper-bound approximation of the static
+    path's useful work."""
     import jax
     import jax.numpy as jnp
 
     from licv_vqa_tpu.infer.decode import beam_generate
 
-    def gen_for(max_new):
-        if max_new not in _jits:
+    def gen_for(max_new, bucket_b, n_img):
+        key = (max_new, bucket_b, n_img)
+        if key not in _jits:
 
             def gen(params, ids, mask, pixels, pv):
-                fwd = bind(params, pixels, pv, ids, None, bucket + max_new + 1)
+                fwd = bind(params, pixels, pv, ids, None, bucket_b + max_new + 1)
                 return beam_generate(
                     fwd, ids, mask,
                     max_new_tokens=max_new, eos_token_id=EOS,
                     pad_token_id=PAD, num_beams=num_beams,
                 )
 
-            _jits[max_new] = jax.jit(gen)
-        return _jits[max_new]
+            _jits[key] = jax.jit(gen)
+        return _jits[key]
 
     results, latency = {}, {}
     t0 = time.perf_counter()
@@ -141,25 +203,19 @@ def run_static_beam(cfg, params, bind, reqs, n_slots, bucket, num_beams,
         batch = reqs[i : i + n_slots]
         real = len(batch)
         batch = batch + [batch[-1]] * (n_slots - real)
-        ids = np.full((n_slots, bucket), PAD, np.int32)
-        mask = np.zeros((n_slots, bucket), np.int32)
-        for j, r in enumerate(batch):
-            n = len(r.input_ids)
-            ids[j, bucket - n :] = r.input_ids
-            mask[j, bucket - n :] = 1
-        pixels = jnp.asarray(np.stack([r.pixel_values for r in batch]))
-        pv = jnp.ones((n_slots, 1), bool)
+        bucket_b = _batch_bucket(batch, bucket, per_batch_bucket)
+        ids, mask, pixels, pv = _batch_arrays(batch, bucket_b)
         cap = max(r.max_new for r in batch)
         max_new = cap if len({r.max_new for r in batch}) == 1 else -(-cap // 8) * 8
         out = np.asarray(
-            gen_for(max_new)(
-                params, jnp.asarray(ids), jnp.asarray(mask), pixels, pv
+            gen_for(max_new, bucket_b, pixels.shape[1])(
+                params, ids, mask, pixels, pv
             )
         )
         row_steps += n_slots * num_beams * max_new
         batch_done = time.perf_counter() - t0
         for j, r in enumerate(batch[:real]):
-            gen = out[j, bucket:]
+            gen = out[j, bucket_b:]
             hits = np.nonzero(gen == EOS)[0]
             cut = min(r.max_new, (hits[0] + 1) if len(hits) else max_new)
             results[r.uid] = gen[:cut]
@@ -167,23 +223,33 @@ def run_static_beam(cfg, params, bind, reqs, n_slots, bucket, num_beams,
     return results, time.perf_counter() - t0, row_steps, latency
 
 
-def make_engine(cfg, params, n_slots, bucket, out_cap, sync_steps,
-                num_beams=1):
+def make_engine(cfg, params, n_slots, buckets, out_cap, sync_steps,
+                num_beams=1, merged=True, max_images=None):
     from licv_vqa_tpu.infer.serving import BeamServingEngine, ServingEngine
-    from licv_vqa_tpu.models.idefics import make_idefics_serving_fns
+    from licv_vqa_tpu.models.idefics import (
+        make_idefics_merged_admit_fn,
+        make_idefics_serving_fns,
+    )
 
     prefill, decode, axes = make_idefics_serving_fns(cfg, eos_token_id=EOS)
     kw = dict(
         eos_token_id=EOS, pad_token_id=PAD,
-        n_slots=n_slots, out_cap=out_cap, prompt_buckets=(bucket,),
+        n_slots=n_slots, out_cap=out_cap, prompt_buckets=tuple(buckets),
         sync_steps=sync_steps, admit_sizes=(4, 2, 1),
+        max_images=max_images,
     )
     if num_beams > 1:
         return BeamServingEngine(
             prefill, decode, axes, cfg.text, params,
             num_beams=num_beams, **kw,
         )
-    return ServingEngine(prefill, decode, axes, cfg.text, params, **kw)
+    merged_fn = (
+        make_idefics_merged_admit_fn(cfg, eos_token_id=EOS) if merged else None
+    )
+    return ServingEngine(
+        prefill, decode, axes, cfg.text, params,
+        merged_admit_fn=merged_fn, **kw,
+    )
 
 
 def run_engine(engine, reqs, fused=False):
@@ -211,6 +277,19 @@ def main():
                     help="num_beams > 1: BeamServingEngine vs static "
                          "beam_generate batches (same pool rows: slots "
                          "groups x beams); fused arm skipped")
+    ap.add_argument("--icl", action="store_true",
+                    help="mixed few_shot_list sweep workload (k shots + "
+                         "query per request, k cycling --icl-shots): the "
+                         "reference's raggedest eval; static arm pads per "
+                         "batch (fair), engine admits shape-homogeneous "
+                         "groups against max_images buffers")
+    ap.add_argument("--icl-shots", type=str, default="1,4,8",
+                    help="comma shot counts for --icl")
+    ap.add_argument("--icl-max-new", type=int, default=8,
+                    help="fixed max_new for --icl requests")
+    ap.add_argument("--no-merged", action="store_true",
+                    help="disable the merged admit+decode (chunked "
+                         "prefill) program in the engine arm")
     args = ap.parse_args()
 
     import jax
@@ -226,28 +305,45 @@ def main():
     assert cfg.image_token_id == 32001, cfg.image_token_id
 
     rng = np.random.default_rng(0)
-    reqs = make_workload(
-        rng, args.requests, args.bucket, args.out_cap,
-        uniform=args.uniform or None,
-    )
+    if args.icl:
+        shots = [int(x) for x in args.icl_shots.split(",")]
+        reqs = make_icl_workload(rng, args.requests, shots, args.icl_max_new)
+        out_cap = args.icl_max_new
+        buckets = sorted(
+            {-(-len(r.input_ids) // 64) * 64 for r in reqs}
+        )
+        max_images = max(r.pixel_values.shape[0] for r in reqs)
+        bucket = max(buckets)
+    else:
+        reqs = make_workload(
+            rng, args.requests, args.bucket, args.out_cap,
+            uniform=args.uniform or None,
+        )
+        out_cap = args.out_cap
+        buckets, bucket, max_images = [args.bucket], args.bucket, None
 
     nb = max(args.beam, 1)
     eng = make_engine(
-        cfg, params, args.slots, args.bucket, args.out_cap, args.sync_steps,
-        num_beams=nb,
+        cfg, params, args.slots, buckets, out_cap, args.sync_steps,
+        num_beams=nb, merged=not args.no_merged, max_images=max_images,
     )
-    fu_eng = None if nb > 1 else make_engine(
-        cfg, params, args.slots, args.bucket, args.out_cap, args.sync_steps
+    # fused single-dispatch arm: only meaningful on the single-bucket
+    # single-image workload (its one-shot upload pads to ONE bucket)
+    fu_eng = None if (nb > 1 or args.icl) else make_engine(
+        cfg, params, args.slots, buckets, out_cap, args.sync_steps,
+        merged=not args.no_merged,
     )
     # warmup pass (compiles all arms), then the timed pass on warm engines
     for tag in ("warmup", "timed"):
         if nb > 1:
             st_res, st_t, st_rows, st_lat = run_static_beam(
-                cfg, params, bind, reqs, args.slots, args.bucket, nb
+                cfg, params, bind, reqs, args.slots, bucket, nb,
+                per_batch_bucket=args.icl,
             )
         else:
             st_res, st_t, st_rows, st_lat = run_static(
-                cfg, params, bind, reqs, args.slots, args.bucket
+                cfg, params, bind, reqs, args.slots, bucket,
+                per_batch_bucket=args.icl,
             )
         en_res, en_t = run_engine(eng, reqs)
         fu_res, fu_t = (
@@ -275,7 +371,11 @@ def main():
     en_rows = args.slots * nb * eng.steps_run
     ideal_steps = -(-en_useful // args.slots)
     out = {
-        "workload": "uniform" if args.uniform else "ragged",
+        "workload": (
+            f"icl_shots_{args.icl_shots}" if args.icl
+            else "uniform" if args.uniform else "ragged"
+        ),
+        "merged_admits": getattr(eng, "merged_admits", 0),
         "num_beams": nb,
         "requests": args.requests,
         "static": {
