@@ -363,6 +363,10 @@ class ServingEngine:
                 f"for {self._media_n_img}; construct the engine with "
                 f"max_images={n_img}"
             )
+        if self._clock_t0 is not None:  # online arrival clock
+            import time
+
+            self.arrival_s[request.uid] = time.perf_counter() - self._clock_t0
         self._queue.append(request)
 
     def run(self, on_complete: Optional[Callable] = None) -> dict:
@@ -375,10 +379,55 @@ class ServingEngine:
         streaming consumption; the callback may ``submit()`` follow-up
         requests, which admit into freed slots without draining the pool
         (the loop re-reads the queue every iteration)."""
+        return self._serve(online=False, on_complete=on_complete)
+
+    def run_online(
+        self,
+        on_complete: Optional[Callable] = None,
+        idle_sleep_s: float = 0.002,
+    ) -> dict:
+        """Online serving loop: serves until :meth:`stop`, parking in a short
+        sleep when idle instead of exiting.  ``submit()`` is safe to call
+        from OTHER THREADS while this runs (deque appends are GIL-atomic;
+        the loop re-reads the queue every iteration), so a frontend thread
+        can feed an arrival process while the pool decodes.
+
+        Clocks (seconds relative to this call's start): ``arrival_s`` at
+        submit, ``admission_s`` when a request enters a slot,
+        ``first_token_s`` when its first token is first OBSERVED at a
+        harvest readback (an upper-bound TTFT, late by at most one chunk =
+        ``sync_steps`` decode steps), ``completion_s`` at completion.
+
+        ``stop()`` means "finish everything already submitted, then
+        return": the loop drains queue+pool before exiting."""
+        return self._serve(
+            online=True, on_complete=on_complete, idle_sleep_s=idle_sleep_s
+        )
+
+    def stop(self) -> None:
+        """Ask a live :meth:`run_online` loop to exit once idle (callable
+        from any thread)."""
+        self._stop_requested = True
+
+    def _serve(self, online: bool, on_complete, idle_sleep_s: float = 0.002):
         import time
 
         results: dict = {}
         t0 = time.perf_counter()
+        self._clock_t0 = t0 if online else None
+        self._stop_requested = False
+
+        def emit(done):
+            now = time.perf_counter() - t0
+            for uid, toks in done.items():
+                self.completion_s[uid] = now
+                if on_complete is not None:
+                    on_complete(uid, toks)
+            results.update(done)
+
+        def now_rel():
+            return time.perf_counter() - t0
+
         # pipelined loop: dispatch chunk k+1 (async) BEFORE blocking on
         # chunk k's flags, so the harvest readback overlaps device compute.
         # Safe because state is never donated (only the cache is): chunk
@@ -387,7 +436,15 @@ class ServingEngine:
         # and its out/tok_count freeze once finished, so the stale read is
         # exact, just one chunk late.
         prev = None  # (state handle, generation id)
-        while self._queue or any(s is not None for s in self._slots):
+        while True:
+            if not (self._queue or any(s is not None for s in self._slots)):
+                if prev is not None:  # drain the lagged harvest before parking
+                    emit(self._harvest(*prev, now=now_rel()))
+                    prev = None
+                if not online or self._stop_requested:
+                    break
+                time.sleep(idle_sleep_s)
+                continue
             self._admit_pending()
             if any(s is not None for s in self._slots):
                 self._cache, self._state = self._chunk()(
@@ -396,22 +453,11 @@ class ServingEngine:
                 self.steps_run += self.sync_steps
                 self._chunk_count += 1
                 if prev is not None:
-                    done = self._harvest(*prev)
-                    now = time.perf_counter() - t0
-                    for uid, toks in done.items():
-                        self.completion_s[uid] = now
-                        if on_complete is not None:
-                            on_complete(uid, toks)
-                    results.update(done)
+                    emit(self._harvest(*prev, now=now_rel()))
                 prev = (self._state, self._chunk_count)
         # drain: the last chunk's flags were never read
-        done = self._harvest(self._state, self._chunk_count)
-        now = time.perf_counter() - t0
-        for uid, toks in done.items():
-            self.completion_s[uid] = now
-            if on_complete is not None:
-                on_complete(uid, toks)
-        results.update(done)
+        emit(self._harvest(self._state, self._chunk_count, now=now_rel()))
+        self._clock_t0 = None
         return results
 
     # -- admission -----------------------------------------------------------
@@ -525,6 +571,12 @@ class ServingEngine:
             self._chunk_count += 1
             self.merged_admits += 1
         admitted_at = self._chunk_count - 1 if merged else self._chunk_count
+        if self._clock_t0 is not None:  # online admission clock
+            import time
+
+            adm_now = time.perf_counter() - self._clock_t0
+            for r in group:
+                self.admission_s[r.uid] = adm_now
         for r, s in zip(group, slots):
             self._slots[s] = _Slot(r, len(r.input_ids), admitted_at)
 
@@ -977,10 +1029,12 @@ class ServingEngine:
         greedy engine; group row 0 for the beam engine)."""
         return lambda i: i
 
-    def _harvest(self, state, state_gen: int) -> dict:
+    def _harvest(self, state, state_gen: int, now: Optional[float] = None) -> dict:
         """Free finished slots visible in ``state`` (produced by chunk
         ``state_gen``); slots admitted at or after that chunk still show the
-        previous occupant there and are skipped."""
+        previous occupant there and are skipped.  With ``now`` (online
+        clock), records each live slot's first-token observation time —
+        an upper-bound TTFT late by at most one harvest interval."""
         live = [
             i
             for i, s in enumerate(self._slots)
@@ -995,8 +1049,11 @@ class ServingEngine:
         results = {}
         for i in live:
             r = row(i)
+            uid = self._slots[i].request.uid
+            if now is not None and counts[r] > 0 and uid not in self.first_token_s:
+                self.first_token_s[uid] = now
             if finished[r]:
-                results[self._slots[i].request.uid] = out[r, : counts[r]].copy()
+                results[uid] = out[r, : counts[r]].copy()
                 self._slots[i] = None
         return results
 

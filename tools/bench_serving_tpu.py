@@ -263,6 +263,66 @@ def run_engine(engine, reqs, fused=False):
     return got, time.perf_counter() - t0
 
 
+def run_arrivals(engine, reqs, qps, rng):
+    """Online arm: a feeder thread submits the workload as a POISSON
+    arrival process at ``qps`` while ``run_online`` serves; reports
+    queueing delay (arrival→admission), TTFT (arrival→first-token
+    observation, an upper bound late by ≤ one chunk) and completion
+    latency (arrival→done) percentiles."""
+    import threading
+
+    engine.arrival_s.clear()
+    engine.admission_s.clear()
+    engine.first_token_s.clear()
+    engine.completion_s.clear()
+    gaps = rng.exponential(1.0 / qps, size=len(reqs))
+    holder = {}
+
+    def serve():
+        holder["got"] = engine.run_online()
+
+    t = threading.Thread(target=serve)
+    t.start()
+    while engine._clock_t0 is None:
+        time.sleep(0.001)
+    t0 = time.perf_counter()
+    for r, gap in zip(reqs, gaps):
+        time.sleep(gap)
+        engine.submit(r)
+    engine.stop()
+    t.join()
+    makespan = time.perf_counter() - t0
+    got = holder["got"]
+
+    def pct(d):
+        vals = list(d.values())
+        return {
+            "p50_s": round(float(np.median(vals)), 3),
+            "p99_s": round(float(np.percentile(vals, 99)), 3),
+        }
+
+    queueing = {
+        u: engine.admission_s[u] - engine.arrival_s[u] for u in got
+    }
+    ttft = {
+        u: engine.first_token_s[u] - engine.arrival_s[u]
+        for u in got
+        if u in engine.first_token_s
+    }
+    latency = {
+        u: engine.completion_s[u] - engine.arrival_s[u] for u in got
+    }
+    useful = int(sum(len(v) for v in got.values()))
+    return {
+        "qps_offered": qps,
+        "qps_served": round(len(got) / makespan, 2),
+        "tok_s": round(useful / makespan, 1),
+        "queueing": pct(queueing),
+        "ttft_upper_bound": pct(ttft),
+        "completion": pct(latency),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--layers", type=int, default=32)
@@ -290,6 +350,10 @@ def main():
     ap.add_argument("--no-merged", action="store_true",
                     help="disable the merged admit+decode (chunked "
                          "prefill) program in the engine arm")
+    ap.add_argument("--arrivals", type=float, default=0.0,
+                    help="online arm: Poisson arrival rate (requests/s) fed "
+                         "by a thread into run_online; reports queueing/"
+                         "TTFT/completion p50/p99")
     args = ap.parse_args()
 
     import jax
@@ -408,6 +472,10 @@ def main():
         out["speedup_fused"] = round(
             (fu_useful / fu_t) / (st_useful / st_t), 2
         )
+    if args.arrivals > 0:
+        # the engine is warm (both passes above compiled every program);
+        # the arrival process measures the online loop, not compiles
+        out["arrivals"] = run_arrivals(eng, reqs, args.arrivals, rng)
     print(json.dumps(out))
 
 
