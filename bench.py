@@ -65,10 +65,13 @@ VARIANTS = (
     # variant's budget from optional extras.
     ("16:bf16:bs8", int(os.environ.get("BENCH_BUDGET_V0", 720)), 0),
     ("32:int8:bs8", int(os.environ.get("BENCH_BUDGET_V1", 720)), 0),
-    # bs=64 serving: the continuous engine with merged admit+decode
-    # (chunked prefill) over a request stream; the same child also reports
-    # the prior rounds' static-batch measurement for continuity.
-    ("32:int8:bs64:kv8:serve", int(os.environ.get("BENCH_BUDGET_V2", 600)), 0),
+    # bs=64 throughput: static batching stays the banked measurement — on
+    # one 16 GB v5e behind a ~30-50 ms/dispatch relay it beats every
+    # host-driven continuous configuration on this UNIFORM workload
+    # (engine sweep: 0.4-0.65x static; fused+merged OOMs at 64 slots —
+    # r4 session log / STATUS).  The engine's wins are ragged/ICL/online
+    # workloads (tools/bench_serving_tpu.py); `:serve` runs that variant.
+    ("32:int8:bs64:kv8", int(os.environ.get("BENCH_BUDGET_V2", 600)), 0),
     ("8:bf16:bs8", int(os.environ.get("BENCH_BUDGET_V3", 300)), 0),
     # batched eval throughput: the reference's decode settings (beam-3,
     # max_new=5) at bs=8 — a serving view its bs=1 Python loop can't reach.
@@ -459,7 +462,7 @@ def run_serving(
         * 0.1
     ).astype(jnp.bfloat16)
 
-    n_req = 3 * n_slots
+    n_req = int(os.environ.get("BENCH_SERVE_REQS", 3)) * n_slots
     ids_all = rng.integers(3, 32000, size=(n_req, PROMPT_LEN)).astype(np.int32)
     ids_all[:, 1] = cfg.image_token_id
     pixels_all = rng.normal(size=(n_req, 1, 224, 224, 3)).astype(np.float32)
@@ -471,22 +474,44 @@ def run_serving(
         for i in range(n_req)
     ]
 
+    # lever knobs (chip-sweepable): sync_steps trades host round trips for
+    # refill latency; admit size trades ViT/prefill batch efficiency for
+    # refill-wave length; harvest_lag=0 frees finished slots immediately
+    # (measured: the lag-1 idle was the whole engine-vs-static gap at
+    # uniform bs=64); merged admits are the chunked-prefill program.
+    sync_steps = int(os.environ.get("BENCH_SERVE_SYNC", 4))
+    admit = int(os.environ.get("BENCH_SERVE_ADMIT", 8))
+    lag = int(os.environ.get("BENCH_SERVE_LAG", 0))
+    use_merged = os.environ.get("BENCH_SERVE_MERGED", "1") != "0"
+
     prefill, decode, axes = make_idefics_serving_fns(cfg, eos_token_id=-1)
-    merged = make_idefics_merged_admit_fn(cfg, eos_token_id=-1)
+    merged = (
+        make_idefics_merged_admit_fn(cfg, eos_token_id=-1)
+        if use_merged
+        else None
+    )
     engine = ServingEngine(
         prefill, decode, axes, cfg.text, params,
         eos_token_id=-1,  # no EOS in the random stream: every request runs MAX_NEW
         pad_token_id=0,
         n_slots=n_slots, out_cap=MAX_NEW, prompt_buckets=(PROMPT_LEN,),
-        sync_steps=8, admit_sizes=(4,), icv_scaled=icv,
-        merged_admit_fn=merged,
+        sync_steps=sync_steps, admit_sizes=(admit,), icv_scaled=icv,
+        merged_admit_fn=merged, merged_admit_in_run=use_merged,
+        harvest_lag=lag,
     )
 
+    # fused arm: the WHOLE workload as one on-device lax.while_loop (merged
+    # admissions advance the pool inside the admit branch) — zero host
+    # round trips after the one-shot upload; the regime where the ~30-50 ms
+    # per-dispatch relay cost of the host-driven loop disappears entirely.
+    fused = os.environ.get("BENCH_SERVE_FUSED", "0") == "1"
+
     def one_pass():
+        engine.steps_run = 0
         for r in reqs:
             engine.submit(r)
         t0 = time.perf_counter()
-        got = engine.run()
+        got = engine.run_fused() if fused else engine.run()
         dt = time.perf_counter() - t0
         useful = sum(len(v) for v in got.values())
         return useful, dt
@@ -495,6 +520,13 @@ def run_serving(
     useful, dt = one_pass()
     tok_per_sec = useful / dt
     merged_admits = engine.merged_admits
+    # occupancy diagnostic: useful slot-steps / dispatched slot-steps (the
+    # gap = finished-but-unrefilled idle + short-pool refill waves)
+    if fused:
+        pool_steps = engine.fused_stats["decode_iters"]
+    else:
+        pool_steps = engine.steps_run
+    occupancy = useful / max(pool_steps * n_slots, 1)
 
     # same-child static pass: the previous rounds' exact bs=64 measurement
     from licv_vqa_tpu.infer.decode import greedy_generate
@@ -547,6 +579,11 @@ def run_serving(
         "static_batch_tokens_per_sec": round(static_tok_s, 2),
         "speedup_vs_static_batch": round(tok_per_sec / static_tok_s, 2),
         "merged_admits": int(merged_admits),
+        "slot_occupancy": round(occupancy, 3),
+        "scheduler": "fused" if fused else "host",
+        "sync_steps": sync_steps,
+        "admit_size": admit,
+        "harvest_lag": lag,
         "requests": n_req,
         "weight_stream_gb_per_step": round((stream_bytes + kv_bytes) / 1e9, 3),
     }

@@ -226,6 +226,7 @@ def main(argv: list[str] | None = None):
                 icv_scaled=icv_scaled,
                 mesh=mesh,
                 pipeline_depth=int(cfg.get("infer_pipeline", 2)),
+                chain=int(cfg.get("infer_chain", 1)),
             )
         evaluate_and_store(results, "icv result")
         with open(meta_info_dir / f"{base_info}icv.json", "w") as f:
@@ -285,6 +286,7 @@ def main(argv: list[str] | None = None):
                     instruction=str(cfg.prompt.instruction),
                     mesh=mesh,
                     pipeline_depth=int(cfg.get("infer_pipeline", 2)),
+                    chain=int(cfg.get("infer_chain", 1)),
                 )
             # reference key wording includes the metric (inference.py:226,236)
             metric_word = "ACC" if task_name == "vqa" else "CIDEr"

@@ -101,8 +101,17 @@ def icv_loss_fn(
     encoder: GlobalICVEncoder,
     cfg: ICVModuleConfig,
     pad_token_id: int,
+    head_fn: Optional[Callable] = None,  # (model_params, hidden) -> logits
 ) -> tuple[jax.Array, dict]:
-    """Reference forward semantics (icv_src/icv_module.py:71-119)."""
+    """Reference forward semantics (icv_src/icv_module.py:71-119).
+
+    ``head_fn``: when provided, the TEACHER path returns post-norm hidden
+    states (``forward_fn(..., return_hidden=True)``), gathers the
+    student-aligned window FIRST and only then applies the LM head — the
+    (B, S_tea, V) f32 teacher logits (1 GB at bs=4, s_tea=2048, V=32000)
+    never materialize, only the (B, S_stu, V) window.  Mathematically
+    identical (the head is per-position, so it commutes with the gather);
+    pinned by tests/test_icv_module.py."""
     # THE injection-tensor formula lives in one place (encoder.scaled_icv);
     # re-deriving it here could silently diverge from the inference path
     icv_scaled = encoder.scaled_icv(trainable["encoder"])  # (L, D)
@@ -142,9 +151,6 @@ def icv_loss_fn(
         loss = loss + cfg.hard_loss_weight * ce
 
     teacher_inputs = batch["inputs"]
-    tea_logits = jax.lax.stop_gradient(
-        forward_fn(model_params, teacher_inputs, None)
-    )
 
     stu_mask = answer_region_mask(
         query_inputs["input_ids"], batch["query_x_length"], pad_token_id
@@ -152,12 +158,31 @@ def icv_loss_fn(
     # dp-padding rows are all-zero: when pad_token_id != 0 their tokens
     # don't look like padding to answer_region_mask, so gate on row validity
     stu_mask = stu_mask & row_valid[:, None]
-    tea_aligned = aligned_teacher_gather(
-        tea_logits,
-        batch["in_context_length"],
-        batch["query_x_length"],
-        stu_logits.shape[1],
-    )
+    if head_fn is not None:
+        # gather-before-head: see docstring (teacher logits only at the
+        # student-aligned window, never the full (B, S_tea, V) tensor)
+        tea_hidden = jax.lax.stop_gradient(
+            forward_fn(model_params, teacher_inputs, None, return_hidden=True)
+        )
+        tea_aligned = head_fn(
+            model_params,
+            aligned_teacher_gather(
+                tea_hidden,
+                batch["in_context_length"],
+                batch["query_x_length"],
+                stu_logits.shape[1],
+            ),
+        )
+    else:
+        tea_logits = jax.lax.stop_gradient(
+            forward_fn(model_params, teacher_inputs, None)
+        )
+        tea_aligned = aligned_teacher_gather(
+            tea_logits,
+            batch["in_context_length"],
+            batch["query_x_length"],
+            stu_logits.shape[1],
+        )
     kl = masked_kl_divergence(
         stu_logits,
         tea_aligned,
@@ -329,6 +354,7 @@ def make_train_step(
     optimizer,
     pad_token_id: int,
     lr_schedules: Optional[dict] = None,  # from make_lr_schedules (for logging)
+    head_fn: Optional[Callable] = None,  # gather-before-head teacher path
 ):
     """Build the jittable train step: grads w.r.t. the tiny trainable pytree
     only; the frozen LMM params are a non-differentiated argument."""
@@ -344,6 +370,7 @@ def make_train_step(
             encoder,
             cfg,
             pad_token_id,
+            head_fn,
         )
         if not cfg.learnable_t:
             grads["temperature"] = jnp.zeros_like(grads["temperature"])

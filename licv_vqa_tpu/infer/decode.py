@@ -167,6 +167,26 @@ def _beam_gather_cache(cache: Any, flat_sel: jax.Array, prompt_len: int) -> Any:
     return out
 
 
+def _topk_2k_two_stage(cand: jax.Array, b: int, k: int, vocab: int):
+    """Global top-2K candidate selection as per-beam top-2K + a (B, K·2K)
+    combine — EXACT vs one flat ``top_k`` over (B, K·V): every global
+    top-2K candidate lies within its own beam's top-2K (a beam already has
+    2K better-or-equal entries otherwise), and tie order is preserved
+    (both stages prefer lower (beam, vocab) index, which is exactly the
+    flat index order).  Measurably cheaper on TPU — the flat K·V top_k
+    costs 0.572 ms vs 0.437 ms two-stage at the eval shape (K=3, V=32000;
+    tools/bench_beam_overhead_tpu.py).
+
+    Returns ``(scores, src_beam, token)`` each (B, 2K)."""
+    s1, i1 = jax.lax.top_k(cand.reshape(b * k, vocab), 2 * k)  # per-beam
+    s1 = s1.reshape(b, k * 2 * k)
+    i1 = i1.reshape(b, k * 2 * k)
+    top_scores, sel = jax.lax.top_k(s1, 2 * k)  # (B, 2K) over K*2K entries
+    src_beam = sel // (2 * k)
+    token = jnp.take_along_axis(i1, sel, axis=1).astype(jnp.int32)
+    return top_scores, src_beam, token
+
+
 def beam_generate(
     forward_fn: Callable,
     input_ids: jax.Array,  # (B, S) LEFT-padded prompts
@@ -207,10 +227,7 @@ def beam_generate(
         bookkeeping — no model forward."""
         logp = jnp.where(t < min_new_tokens, last_logp.at[..., eos_token_id].set(NEG_INF), last_logp)
         cand = live_scores[:, :, None] + logp  # (B, K, V)
-        flat = cand.reshape(b, k * vocab)
-        top_scores, top_idx = jax.lax.top_k(flat, 2 * k)  # (B, 2K)
-        src_beam = top_idx // vocab
-        token = (top_idx % vocab).astype(jnp.int32)
+        top_scores, src_beam, token = _topk_2k_two_stage(cand, b, k, vocab)
         is_eos = token == eos_token_id
 
         # candidate token histories: parent's history + new token at slot t

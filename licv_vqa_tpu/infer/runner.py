@@ -34,11 +34,19 @@ def _chunked(seq, n):
         yield buf
 
 
-def make_generate_fn(bundle, generate_kwargs: dict) -> Callable:
+def make_generate_fn(bundle, generate_kwargs: dict, chain: int = 1) -> Callable:
     """Build ONE jitted generate over (ids, mask, pixels, valid, icv).
 
     The KV cache length is derived from the (bucketed) prompt length at trace
-    time, so memory tracks the actual bucket instead of the global max."""
+    time, so memory tracks the actual bucket instead of the global max.
+
+    ``chain > 1``: the returned function takes arrays with a LEADING chain
+    axis ((chain, B, ...)) and runs the SAME bs=B generate as a
+    ``lax.scan`` over that axis — ``chain`` generations per dispatch, ONE
+    host→device round trip for all of them.  Numerics per generation are
+    identical to the unchained program (the scan body IS that program);
+    through a remote-dispatch relay (~30 ms/call) this turns the per-call
+    sync from a per-question cost into a per-chain cost."""
     max_new = int(generate_kwargs.get("max_new_tokens", 5))
     min_new = int(generate_kwargs.get("min_new_tokens", 0))
     num_beams = int(generate_kwargs.get("num_beams", 1))
@@ -140,15 +148,32 @@ def make_generate_fn(bundle, generate_kwargs: dict) -> Callable:
             min_new_tokens=min_new,
         )
 
-    return jax.jit(gen)
+    if chain <= 1:
+        return jax.jit(gen)
+
+    def gen_chain(params, ids, mask, pixels, valid, icv_scaled, *extra):
+        # scan the UNCHANGED bs=B generate over the leading chain axis —
+        # one dispatch, `chain` generations, identical per-generation math
+        def body(_, xs):
+            return 0, gen(params, *xs[:4], icv_scaled, *xs[4:])
+
+        _, outs = jax.lax.scan(body, 0, (ids, mask, pixels, valid) + extra)
+        return outs  # (chain, B, S + max_new)
+
+    return jax.jit(gen_chain)
 
 
 def _dispatch_generate(bundle, gen_fn: Callable, prompts: list[list],
-                       icv_scaled, mesh=None):
+                       icv_scaled, mesh=None, chain: int = 1):
     """Tokenize + launch one generation; returns ``(device_out, rows,
     prompt_len)`` WITHOUT blocking on the result (JAX async dispatch) so the
     eval loop can overlap host prompt assembly of batch k+1 with device
-    compute of batch k."""
+    compute of batch k.
+
+    ``chain > 1``: ``prompts`` holds ``chain`` equal batches back to back;
+    they tokenize TOGETHER (one shared pad length, like one bigger static
+    batch would) and dispatch as one chained program — see
+    ``make_generate_fn(chain=...)``."""
     proc = bundle.processor
     enc = proc.prepare_input(prompts, padding=True, padding_side="left")
     arrays = [
@@ -159,7 +184,14 @@ def _dispatch_generate(bundle, gen_fn: Callable, prompts: list[list],
     ]
     if "pixel_attention_mask" in enc:  # NaViT variable resolution
         arrays.append(np.asarray(enc["pixel_attention_mask"]))
-    rows = arrays[0].shape[0]
+    if chain > 1:
+        if mesh is not None:
+            raise ValueError("infer_chain and the dp mesh are exclusive")
+        arrays = [
+            a.reshape((chain, a.shape[0] // chain) + a.shape[1:])
+            for a in arrays
+        ]
+    rows = len(prompts)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -186,7 +218,10 @@ def _collect_generate(bundle, pending) -> list[str]:
     """Block on a ``_dispatch_generate`` handle and decode ONLY the
     continuation (reference: inference.py:300-321)."""
     out, rows, prompt_len = pending
-    out = np.asarray(out)[:rows]
+    out = np.asarray(out)
+    if out.ndim == 3:  # chained dispatch: (chain, B, S') → flat rows
+        out = out.reshape(-1, out.shape[-1])
+    out = out[:rows]
     return bundle.tokenizer.batch_decode(
         [row[prompt_len:] for row in out], skip_special_tokens=True
     )
@@ -254,6 +289,7 @@ def icv_inference(
     progress: bool = True,
     mesh=None,
     pipeline_depth: int = 2,
+    chain: int = 1,
 ) -> dict:
     """Zero-shot (+ optional ICV) eval loop (reference: inference.py:246-297).
 
@@ -262,21 +298,29 @@ def icv_inference(
     — batch k+1's host tokenization and dispatch overlap batch k's device
     compute, hiding the per-call host→device round trip at small batch
     sizes.  Depth 1 restores strictly serial dispatch→sync; outputs are
-    identical either way (collection order is FIFO)."""
-    gen_fn = make_generate_fn(bundle, generate_kwargs)
+    identical either way (collection order is FIFO).
+    ``chain``: generations per dispatch (``make_generate_fn(chain=...)``):
+    ``chain`` consecutive bs-sized batches run as one scanned program —
+    per-batch decode math unchanged, but the host↔device round trip
+    amortizes over the whole chain (the wall-clock lever on high-latency
+    links; exclusive with ``mesh``)."""
+    chain = max(int(chain), 1)
+    gen_fn = make_generate_fn(bundle, generate_kwargs, chain=chain)
     if mesh is not None:
         _replicate_bundle_params(bundle, mesh)
     pipe = _EvalPipeline(bundle, pipeline_depth)
-    for batch in _chunked(_maybe_tqdm(val_ds, progress), bs):
+    for batch in _chunked(_maybe_tqdm(val_ds, progress), bs * chain):
         real = len(batch)
-        padded = batch + [batch[-1]] * (bs - real)
+        padded = batch + [batch[-1]] * (bs * chain - real)
         prompts = []
         for sample in padded:
             p = [instruction] if instruction else []
             p += [sample["image"], prompt_manager.gen_query_text_without_label(sample)]
             prompts.append(p)
         pipe.push(
-            _dispatch_generate(bundle, gen_fn, prompts, icv_scaled, mesh=mesh),
+            _dispatch_generate(
+                bundle, gen_fn, prompts, icv_scaled, mesh=mesh, chain=chain
+            ),
             batch,
         )
     return pipe.drain()
@@ -447,22 +491,25 @@ def icl_inference(
     progress: bool = True,
     mesh=None,
     pipeline_depth: int = 2,
+    chain: int = 1,
 ) -> dict:
     """True few-shot ICL eval (reference: inference.py:324-378).
 
     Pipelined like ``icv_inference``: up to ``pipeline_depth`` generations
-    in flight, so shot assembly/tokenization overlaps device compute."""
-    gen_fn = make_generate_fn(bundle, generate_kwargs)
+    in flight, so shot assembly/tokenization overlaps device compute;
+    ``chain`` batches per dispatch amortize the host↔device round trip."""
+    chain = max(int(chain), 1)
+    gen_fn = make_generate_fn(bundle, generate_kwargs, chain=chain)
     if mesh is not None:
         _replicate_bundle_params(bundle, mesh)
     pipe = _EvalPipeline(bundle, pipeline_depth)
     cursor = 0  # next ice_idx_list row to CONSUME (dispatch side)
-    for batch in _chunked(_maybe_tqdm(val_ds, progress), bs):
+    for batch in _chunked(_maybe_tqdm(val_ds, progress), bs * chain):
         real = len(batch)
         ice_ids = ice_idx_list[cursor : cursor + real]
         cursor += real
-        ice_ids = ice_ids + [ice_ids[-1]] * (bs - real)
-        padded = batch + [batch[-1]] * (bs - real)
+        ice_ids = ice_ids + [ice_ids[-1]] * (bs * chain - real)
+        padded = batch + [batch[-1]] * (bs * chain - real)
         prompts = []
         for sample, shots in zip(padded, ice_ids):
             p = [instruction] if instruction else []
@@ -474,7 +521,12 @@ def icl_inference(
                 ]
             p += [sample["image"], prompt_manager.gen_query_text_without_label(sample)]
             prompts.append(p)
-        pipe.push(_dispatch_generate(bundle, gen_fn, prompts, None, mesh=mesh), batch)
+        pipe.push(
+            _dispatch_generate(
+                bundle, gen_fn, prompts, None, mesh=mesh, chain=chain
+            ),
+            batch,
+        )
     return pipe.drain()
 
 

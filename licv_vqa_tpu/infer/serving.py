@@ -117,6 +117,8 @@ class ServingEngine:
         max_images: Optional[int] = None,
         supports_pixel_attention_mask: bool = False,
         merged_admit_fn: Optional[Callable] = None,
+        merged_admit_in_run: bool = False,
+        harvest_lag: int = 1,
     ):
         self._prefill = prefill_fn
         self._decode = decode_fn
@@ -146,7 +148,26 @@ class ServingEngine:
         # decode step's weight stream (models/*.make_*_merged_admit_fn).
         # Single-device v1: the dp-sharded pool keeps the plain admit (the
         # prefill lane's group batch has no dp layout).
+        #
+        # Regime (measured, v5e behind the ~30-50 ms/dispatch axon relay):
+        # merged admission WINS inside run_fused (one on-device while_loop:
+        # ragged 8-slot 1.10x static vs 0.94x plain-fused) but LOSES in the
+        # host-driven run() (it trades few big admit dispatches for many
+        # per-step ones: ragged 8-slot 1.15x vs plain's 1.24x; uniform
+        # 64-slot 0.4-0.65x).  Default: fused uses it when available,
+        # run() keeps plain admits unless ``merged_admit_in_run=True``
+        # (the right setting on low-latency links where dispatch is ~free).
         self._merged_admit = merged_admit_fn if mesh is None else None
+        self.merged_admit_in_run = bool(merged_admit_in_run)
+        # harvest_lag=1 (default): block on chunk k's flags only AFTER
+        # dispatching chunk k+1 — the readback overlaps device compute, but
+        # a finished slot idles up to 2·sync_steps extra steps before its
+        # refill.  harvest_lag=0 blocks on EVERY chunk's own flags: one
+        # readback round trip per chunk on the critical path, but finished
+        # slots refill at the next admission — the right trade at large
+        # pools where strandied slot-steps dwarf the readback (measured
+        # bs=64 uniform: the lag-1 idle was the whole engine-vs-static gap).
+        self.harvest_lag = int(harvest_lag)
         # multi-chip: the SLOT POOL shards over the mesh's dp axis (each
         # chip holds n_slots/dp rows of the cache/state/media); admissions
         # and harvests stay host-driven, GSPMD keeps every jitted step
@@ -452,9 +473,18 @@ class ServingEngine:
                 )
                 self.steps_run += self.sync_steps
                 self._chunk_count += 1
-                if prev is not None:
-                    emit(self._harvest(*prev, now=now_rel()))
-                prev = (self._state, self._chunk_count)
+                if self.harvest_lag == 0:
+                    # block on THIS chunk's flags: finished slots refill at
+                    # the very next admission (see harvest_lag docstring)
+                    emit(
+                        self._harvest(
+                            self._state, self._chunk_count, now=now_rel()
+                        )
+                    )
+                else:
+                    if prev is not None:
+                        emit(self._harvest(*prev, now=now_rel()))
+                    prev = (self._state, self._chunk_count)
         # drain: the last chunk's flags were never read
         emit(self._harvest(self._state, self._chunk_count, now=now_rel()))
         self._clock_t0 = None
@@ -534,6 +564,7 @@ class ServingEngine:
         # prefill-only program (cheaper compile, no dead decode lane)
         merged = (
             self._merged_admit is not None
+            and self.merged_admit_in_run
             and pam is None
             and any(s is not None for s in self._slots)
         )
@@ -952,20 +983,60 @@ class ServingEngine:
                 state, *_, next_req, _stats = c
                 return (next_req < r_n) | jnp.any(state["active"])
 
+            def release(state_pre, state_post, slot_req, res_out, res_len):
+                """Release slots that finished in this step: their out rows
+                scatter to results[request id]; everything else targets the
+                dump row (index r_n), so stale pointers never collide."""
+                newly = state_post["finished"] & ~state_pre["finished"]
+                tgt = jnp.where(newly, slot_req, r_n)
+                res_out = res_out.at[tgt].set(state_post["out"])
+                res_len = res_len.at[tgt].set(state_post["tok_count"])
+                state_post = dict(
+                    state_post, active=state_post["active"] & ~newly
+                )
+                return state_post, res_out, res_len
+
             def make_admit(k):
                 # k-lane admission: guarded by >=k free slots and >=k
                 # pending requests, so every lane is valid — stable argsort
                 # puts the k free (False) slots first and stays a
                 # permutation (distinct targets), no masking needed (k=1
-                # degenerates to first-free-slot, next-request admission)
+                # degenerates to first-free-slot, next-request admission).
+                # With a merged admit fn the lane ALSO advances the pool one
+                # lockstep step (chunked prefill: the prefill packs into the
+                # pool step's weight stream) — an admission iteration then
+                # costs ~a decode step instead of stalling the pool.
+                merged_fn = self._merged_admit
+                emit_phase, post_phase = self._make_step_parts()
+
                 def admit(c):
                     state, cache, media, slot_req, res_out, res_len, next_req, stats = c
                     js = next_req + jnp.arange(k, dtype=jnp.int32)
                     slots = jnp.argsort(state["active"])[:k].astype(jnp.int32)
-                    last, small, new_media, next_pos = prefill(
-                        params, pixels[js], pv[js], ids[js], mask[js],
-                        icv, bucket,
-                    )
+                    if merged_fn is None:
+                        last, small, new_media, next_pos = prefill(
+                            params, pixels[js], pv[js], ids[js], mask[js],
+                            icv, bucket,
+                        )
+                    else:
+                        emit, tok, adv, out, finished = emit_phase(state)
+                        old_index = cache["index"]
+                        (
+                            dec_logits, cache, last, small, new_media,
+                            next_pos,
+                        ) = merged_fn(
+                            params, tok[:, None], adv[:, None],
+                            state["next_pos"][:, None], cache, media, icv,
+                            pixels[js], pv[js], ids[js], mask[js], bucket,
+                        )
+                        cache = dict(cache, index=old_index + adv)
+                        new_state = post_phase(
+                            state, dec_logits, emit, adv, out, finished
+                        )
+                        state, res_out, res_len = release(
+                            state, new_state, slot_req, res_out, res_len
+                        )
+                        stats = stats.at[1].add(1)
                     cache, media, state = self._scatter_admit(
                         cache, media, state, slots, bucket,
                         last, small, new_media, next_pos,
@@ -985,15 +1056,8 @@ class ServingEngine:
             def decode(c):
                 state, cache, media, slot_req, res_out, res_len, next_req, stats = c
                 new_state, cache = step_once(params, state, cache, media, icv)
-                newly = new_state["finished"] & ~state["finished"]
-                # release finished slots on the spot: their out rows scatter
-                # to results[request id]; everything else targets the dump
-                # row (index r_n), so stale pointers never collide
-                tgt = jnp.where(newly, slot_req, r_n)
-                res_out = res_out.at[tgt].set(new_state["out"])
-                res_len = res_len.at[tgt].set(new_state["tok_count"])
-                new_state = dict(
-                    new_state, active=new_state["active"] & ~newly
+                new_state, res_out, res_len = release(
+                    state, new_state, slot_req, res_out, res_len
                 )
                 return (
                     new_state, cache, media, slot_req,
@@ -1264,9 +1328,9 @@ class BeamServingEngine(ServingEngine):
                 logp,
             )
             cand = state["beam_live"][:, :, None] + logp
-            top_scores, top_idx = jax.lax.top_k(cand.reshape(g, k * vocab), 2 * k)
-            src_beam = top_idx // vocab
-            token = (top_idx % vocab).astype(jnp.int32)
+            from .decode import _topk_2k_two_stage
+
+            top_scores, src_beam, token = _topk_2k_two_stage(cand, g, k, vocab)
             is_eos = token == eos
 
             out_g = state["out"].reshape(g, k, cap)

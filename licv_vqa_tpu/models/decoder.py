@@ -823,6 +823,7 @@ def causal_lm_forward(
     remat: bool = False,
     prefill_flash: Optional[jax.Array] = None,
     ring_spec=None,
+    return_hidden: bool = False,
 ):
     """Text-only causal LM: returns (logits f32 (B,S,V), new_cache)."""
     embeds = params["embed"][input_ids].astype(cfg.dtype)
@@ -838,4 +839,6 @@ def causal_lm_forward(
         prefill_flash=prefill_flash,
         ring_spec=ring_spec,
     )
+    if return_hidden:
+        return h, new_cache
     return logits_from_hidden(cfg, params, h), new_cache

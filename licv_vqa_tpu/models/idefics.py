@@ -373,6 +373,8 @@ def idefics_forward(
     xattn_kv: Optional[tuple] = None,  # precomputed (G,B,Nk,nh,dh) k/v
     last_logit_only: bool = False,  # decode prefill: skip S-1 lm_head cols
     ring_spec=None,  # parallel.ring.RingSpec: sp-shard the train forward
+    return_hidden: bool = False,  # post-norm hidden instead of logits (the
+    # teacher path gathers the answer window BEFORE the (D,V) head)
 ):
     """Returns (logits f32 (B,S,V), new_cache)."""
     t = cfg.text
@@ -559,6 +561,8 @@ def idefics_forward(
     h, _ = jax.lax.scan(group_body, h, (params["xattn"], glayers, icv_xs))
 
     h = L.rms_norm(params["final_norm"], h, t.norm_eps)
+    if return_hidden:
+        return h, None
     return logits_from_hidden(t, params, h), None
 
 
@@ -572,7 +576,9 @@ def make_idefics_forward_fns(cfg: IdeficsConfig, eos_token_id: int, params=None)
     """
     del params
 
-    def train_forward(model_params, inputs, icv_scaled, ring_spec=None):
+    def train_forward(
+        model_params, inputs, icv_scaled, ring_spec=None, return_hidden=False
+    ):
         latents = encode_images(cfg, model_params, inputs["pixel_values"])
         onehot = image_attention_onehot(
             inputs["input_ids"],
@@ -591,6 +597,7 @@ def make_idefics_forward_fns(cfg: IdeficsConfig, eos_token_id: int, params=None)
             icv_scaled=icv_scaled,
             remat=True,
             ring_spec=ring_spec,
+            return_hidden=return_hidden,
         )
         return logits
 

@@ -311,6 +311,8 @@ def idefics2_forward(
     prefill_flash: Optional[jax.Array] = None,
     last_logit_only: bool = False,  # decode prefill: skip S-1 lm_head cols
     ring_spec=None,
+    return_hidden: bool = False,  # post-norm hidden instead of logits (the
+    # teacher path gathers the answer window BEFORE the (D,V) head)
 ):
     embeds = params["embed"][input_ids].astype(cfg.text.dtype)
     if image_latents is not None:
@@ -331,6 +333,8 @@ def idefics2_forward(
     )
     if last_logit_only:
         h = h[:, -1:, :]  # left-padded decode prompts: last pos is live
+    if return_hidden:
+        return h, new_cache
     return logits_from_hidden(cfg.text, params, h), new_cache
 
 
@@ -338,7 +342,9 @@ def make_idefics2_forward_fns(cfg: Idefics2Config, eos_token_id: int, params=Non
     del eos_token_id  # no EOS-dependent image masking for inline tokens
     del params  # weights are explicit args (see idefics.make_idefics_forward_fns)
 
-    def train_forward(model_params, inputs, icv_scaled, ring_spec=None):
+    def train_forward(
+        model_params, inputs, icv_scaled, ring_spec=None, return_hidden=False
+    ):
         latents = encode_images2(
             cfg,
             model_params,
@@ -357,6 +363,7 @@ def make_idefics2_forward_fns(cfg: Idefics2Config, eos_token_id: int, params=Non
             icv_scaled=icv_scaled,
             remat=True,
             ring_spec=ring_spec,
+            return_hidden=return_hidden,
         )
         return logits
 

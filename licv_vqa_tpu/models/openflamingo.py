@@ -285,6 +285,8 @@ def openflamingo_forward(
     last_logit_only: bool = False,  # decode prefill: skip S-1 lm_head cols
     ring_spec=None,  # parallel.ring.RingSpec: sp-shard the train forward
     prefill_flash: Optional[jax.Array] = None,  # mask: empty-cache prefill
+    return_hidden: bool = False,  # post-norm hidden instead of logits (the
+    # teacher path gathers the answer window BEFORE the tied (D,V) head)
 ):
     t = cfg.text
     every = cfg.cross_attn_every_n_layers
@@ -452,6 +454,8 @@ def openflamingo_forward(
     h, _ = jax.lax.scan(group_body, h, (params["xattn"], glayers, icv_xs))
 
     h = L.layer_norm(params["final_norm"], params["final_norm_b"], h, t.norm_eps)
+    if return_hidden:
+        return h, None
     # MPT ties the LM head to the embedding table
     logits = jnp.dot(h, params["embed"].T, preferred_element_type=jnp.float32)
     return logits, None
@@ -462,7 +466,9 @@ def make_openflamingo_forward_fns(
 ):
     del params  # weights are explicit args (see idefics.make_idefics_forward_fns)
 
-    def train_forward(model_params, inputs, icv_scaled, ring_spec=None):
+    def train_forward(
+        model_params, inputs, icv_scaled, ring_spec=None, return_hidden=False
+    ):
         latents = encode_media(cfg, model_params, inputs["pixel_values"])
         onehot = image_attention_onehot(
             inputs["input_ids"],
@@ -480,6 +486,7 @@ def make_openflamingo_forward_fns(
             icv_scaled=icv_scaled,
             remat=True,
             ring_spec=ring_spec,
+            return_hidden=return_hidden,
         )
         return logits
 

@@ -34,6 +34,7 @@ from ..utils.log import get_logger
 from .config import injection_site_from_layer_format
 from .convert import convert_idefics
 from .idefics import IdeficsConfig, init_idefics_params, make_idefics_forward_fns
+from .decoder import logits_from_hidden as _logits_from_hidden
 
 logger = get_logger("models")
 
@@ -53,6 +54,11 @@ class ModelBundle:
     # decoder layers the K ICV rows map to; None when the ICV covers every
     # layer (reference icv_intervention.py:39-42 semantics)
     intervention_layers: Optional[list] = None
+    # (model_params, hidden (B,S,D)) -> logits (B,S,V) f32 — the family's LM
+    # head alone, for callers that gather a hidden window BEFORE the (D,V)
+    # projection (the teacher-KL path: 8x less logit memory at s_tea=2048
+    # vs s_stu=256).  Composes with train_forward(return_hidden=True).
+    head_fn: Optional[Callable] = None
 
     @property
     def pad_token_id(self) -> int:
@@ -220,6 +226,7 @@ def _idefics_bundle(cfg, model_cfg: IdeficsConfig, name: str) -> ModelBundle:
         hidden_size=model_cfg.text.d_model,
         n_layers=n_icv_layers,
         intervention_layers=icv_layer_ids,
+        head_fn=lambda p, h, _t=model_cfg.text: _logits_from_hidden(_t, p, h),
     )
 
 
@@ -292,6 +299,7 @@ def _idefics2_bundle(cfg, model_cfg, name: str) -> ModelBundle:
         hidden_size=model_cfg.text.d_model,
         n_layers=n_icv_layers,
         intervention_layers=icv_layer_ids,
+        head_fn=lambda p, h, _t=model_cfg.text: _logits_from_hidden(_t, p, h),
     )
 
 
@@ -633,4 +641,7 @@ def _openflamingo_bundle(cfg, model_cfg, name: str) -> ModelBundle:
         hidden_size=model_cfg.text.d_model,
         n_layers=n_icv_layers,
         intervention_layers=icv_layer_ids,
+        head_fn=lambda p, h: jnp.dot(
+            h, p["embed"].T, preferred_element_type=jnp.float32
+        ),
     )

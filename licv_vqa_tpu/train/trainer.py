@@ -153,6 +153,8 @@ class Trainer:
         pad_token_id: int,
         mesh=None,
         metrics_hook: Optional[Callable[[int, dict], None]] = None,
+        head_fn: Optional[Callable] = None,  # (model_params, hidden) -> logits:
+        # enables the teacher gather-before-head memory lever (icv_loss_fn)
     ):
         self.cfg = trainer_cfg
         self.module_cfg = dataclasses.replace(
@@ -162,6 +164,7 @@ class Trainer:
         )
         self.encoder = encoder
         self.forward_fn = forward_fn
+        self.head_fn = head_fn
         self.pad_token_id = pad_token_id
         self.metrics_hook = metrics_hook
 
@@ -302,6 +305,7 @@ class Trainer:
                 optimizer,
                 self.pad_token_id,
                 lr_schedules=make_lr_schedules(self.module_cfg, total_steps),
+                head_fn=self.head_fn,
             ),
             donate_argnums=(0,),
         )

@@ -170,6 +170,11 @@ def test_dp_sharded_inference_matches_single_device(env):
     assert preds1 == preds("e2e_dp8"), preds1
     assert preds1 == preds("e2e_dptp"), preds1
 
+    # chained dispatch (infer_chain=2: two bs-batches per scanned program,
+    # one host round trip) — predictions identical to serial dispatch
+    infer_cli.main(args + ["run_name=e2e_chain", "infer_chain=2"])
+    assert preds1 == preds("e2e_chain"), preds1
+
     # per-row speculative decoding composes with the dp mesh (f32 tiny
     # model: per-row cache indices + sharded batch produce a valid run)
     infer_cli.main(

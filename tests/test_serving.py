@@ -655,7 +655,7 @@ def test_engine_merged_admit_matches_greedy():
         eos_token_id=EOS, pad_token_id=PAD,
         n_slots=3, out_cap=8, prompt_buckets=(8, 16),
         sync_steps=2, admit_sizes=(2, 1), icv_scaled=icv,
-        merged_admit_fn=merged,
+        merged_admit_fn=merged, merged_admit_in_run=True,
     )
     for r in reqs:
         engine.submit(r)
@@ -698,6 +698,7 @@ def test_engine_merged_admit_int8_weights_and_cache():
         eos_token_id=EOS, pad_token_id=PAD,
         n_slots=2, out_cap=8, prompt_buckets=(16,),
         sync_steps=2, admit_sizes=(2, 1), merged_admit_fn=merged,
+        merged_admit_in_run=True,
     )
     for r in reqs:
         engine.submit(r)
@@ -764,3 +765,35 @@ def test_engine_run_online_concurrent_submit():
         if uid in engine.first_token_s:
             assert engine.first_token_s[uid] <= engine.completion_s[uid]
     del got0
+
+
+def test_engine_fused_merged_matches_greedy():
+    """run_fused with MERGED admission: the while_loop's admit branch also
+    advances the pool one lockstep step (chunked prefill on-device, zero
+    host involvement) — token-for-token equal to per-request greedy with
+    slot reuse and ICV."""
+    from licv_vqa_tpu.models.idefics import make_idefics_merged_admit_fn
+
+    cfg, params, bind, (prefill, decode, axes) = _idefics_setup()
+    merged = make_idefics_merged_admit_fn(cfg, eos_token_id=EOS)
+    rng = np.random.default_rng(47)
+    reqs = _make_requests(cfg, rng, 6, min_new=1)
+    icv = jnp.asarray(
+        rng.normal(size=(cfg.text.n_layers, cfg.text.d_model)) * 0.1,
+        jnp.float32,
+    )
+
+    engine = ServingEngine(
+        prefill, decode, axes, cfg.text, params,
+        eos_token_id=EOS, pad_token_id=PAD,
+        n_slots=3, out_cap=8, prompt_buckets=(16,),
+        admit_sizes=(2, 1), icv_scaled=icv, merged_admit_fn=merged,
+    )
+    for r in reqs:
+        engine.submit(r)
+    got = engine.run_fused()
+
+    assert set(got) == {r.uid for r in reqs}
+    for r in reqs:
+        want = _reference_tokens(cfg, bind, params, r, icv)
+        np.testing.assert_array_equal(got[r.uid], want, err_msg=r.uid)

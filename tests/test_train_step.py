@@ -401,3 +401,73 @@ def test_decay_ratio_without_period_raises():
     state = init_train_state(jax.random.PRNGKey(1), encoder, bad, tx)
     with pytest.raises(ValueError, match="decay_per_step"):
         decay_temperature(state, bad)
+
+
+def test_teacher_gather_before_head_is_loss_identical():
+    """head_fn path (teacher hidden gathered to the student window BEFORE
+    the LM head — the (B, S_tea, V) teacher logits never materialize, an
+    8x logit-memory saving at the flagship shape) computes the IDENTICAL
+    loss: the per-position head commutes with the positional gather."""
+    from licv_vqa_tpu.icv.module import icv_loss_fn
+    from licv_vqa_tpu.models.decoder import logits_from_hidden
+
+    cfg = DecoderConfig(
+        vocab_size=V, d_model=D, n_layers=LAYERS, n_heads=4, n_kv_heads=4,
+        d_ff=64, dtype=jnp.float32,
+    )
+    params = init_decoder_params(jax.random.PRNGKey(0), cfg)
+    encoder = GlobalICVEncoder(
+        lmm_hidden_dim=D, lmm_layers=LAYERS, alpha_init_value=0.1,
+        use_sigmoid=False,
+    )
+    mcfg = ICVModuleConfig(hard_loss_weight=0.5, mask_ce_padding=False)
+    state = init_train_state(
+        jax.random.PRNGKey(1), encoder, mcfg, make_optimizer(mcfg, 10)
+    )
+
+    def forward_fn(model_params, inputs, icv_scaled, return_hidden=False):
+        out, _ = causal_lm_forward(
+            cfg, model_params, inputs["input_ids"], inputs["attention_mask"],
+            icv_scaled=icv_scaled, return_hidden=return_hidden,
+        )
+        return out
+
+    def head_fn(model_params, hidden):
+        return logits_from_hidden(cfg, model_params, hidden)
+
+    rng = np.random.default_rng(5)
+    bs, s_stu, s_tea = 3, 10, 18
+    stu = np.zeros((bs, s_stu), np.int64)
+    tea = np.zeros((bs, s_tea), np.int64)
+    qx, icl = np.zeros(bs, np.int64), np.zeros(bs, np.int64)
+    for b in range(bs):
+        q, a, ice = rng.integers(3, 6), rng.integers(1, 3), rng.integers(4, 8)
+        qx[b] = q
+        icl[b] = ice + q - 1
+        stu[b, : q + a] = rng.integers(3, V, size=q + a)
+        tea[b, : icl[b] + a] = rng.integers(3, V, size=icl[b] + a)
+    batch = {
+        "query_inputs": {
+            "input_ids": jnp.asarray(stu),
+            "attention_mask": jnp.asarray((stu != 0).astype(np.int32)),
+        },
+        "inputs": {
+            "input_ids": jnp.asarray(tea),
+            "attention_mask": jnp.asarray((tea != 0).astype(np.int32)),
+        },
+        "query_x_length": jnp.asarray(qx),
+        "in_context_length": jnp.asarray(icl),
+    }
+
+    legacy, m_legacy = icv_loss_fn(
+        state.params, params, batch, forward_fn, encoder, mcfg, 0
+    )
+    lean, m_lean = icv_loss_fn(
+        state.params, params, batch, forward_fn, encoder, mcfg, 0,
+        head_fn=head_fn,
+    )
+    assert float(legacy) == pytest.approx(float(lean), rel=1e-6)
+    for k in m_legacy:
+        assert float(m_legacy[k]) == pytest.approx(
+            float(m_lean[k]), rel=1e-6
+        ), k

@@ -224,7 +224,8 @@ def run_static_beam(cfg, params, bind, reqs, n_slots, bucket, num_beams,
 
 
 def make_engine(cfg, params, n_slots, buckets, out_cap, sync_steps,
-                num_beams=1, merged=True, max_images=None):
+                num_beams=1, merged=True, max_images=None, harvest_lag=0,
+                admit_sizes=(4, 2, 1)):
     from licv_vqa_tpu.infer.serving import BeamServingEngine, ServingEngine
     from licv_vqa_tpu.models.idefics import (
         make_idefics_merged_admit_fn,
@@ -235,8 +236,8 @@ def make_engine(cfg, params, n_slots, buckets, out_cap, sync_steps,
     kw = dict(
         eos_token_id=EOS, pad_token_id=PAD,
         n_slots=n_slots, out_cap=out_cap, prompt_buckets=tuple(buckets),
-        sync_steps=sync_steps, admit_sizes=(4, 2, 1),
-        max_images=max_images,
+        sync_steps=sync_steps, admit_sizes=tuple(admit_sizes),
+        max_images=max_images, harvest_lag=harvest_lag,
     )
     if num_beams > 1:
         return BeamServingEngine(
@@ -248,7 +249,7 @@ def make_engine(cfg, params, n_slots, buckets, out_cap, sync_steps,
     )
     return ServingEngine(
         prefill, decode, axes, cfg.text, params,
-        merged_admit_fn=merged_fn, **kw,
+        merged_admit_fn=merged_fn, merged_admit_in_run=merged, **kw,
     )
 
 
@@ -354,6 +355,11 @@ def main():
                     help="online arm: Poisson arrival rate (requests/s) fed "
                          "by a thread into run_online; reports queueing/"
                          "TTFT/completion p50/p99")
+    ap.add_argument("--admit-sizes", type=str, default="4,2,1",
+                    help="comma admission group sizes (merged admits want "
+                         "SMALL groups: the prefill lane must fit the "
+                         "decode lane's weight-stream MXU headroom)")
+    ap.add_argument("--harvest-lag", type=int, default=0)
     args = ap.parse_args()
 
     import jax
@@ -387,15 +393,17 @@ def main():
         buckets, bucket, max_images = [args.bucket], args.bucket, None
 
     nb = max(args.beam, 1)
+    admit_sizes = tuple(int(x) for x in args.admit_sizes.split(","))
     eng = make_engine(
         cfg, params, args.slots, buckets, out_cap, args.sync_steps,
         num_beams=nb, merged=not args.no_merged, max_images=max_images,
+        harvest_lag=args.harvest_lag, admit_sizes=admit_sizes,
     )
     # fused single-dispatch arm: only meaningful on the single-bucket
     # single-image workload (its one-shot upload pads to ONE bucket)
     fu_eng = None if (nb > 1 or args.icl) else make_engine(
         cfg, params, args.slots, buckets, out_cap, args.sync_steps,
-        merged=not args.no_merged,
+        merged=not args.no_merged, admit_sizes=admit_sizes,
     )
     # warmup pass (compiles all arms), then the timed pass on warm engines
     for tag in ("warmup", "timed"):

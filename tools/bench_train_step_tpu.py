@@ -84,7 +84,18 @@ def _build(shape: str, mode: str):
     mcfg = ICVModuleConfig(hard_loss_weight=0.5, warm_steps=0)
     tx = make_optimizer(mcfg, total_steps=100)
     state = init_train_state(jax.random.PRNGKey(1), encoder, mcfg, tx)
-    step = make_train_step(train_forward, encoder, mcfg, tx, pad_token_id=0)
+    # gather-before-head teacher path (what train.py ships via
+    # bundle.head_fn): the (B, S_tea, V) teacher logits never materialize —
+    # the memory lever for remat=inner at bs>=4 on 16 GB.
+    # TRAINBENCH_LEGACY_HEAD=1 restores the full-logits path for A/B.
+    head_fn = None
+    if os.environ.get("TRAINBENCH_LEGACY_HEAD", "0") != "1":
+        from licv_vqa_tpu.models.decoder import logits_from_hidden
+
+        head_fn = lambda p, h: logits_from_hidden(t, p, h)  # noqa: E731
+    step = make_train_step(
+        train_forward, encoder, mcfg, tx, pad_token_id=0, head_fn=head_fn
+    )
 
     rng = np.random.default_rng(0)
     img_hw = cfg.vision.image_size
@@ -109,7 +120,45 @@ def _build(shape: str, mode: str):
         "query_x_length": jnp.full((bs,), s_stu // 2, jnp.int32),
         "in_context_length": jnp.full((bs,), s_tea - s_stu // 2, jnp.int32),
     }
-    return step, state, params, batch, dict(s_tea=s_tea, s_stu=s_stu, bs=bs)
+
+    # ---- roofline FLOPs model (the % columns VERDICT r3 #8 asks for) ----
+    # teacher fwd: 2·P_act FLOPs/token over bs·s_tea tokens; student:
+    # fwd 2 + remat recompute 2 + activation-grad bwd 2 (frozen weights →
+    # no dW matmuls) = 6·P_act per token over bs·s_stu; heads at D·V per
+    # position (teacher head only over the GATHERED s_stu window with the
+    # shipped head_fn path); ViT fwd per image on both streams (no tower
+    # bwd: nothing trainable upstream of the latents).
+    from licv_vqa_tpu.ops.quantize import is_any_quantized_leaf
+
+    import jax as _jax
+
+    def _n(x):
+        if isinstance(x, dict) and "q" in x:
+            return x["q"].size
+        return x.size
+
+    p_act = sum(
+        _n(l)
+        for key in ("layers", "xattn")
+        for l in _jax.tree.leaves(params[key], is_leaf=is_any_quantized_leaf)
+    )
+    d, v = t.d_model, t.vocab_size
+    vit_flops = 2.0 * sum(
+        _n(l)
+        for key in ("vision", "perceiver")
+        if key in params
+        for l in _jax.tree.leaves(params[key], is_leaf=is_any_quantized_leaf)
+    )
+    head = 2.0 * d * v
+    flops = (
+        2.0 * p_act * bs * s_tea  # teacher fwd
+        + 6.0 * p_act * bs * s_stu  # student fwd + recompute + dX bwd
+        + head * bs * s_stu  # teacher head over the gathered window
+        + 3.0 * head * bs * s_stu  # student head fwd + recompute + bwd
+        + vit_flops * bs * 2 * PROMPT_IMG  # both streams' image encodes
+    )
+    meta = dict(s_tea=s_tea, s_stu=s_stu, bs=bs, model_tflops=round(flops / 1e12, 1))
+    return step, state, params, batch, meta
 
 
 def _child(spec: str) -> None:
@@ -140,20 +189,23 @@ def _child(spec: str) -> None:
         state, metrics = compiled(state, params, batch)
         _ = float(np.asarray(metrics["loss"]))
     dt = (time.perf_counter() - t0) / reps
-    print(
-        json.dumps(
-            {
-                "shape": shape,
-                "mode": mode,
-                **meta,
-                "trace_s": round(t_lower, 1),
-                "compile_s": round(t_compile, 1),
-                "step_ms": round(dt * 1e3, 1),
-                "loss": round(loss0, 4),
-            }
-        ),
-        flush=True,
-    )
+    tok_s = meta["bs"] * (meta["s_tea"] + meta["s_stu"]) / dt
+    out = {
+        "shape": shape,
+        "mode": mode,
+        **meta,
+        "trace_s": round(t_lower, 1),
+        "compile_s": round(t_compile, 1),
+        "step_ms": round(dt * 1e3, 1),
+        "tokens_per_sec": round(tok_s, 0),
+        "loss": round(loss0, 4),
+    }
+    if "model_tflops" in meta:
+        # bf16 MXU peak (197 TFLOPS on v5e): train matmuls are bf16 even
+        # with int8 frozen weights (dequant-into-matmul, weight-only)
+        mfu = meta["model_tflops"] * 1e12 / dt / 197e12
+        out["mfu_pct_bf16_peak"] = round(100 * mfu, 1)
+    print(json.dumps(out), flush=True)
 
 
 def main() -> None:

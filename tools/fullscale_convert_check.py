@@ -296,7 +296,18 @@ def main():
         "--dtype", choices=["bf16", "f32"], default=None,
         help="override model dtype (f32 is much faster on XLA:CPU)",
     )
+    ap.add_argument(
+        "--hf-dir", default=None,
+        help="REAL-WEIGHT mode: load the HF model from this directory "
+             "(from_pretrained) instead of materializing random weights — "
+             "the released-checkpoint parity run of the real-weight "
+             "runbook (tools/real_weight_runbook.sh).  For openflamingo "
+             "this is the MPT lang-encoder dir (gate-zero parity; the "
+             "flamingo deltas stay zero).",
+    )
     args = ap.parse_args()
+    if args.hf_dir:
+        args.parity = True
 
     import jax
 
@@ -318,9 +329,15 @@ def main():
 
         hf_cfg = _hf_mpt_cfg(_our_cfg(args.family).text.vocab_size)
         if args.parity:
-            torch.manual_seed(0)
-            print("materializing HF MPT-7B at full scale...", flush=True)
-            model = MptForCausalLM(hf_cfg).eval()
+            if args.hf_dir:
+                print(f"loading HF MPT from {args.hf_dir}...", flush=True)
+                model = MptForCausalLM.from_pretrained(
+                    args.hf_dir, torch_dtype=torch.float32
+                ).eval()
+            else:
+                torch.manual_seed(0)
+                print("materializing HF MPT-7B at full scale...", flush=True)
+                model = MptForCausalLM(hf_cfg).eval()
             sd = {
                 "lang_encoder." + k: v for k, v in model.state_dict().items()
             }
@@ -352,9 +369,15 @@ def main():
             hf_cfg = _hf_idefics2_cfg()
 
         if args.parity:
-            torch.manual_seed(0)
-            print("materializing HF model at full scale (slow)...", flush=True)
-            model = Ctor(hf_cfg).eval()
+            if args.hf_dir:
+                print(f"loading HF model from {args.hf_dir}...", flush=True)
+                model = Ctor.from_pretrained(
+                    args.hf_dir, torch_dtype=torch.float32
+                ).eval()
+            else:
+                torch.manual_seed(0)
+                print("materializing HF model at full scale (slow)...", flush=True)
+                model = Ctor(hf_cfg).eval()
             sd = model.state_dict()
         else:
             shapes = _meta_state_shapes(Ctor, hf_cfg)

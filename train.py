@@ -128,6 +128,7 @@ def main(argv: list[str] | None = None) -> Path | None:
         bundle.params,
         pad_token_id=bundle.pad_token_id,
         metrics_hook=metrics_hook,
+        head_fn=bundle.head_fn,
     )
     trainer.fit(
         loader,
