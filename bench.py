@@ -407,21 +407,35 @@ def run_eval_shape(n_layers: int = 32, bs: int = 1, quantize: bool = True) -> di
     )
     ceiling = bs / t_bound
     variant = "int8w" if quantize else "bf16"
+    # headline = the shipped runner's best schedule: `infer_chain` (r4)
+    # scans whole questions inside one dispatch, so the per-question relay
+    # sync (~30 ms through the axon tunnel — NOT chip time) amortizes over
+    # the chain; the chained measurement below IS that schedule (reps
+    # questions per dispatch, serial data dependence between them).  The
+    # pipelined (depth-2, one dispatch per question) and serial views stay
+    # in the JSON for continuity with r2/r3 numbers.
+    headline = qps_device if qps_device is not None else qps
     out = {
         "metric": f"icv_steered_eval_questions_per_sec_per_chip"
         f"_idefics{n_layers}L4096d_{variant}_bs{bs}_beam3_maxnew5",
-        "value": round(qps, 2),
+        "value": round(headline, 2),
         "unit": "questions/s/chip",
+        "schedule": (
+            f"chained(infer_chain={reps})" if qps_device is not None
+            else "pipelined(depth=2)"
+        ),
         # baseline at the same shape: 15 tok/s estimate ÷ 5 tokens/question
-        "vs_baseline": round(qps / (BASELINE_TOKENS_PER_SEC / EVAL_MAX_NEW), 2),
+        "vs_baseline": round(
+            headline / (BASELINE_TOKENS_PER_SEC / EVAL_MAX_NEW), 2
+        ),
         "baseline_estimated": True,
         "roofline_questions_per_sec": round(ceiling, 2),
-        "pct_of_hbm_roofline": round(100.0 * qps / ceiling, 1),
-        "tokens_per_sec_per_chip": round(qps * EVAL_MAX_NEW, 2),
+        "pct_of_hbm_roofline": round(100.0 * headline / ceiling, 1),
+        "tokens_per_sec_per_chip": round(headline * EVAL_MAX_NEW, 2),
+        "questions_per_sec_pipelined": round(qps, 2),
         # strictly serial dispatch→sync latency view (infer_pipeline=1)
         "questions_per_sec_serial": round(qps_serial, 2),
         "latency_ms_per_question": round(1e3 * bs / qps_serial, 1),
-        "pipeline_depth": 2,
         "questions_per_sec_pipeline4": round(qps_pipe4, 2),
     }
     if qps_device is not None:

@@ -112,6 +112,14 @@ def icv_loss_fn(
     never materialize, only the (B, S_stu, V) window.  Mathematically
     identical (the head is per-position, so it commutes with the gather);
     pinned by tests/test_icv_module.py."""
+    # Frozen means frozen AT THE TRACE level too: without this, the student
+    # scan's transpose materializes ZERO cotangent buffers for its weight
+    # xs (a bf16 copy of the whole dequantized xattn stack — 688 MB at the
+    # flagship shape, the single largest allocation in the bs=4
+    # remat=inner OOM dump).  Grads over model_params are never requested
+    # (value_and_grad runs over ``trainable`` only), so this is a pure
+    # memory/DCE win.
+    model_params = jax.lax.stop_gradient(model_params)
     # THE injection-tensor formula lives in one place (encoder.scaled_icv);
     # re-deriving it here could silently diverge from the inference path
     icv_scaled = encoder.scaled_icv(trainable["encoder"])  # (L, D)

@@ -565,6 +565,12 @@ def merged_decoder_layer(
     caller's bulk cache writes."""
     from ..ops.int8_matmul import qdot
 
+    if cfg.positional != "rope":
+        # the ALiBi bias plumbing is not wired into the merged lanes —
+        # openflamingo/MPT keeps the plain (unmerged) admit path
+        raise NotImplementedError(
+            "merged_decoder_layer supports rope positional encoding only"
+        )
     b1, s1, d = h_d.shape
     b2, s2, _ = h_p.shape
     nh, nkv, dh = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim

@@ -535,7 +535,18 @@ def idefics_forward(
 
     def group_body(h, xs):
         xp, lp, icv_g = xs
-        h = gated_xattn_block(cfg, xp, h, image_latents, xmask, gate)
+        # checkpoint the xattn block whenever ANY remat is on: without it
+        # the group scan's VJP saves each iteration's residuals STACKED —
+        # including the dequantized int8 weight planes the backward needs
+        # (a bf16 [G, d_ff, D] copy of the whole xattn MLP stack: 688 MB at
+        # the flagship shape, the top allocation in the bs=4 OOM dump).
+        # Rematerializing recomputes the dequant from the int8 xs instead.
+        xattn_fn = lambda hh: gated_xattn_block(  # noqa: E731
+            cfg, xp, hh, image_latents, xmask, gate
+        )
+        if mode != "none":
+            xattn_fn = jax.checkpoint(xattn_fn)
+        h = xattn_fn(h)
 
         def layer_body(h, xs_l):
             p_l, icv_row = xs_l

@@ -445,7 +445,15 @@ def openflamingo_forward(
         inner = jax.checkpoint(one_layer) if remat else one_layer
         h, _ = jax.lax.scan(inner, h, first)
         # flamingo runs gated cross-attention BEFORE the block closing a group
-        h = flamingo_xattn_block(cfg, xp, h, media_latents, xmask, gate)
+        # (checkpointed under remat: the group scan's VJP otherwise saves
+        # each iteration's DEQUANTIZED xattn weight planes stacked — see
+        # idefics.py group_body)
+        xattn_fn = lambda hh: flamingo_xattn_block(  # noqa: E731
+            cfg, xp, hh, media_latents, xmask, gate
+        )
+        if remat:
+            xattn_fn = jax.checkpoint(xattn_fn)
+        h = xattn_fn(h)
         h, _ = one_layer(h, last)
         return h, None
 
