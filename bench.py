@@ -362,6 +362,37 @@ def run_eval_shape(n_layers: int = 32, bs: int = 1, quantize: bool = True) -> di
     except Exception as e:  # pragma: no cover - hardware-path diagnostics
         print(f"bench: eval-shape device view failed: {e!r}", file=sys.stderr)
 
+    # Overlapped chain (infer/eval_chain.py): question i+1's prefill packs
+    # into question i's FIRST beam step (merged lanes — 4 weight-stream
+    # passes/question instead of 5).  Token-exact vs per-question
+    # beam_generate (tests/test_eval_chain.py).  Best effort like the
+    # device view.
+    qps_overlap = None
+    try:
+        if time.time() > child_deadline - 240:
+            raise TimeoutError("variant deadline near — skipping overlap arm")
+        from licv_vqa_tpu.infer.eval_chain import make_idefics_eval_chain
+
+        chain = jax.jit(
+            make_idefics_eval_chain(
+                cfg, 2, num_beams=NUM_BEAMS, max_new_tokens=EVAL_MAX_NEW,
+                transition_eos_token_id=-1,
+            )
+        )
+        stackq = lambda x: jnp.asarray(  # noqa: E731
+            np.broadcast_to(np.asarray(x)[None], (reps,) + np.asarray(x).shape)
+        )
+        cargs = (
+            params, stackq(ids), stackq(mask), stackq(pixels), stackq(valid),
+            icv,
+        )
+        np.asarray(chain(*cargs))  # compile + warm
+        t0 = time.perf_counter()
+        np.asarray(chain(*cargs))
+        qps_overlap = reps * bs / (time.perf_counter() - t0)
+    except Exception as e:  # pragma: no cover - hardware-path diagnostics
+        print(f"bench: eval-shape overlap arm failed: {e!r}", file=sys.stderr)
+
     # phase split: a bind+prefill-only program isolates everything before the
     # 5-step beam scan; decode time = total − bind+prefill.  Best effort —
     # the headline must survive a failure here.
@@ -410,20 +441,24 @@ def run_eval_shape(n_layers: int = 32, bs: int = 1, quantize: bool = True) -> di
     # headline = the shipped runner's best schedule: `infer_chain` (r4)
     # scans whole questions inside one dispatch, so the per-question relay
     # sync (~30 ms through the axon tunnel — NOT chip time) amortizes over
-    # the chain; the chained measurement below IS that schedule (reps
-    # questions per dispatch, serial data dependence between them).  The
-    # pipelined (depth-2, one dispatch per question) and serial views stay
-    # in the JSON for continuity with r2/r3 numbers.
-    headline = qps_device if qps_device is not None else qps
+    # the chain; the OVERLAPPED chain (eval_chain.py) additionally packs
+    # the next question's prefill into the first beam step.  The pipelined
+    # (depth-2, one dispatch per question) and serial views stay in the
+    # JSON for continuity with r2/r3 numbers.
+    candidates = [
+        (qps, "pipelined(depth=2)"),
+        (qps_device, f"chained(infer_chain={reps})"),
+        (qps_overlap, f"chained+overlapped_prefill(infer_chain={reps})"),
+    ]
+    headline, schedule = max(
+        ((v, s) for v, s in candidates if v is not None), key=lambda t: t[0]
+    )
     out = {
         "metric": f"icv_steered_eval_questions_per_sec_per_chip"
         f"_idefics{n_layers}L4096d_{variant}_bs{bs}_beam3_maxnew5",
         "value": round(headline, 2),
         "unit": "questions/s/chip",
-        "schedule": (
-            f"chained(infer_chain={reps})" if qps_device is not None
-            else "pipelined(depth=2)"
-        ),
+        "schedule": schedule,
         # baseline at the same shape: 15 tok/s estimate ÷ 5 tokens/question
         "vs_baseline": round(
             headline / (BASELINE_TOKENS_PER_SEC / EVAL_MAX_NEW), 2
@@ -441,6 +476,8 @@ def run_eval_shape(n_layers: int = 32, bs: int = 1, quantize: bool = True) -> di
     if qps_device is not None:
         out["questions_per_sec_device"] = round(qps_device, 2)
         out["device_ms_per_question"] = round(1e3 * bs / qps_device, 1)
+    if qps_overlap is not None:
+        out["questions_per_sec_overlapped"] = round(qps_overlap, 2)
     out.update(split)
     return out
 

@@ -27,6 +27,7 @@ by the caller via closure.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Callable
 
 import jax
@@ -187,6 +188,73 @@ def _topk_2k_two_stage(cand: jax.Array, b: int, k: int, vocab: int):
     return top_scores, src_beam, token
 
 
+def beam_transition(
+    live_scores, live_tokens, fin_scores, fin_tokens, last_logp, t,
+    *, prompt_len: int, eos_token_id: int, length_penalty: float,
+    min_new_tokens: int,
+):
+    """One beam-search transition from the current step's logprobs: update
+    the finished pool + select the K live continuations.  Pure bookkeeping
+    — no model forward.  Module-level so the overlapped eval chain
+    (infer/eval_chain.py) runs the EXACT transition ``beam_generate``
+    does."""
+    b, k = live_scores.shape
+    vocab = last_logp.shape[-1]
+    logp = jnp.where(
+        t < min_new_tokens,
+        last_logp.at[..., eos_token_id].set(NEG_INF),
+        last_logp,
+    )
+    cand = live_scores[:, :, None] + logp  # (B, K, V)
+    top_scores, src_beam, token = _topk_2k_two_stage(cand, b, k, vocab)
+    is_eos = token == eos_token_id
+
+    # candidate token histories: parent's history + new token at slot t
+    parent_hist = jnp.take_along_axis(
+        live_tokens, src_beam[:, :, None], axis=1
+    )  # (B, 2K, T)
+    cand_hist = jax.vmap(
+        lambda h, tok: h.at[:, t].set(tok), in_axes=(0, 0)
+    )(parent_hist, token)
+
+    # ---- finished pool update: EOS candidates compete for K slots ----
+    # HF skips EOS candidates ranked >= K among the 2K, and its length
+    # penalty divides by the FULL (padded prompt + generated) length.
+    lp_len = jnp.float32(prompt_len + t + 1)
+    rank_ok = jnp.arange(2 * k, dtype=jnp.int32)[None, :] < k
+    eos_scores = jnp.where(
+        is_eos & rank_ok, top_scores / (lp_len**length_penalty), NEG_INF
+    )
+    pool_scores = jnp.concatenate([fin_scores, eos_scores], axis=1)  # (B, 3K)
+    pool_tokens = jnp.concatenate([fin_tokens, cand_hist], axis=1)
+    best_scores, best_idx = jax.lax.top_k(pool_scores, k)
+    fin_scores = best_scores
+    fin_tokens = jnp.take_along_axis(pool_tokens, best_idx[:, :, None], axis=1)
+
+    # ---- select top-K non-EOS candidates as the new live beams ----
+    live_cand = jnp.where(is_eos, NEG_INF, top_scores)
+    new_scores, sel = jax.lax.top_k(live_cand, k)  # (B, K)
+    new_beam = jnp.take_along_axis(src_beam, sel, axis=1)
+    new_token = jnp.take_along_axis(token, sel, axis=1)
+    live_tokens = jnp.take_along_axis(cand_hist, sel[:, :, None], axis=1)
+    return (new_scores, live_tokens, fin_scores, fin_tokens, new_beam,
+            new_token)
+
+
+def beam_finalize(
+    live_scores, live_tokens, fin_scores, fin_tokens,
+    *, prompt_len: int, max_new_tokens: int, length_penalty: float,
+):
+    """HF finalize: merge live beams into the pool, pick the best
+    hypothesis per batch item — (B, max_new) tokens."""
+    lp_len = jnp.float32(prompt_len + max_new_tokens)
+    live_final = live_scores / (lp_len**length_penalty)
+    all_scores = jnp.concatenate([fin_scores, live_final], axis=1)
+    all_tokens = jnp.concatenate([fin_tokens, live_tokens], axis=1)
+    best = jnp.argmax(all_scores, axis=1)
+    return jnp.take_along_axis(all_tokens, best[:, None, None], axis=1)[:, 0]
+
+
 def beam_generate(
     forward_fn: Callable,
     input_ids: jax.Array,  # (B, S) LEFT-padded prompts
@@ -221,45 +289,13 @@ def beam_generate(
     fin_tokens = jnp.full((b, k, max_new_tokens), pad_token_id, jnp.int32)
     last_logp = rep(last_logp[:, None, :], 1)  # (B, K, V)
 
-    def transition(live_scores, live_tokens, fin_scores, fin_tokens, last_logp, t):
-        """One beam-search transition from the current step's logprobs:
-        update finished pool + select the K live continuations.  Pure
-        bookkeeping — no model forward."""
-        logp = jnp.where(t < min_new_tokens, last_logp.at[..., eos_token_id].set(NEG_INF), last_logp)
-        cand = live_scores[:, :, None] + logp  # (B, K, V)
-        top_scores, src_beam, token = _topk_2k_two_stage(cand, b, k, vocab)
-        is_eos = token == eos_token_id
-
-        # candidate token histories: parent's history + new token at slot t
-        parent_hist = jnp.take_along_axis(
-            live_tokens, src_beam[:, :, None], axis=1
-        )  # (B, 2K, T)
-        cand_hist = jax.vmap(
-            lambda h, tok: h.at[:, t].set(tok), in_axes=(0, 0)
-        )(parent_hist, token)
-
-        # ---- finished pool update: EOS candidates compete for K slots ----
-        # HF skips EOS candidates ranked >= K among the 2K, and its length
-        # penalty divides by the FULL (padded prompt + generated) length.
-        lp_len = jnp.float32(s + t + 1)
-        rank_ok = jnp.arange(2 * k, dtype=jnp.int32)[None, :] < k
-        eos_scores = jnp.where(
-            is_eos & rank_ok, top_scores / (lp_len**length_penalty), NEG_INF
-        )
-        pool_scores = jnp.concatenate([fin_scores, eos_scores], axis=1)  # (B, 3K)
-        pool_tokens = jnp.concatenate([fin_tokens, cand_hist], axis=1)
-        best_scores, best_idx = jax.lax.top_k(pool_scores, k)
-        fin_scores = best_scores
-        fin_tokens = jnp.take_along_axis(pool_tokens, best_idx[:, :, None], axis=1)
-
-        # ---- select top-K non-EOS candidates as the new live beams ----
-        live_cand = jnp.where(is_eos, NEG_INF, top_scores)
-        new_scores, sel = jax.lax.top_k(live_cand, k)  # (B, K)
-        new_beam = jnp.take_along_axis(src_beam, sel, axis=1)
-        new_token = jnp.take_along_axis(token, sel, axis=1)
-        live_tokens = jnp.take_along_axis(cand_hist, sel[:, :, None], axis=1)
-        return (new_scores, live_tokens, fin_scores, fin_tokens, new_beam,
-                new_token)
+    transition = partial(
+        beam_transition,
+        prompt_len=s,
+        eos_token_id=eos_token_id,
+        length_penalty=length_penalty,
+        min_new_tokens=min_new_tokens,
+    )
 
     def step(carry, t):
         live_scores, live_tokens, fin_scores, fin_tokens, last_logp, cache, next_pos = (
@@ -304,11 +340,9 @@ def beam_generate(
         max_new_tokens - 1,
     )
 
-    # merge live beams into the pool (HF finalize) and pick the best
-    lp_len = jnp.float32(s + max_new_tokens)
-    live_final = live_scores / (lp_len**length_penalty)
-    all_scores = jnp.concatenate([fin_scores, live_final], axis=1)
-    all_tokens = jnp.concatenate([fin_tokens, live_tokens], axis=1)
-    best = jnp.argmax(all_scores, axis=1)
-    best_tokens = jnp.take_along_axis(all_tokens, best[:, None, None], axis=1)[:, 0]
+    best_tokens = beam_finalize(
+        live_scores, live_tokens, fin_scores, fin_tokens,
+        prompt_len=s, max_new_tokens=max_new_tokens,
+        length_penalty=length_penalty,
+    )
     return jnp.concatenate([input_ids, best_tokens], axis=1)

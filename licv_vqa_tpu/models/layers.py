@@ -169,8 +169,12 @@ def flash_attention_tpu(
     seg = valid.astype(jnp.int32) + 1  # pads=1, real=2 (0 is reserved-ish)
     # 256 is the v5e sweet spot (fits VMEM comfortably at dh=128) and keeps
     # the Mosaic program small — 512-blocks at seq 2048 stalled the axon
-    # remote-compile path for >9 min in round 1 (TODO.md)
-    blk = min(256, s)
+    # remote-compile path for >9 min in round 1 (TODO.md).  The kernel
+    # requires blocks to DIVIDE s (flash_attention_usable guarantees
+    # s % 128 == 0, but not s % 256: e.g. the ICL sweep's 384-token
+    # bucket) — fall back to 128-blocks on odd 128-multiples.
+    blk = 256 if s % 256 == 0 else 128
+    blk = min(blk, s)
     sizes = BlockSizes(
         block_q=blk,
         block_k_major=blk,

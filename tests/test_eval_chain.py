@@ -1,0 +1,63 @@
+"""Overlapped eval chain == per-question beam_generate, token for token.
+
+The chain (infer/eval_chain.py) folds question i+1's prefill into question
+i's FIRST beam step via the merged-lane program; per-question beam
+semantics must be EXACT (shared beam_transition/beam_finalize; packed
+matmuls are row-identical in exact arithmetic → f32 CPU equality)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from licv_vqa_tpu.infer.decode import beam_generate
+from licv_vqa_tpu.infer.eval_chain import make_idefics_eval_chain
+from licv_vqa_tpu.models.idefics import (
+    IdeficsConfig,
+    init_idefics_params,
+    make_idefics_forward_fns,
+)
+
+EOS, PAD = 2, 0
+
+
+def test_eval_chain_matches_beam_generate():
+    cfg = IdeficsConfig.tiny()
+    params = init_idefics_params(jax.random.PRNGKey(0), cfg)
+    _, bind = make_idefics_forward_fns(cfg, eos_token_id=EOS)
+
+    rng = np.random.default_rng(53)
+    n, s, max_new, k = 5, 12, 4, 3
+    isz = cfg.vision.image_size
+    ids = rng.integers(3, cfg.text.vocab_size, size=(n, 1, s)).astype(np.int32)
+    ids[:, :, 1] = cfg.image_token_id
+    mask = np.ones_like(ids)
+    # a left-padded question exercises position handling through the chain
+    mask[2, :, :3] = 0
+    ids[2, :, :3] = PAD
+    pixels = rng.normal(size=(n, 1, 1, isz, isz, 3)).astype(np.float32)
+    valid = np.ones((n, 1, 1), bool)
+    icv = jnp.asarray(
+        rng.normal(size=(cfg.text.n_layers, cfg.text.d_model)) * 0.1,
+        jnp.float32,
+    )
+
+    chain = jax.jit(
+        make_idefics_eval_chain(
+            cfg, EOS, num_beams=k, max_new_tokens=max_new
+        )
+    )
+    got = np.asarray(chain(params, ids, mask, pixels, valid, icv))
+
+    for i in range(n):
+        fwd = bind(
+            params, jnp.asarray(pixels[i]), jnp.asarray(valid[i]),
+            jnp.asarray(ids[i]), icv, s + max_new + 1,
+        )
+        want = np.asarray(
+            beam_generate(
+                fwd, jnp.asarray(ids[i]), jnp.asarray(mask[i]),
+                max_new_tokens=max_new, eos_token_id=EOS, pad_token_id=PAD,
+                num_beams=k,
+            )
+        )[:, s:]
+        np.testing.assert_array_equal(got[i], want, err_msg=f"question {i}")
