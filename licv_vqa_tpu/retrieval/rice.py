@@ -215,9 +215,11 @@ class MMTopkRetriever:
         cache_file: Optional[str] = None,
         encoder=None,
         device=None,
+        reversed_order: bool = False,
     ):
         del num_workers, device  # host threading / device handled by JAX
         self.mode = mode
+        self.reversed_order = reversed_order
         self.index_ds = index_ds
         self.test_ds = test_ds
         self.index_field = index_field
@@ -264,7 +266,8 @@ class MMTopkRetriever:
         inference.py:193-216); the similarity matmul + top-k are cached at
         the largest k seen so far and smaller requests slice the cached
         ranking (identical results — top-k of a fixed scoring is prefix
-        monotone)."""
+        monotone).  ``reversed_order`` flips each row most-similar-last
+        (reference: icv_src/utils/mm_topk_retriver.py:224-226)."""
         cached = getattr(self, "_topk_cache", None)
         if cached is None or cached.shape[1] < ice_num:
             k = max(ice_num, 32 if self.index_feats.shape[0] >= 32 else ice_num)
@@ -273,4 +276,7 @@ class MMTopkRetriever:
             _, idx = jax.lax.top_k(sims, k)
             self._topk_cache = np.asarray(idx)
             cached = self._topk_cache
-        return cached[:, :ice_num].tolist()
+        rows = cached[:, :ice_num].tolist()
+        if self.reversed_order:
+            rows = [list(reversed(r)) for r in rows]
+        return rows

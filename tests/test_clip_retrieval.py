@@ -139,3 +139,33 @@ def test_rice_retrieve_caches_topk_across_shot_counts(tiny_pair):
     for k in (1, 4, 8):
         np.testing.assert_array_equal(r.retrieve(k), fresh.retrieve(k))
     assert r._topk_cache.shape[1] == 8  # one ranking serves every k
+
+
+def test_rice_reversed_order_knob(tiny_pair):
+    """``reversed_order=True`` flips each row most-similar-last (reference:
+    icv_src/utils/mm_topk_retriver.py:224-226; constructor default False at
+    :34) — dead-by-default in the reference CLI but part of the knob surface."""
+    hf, cfg, params = tiny_pair
+    from licv_vqa_tpu.retrieval.rice import MMTopkRetriever
+
+    class Enc:
+        def encode_images(self, images):
+            px = np.stack([np.asarray(im, np.float32) for im in images])
+            return np.asarray(clip_image_features(cfg, params, jnp.asarray(px)))
+
+        def encode_texts(self, texts):
+            raise AssertionError("i2i mode never encodes texts")
+
+    rng = np.random.default_rng(5)
+    imgs = [rng.normal(size=(32, 32, 3)).astype(np.float32) for _ in range(6)]
+    index_ds = [{"image": imgs[i]} for i in range(6)]
+    test_ds = [{"image": imgs[0]}, {"image": imgs[3]}]
+    fwd = MMTopkRetriever(index_ds, test_ds, mode="i2i", encoder=Enc())
+    rev = MMTopkRetriever(
+        index_ds, test_ds, mode="i2i", encoder=Enc(), reversed_order=True
+    )
+    for k in (1, 3, 6):
+        f, r = fwd.retrieve(k), rev.retrieve(k)
+        assert r == [list(reversed(row)) for row in f]
+    # most-similar (the identical image) lands LAST under reversed_order
+    assert rev.retrieve(3)[0][-1] == 0 and rev.retrieve(3)[1][-1] == 3
