@@ -212,3 +212,278 @@ def make_idefics_eval_chain(
         return outs  # (N, 1, max_new)
 
     return chain
+
+
+def _make_pooled_chain(
+    text_cfg,
+    prefill,
+    merged,
+    media_axes,
+    *,
+    num_beams: int,
+    max_new_tokens: int,
+    length_penalty: float,
+    min_new_tokens: int,
+    transition_eos_token_id: Optional[int],
+    eos_token_id: int,
+):
+    """Family-generic body for the POOLED eval chain (see
+    ``make_idefics_pooled_eval_chain``): P = max_new_tokens - 1 question
+    groups run software-pipelined through ONE jitted scan, so every
+    iteration's merged forward carries P·K beam rows PLUS the next
+    question's prefill in a single per-layer weight read.  One question
+    completes per iteration — ~1 weight-stream pass per question at the
+    reference eval shape, vs 4 for the serial overlapped chain and 5 for
+    per-question dispatch.
+
+    Pipeline schedule (group g = i mod P at iteration i):
+      - FINALIZE g's current question: beam transition t = max_new-1 on its
+        in-hand logits (no forward — decode.beam_generate's last step), HF
+        finalize, emit.
+      - RE-ADMIT g: scatter the pending prefill (produced by iteration
+        i-1's merged lane) replicated across g's K rows; reset beam state
+        (live = [0, -inf...], the shared-prefill expansion init).
+      - TRANSITION all P groups at their own ages t_g = (i - g) mod P
+        (0 for the admitting group — on the prefill logits) via one vmapped
+        ``beam_transition``; permute the pool cache tails by beam parent.
+      - ONE merged forward: P·K decode rows + the prefill of question i+1.
+
+    Questions wrap past N (pipeline drain): N + P iterations total, the
+    first P outputs are warm-up garbage and dropped, the last P admissions
+    re-run wrapped questions whose outputs are discarded — their rows share
+    the weight stream, so drain costs P extra streams for N questions.
+
+    Per-question semantics are EXACTLY ``decode.beam_generate``'s: shared
+    ``beam_transition``/``beam_finalize``, same t-indexed history writes,
+    same tail-only parent gather (groups are row-isolated: attention, media
+    and beam bookkeeping never cross group rows).  Pinned token-equal on
+    CPU f32 in tests/test_eval_chain.py.
+    """
+    if max_new_tokens < 2:
+        raise ValueError("the pooled chain needs max_new_tokens >= 2")
+    k = int(num_beams)
+    p = max_new_tokens - 1  # pipeline depth == decode forwards per question
+
+    def chain(params, ids, mask, pixels, valid, icv):
+        n, b, s = ids.shape
+        assert b == 1, "reference eval decodes bs=1 questions"
+        rows = p * k
+        cache_len = s + max_new_tokens + 1
+        stop_id = (
+            eos_token_id
+            if transition_eos_token_id is None
+            else transition_eos_token_id
+        )
+        transition = partial(
+            beam_transition,
+            prompt_len=s,
+            eos_token_id=stop_id,
+            length_penalty=length_penalty,
+            min_new_tokens=min_new_tokens,
+        )
+
+        def trans1(ls, lt, fs, ft, logp, t):
+            out = transition(ls[None], lt[None], fs[None], ft[None],
+                             logp[None], t)
+            return tuple(x[0] for x in out)
+
+        vtrans = jax.vmap(trans1)  # per-group step counters t_g
+
+        # ---- prologue: plain prefill of question 0 (the first pending) ----
+        pend = prefill(
+            params, pixels[0], valid[0], ids[0], mask[0], icv, cache_len
+        )
+
+        # ---- empty pool (groups hold garbage until their first admission;
+        # rows are group-isolated so warm-up garbage never leaks) ----
+        cache0 = init_kv_cache(text_cfg, rows, cache_len)
+        cache0["index"] = jnp.zeros((rows,), jnp.int32)  # per-group ages
+
+        def pool_zeros(x, ax):
+            shape = list(x.shape)
+            shape[ax] = shape[ax] * rows
+            return jnp.zeros(shape, x.dtype)
+
+        media0 = {
+            key: jax.tree.map(partial(pool_zeros, ax=ax), pend[2][key])
+            for key, ax in media_axes.items()
+        }
+        state0 = (
+            jnp.full((p, k), NEG_INF),                        # live scores
+            jnp.zeros((p, k, max_new_tokens), jnp.int32),      # live tokens
+            jnp.full((p, k), NEG_INF),                         # fin scores
+            jnp.zeros((p, k, max_new_tokens), jnp.int32),      # fin tokens
+        )
+        carry0 = (
+            pend,                                   # pending prefill
+            cache0,
+            media0,
+            state0,
+            jnp.zeros((p, k, pend[0].shape[-1]), jnp.float32),  # last_logp
+            jnp.zeros((rows,), jnp.int32),          # next position per row
+        )
+
+        def scat_rows(big, small, g, ax):
+            small_k = jnp.repeat(small, k, axis=ax)
+            return jax.lax.dynamic_update_slice_in_dim(
+                big, small_k.astype(big.dtype), g * k, axis=ax
+            )
+
+        def body(carry, xs):
+            pend, cache, media, state, last_logp, next_pos = carry
+            i, ids_n, mask_n, px_n, pv_n = xs
+            g = i % p
+            live_s, live_t, fin_s, fin_t = state
+
+            # ---- finalize group g (transition t = max_new-1, no forward) --
+            fin_state = transition(
+                live_s[g][None], live_t[g][None], fin_s[g][None],
+                fin_t[g][None], last_logp[g][None],
+                jnp.int32(max_new_tokens - 1),
+            )[:4]
+            best = beam_finalize(
+                *fin_state,
+                prompt_len=s,
+                max_new_tokens=max_new_tokens,
+                length_penalty=length_penalty,
+            )  # (1, max_new)
+
+            # ---- re-admit group g from the pending prefill ----
+            last_pf, cache_pf, media_pf, pos_pf = pend
+            live_s = live_s.at[g].set(
+                jnp.full((k,), NEG_INF).at[0].set(0.0)
+            )
+            live_t = live_t.at[g].set(0)
+            fin_s = fin_s.at[g].set(NEG_INF)
+            fin_t = fin_t.at[g].set(0)
+            last_logp = last_logp.at[g].set(
+                jnp.repeat(
+                    jax.nn.log_softmax(
+                        last_pf.astype(jnp.float32), axis=-1
+                    ),
+                    k, axis=0,
+                )
+            )
+            cache = dict(cache)
+            for key in ("k", "v"):
+                cache[key] = jax.tree.map(
+                    lambda big, sm: scat_rows(big, sm, g, 1),
+                    cache[key], cache_pf[key],
+                )
+            for key in ("pos", "valid"):
+                cache[key] = scat_rows(cache[key], cache_pf[key], g, 0)
+            cache["index"] = jax.lax.dynamic_update_slice_in_dim(
+                cache["index"],
+                jnp.broadcast_to(cache_pf["index"], (k,)).astype(jnp.int32),
+                g * k, axis=0,
+            )
+            media = {
+                key: jax.tree.map(
+                    lambda big, sm, ax=ax: scat_rows(big, sm, g, ax),
+                    media[key], media_pf[key],
+                )
+                for key, ax in media_axes.items()
+            }
+            next_pos = jax.lax.dynamic_update_slice_in_dim(
+                next_pos, jnp.broadcast_to(pos_pf, (k,)).astype(jnp.int32),
+                g * k, axis=0,
+            )
+
+            # ---- one transition per group at its own age ----
+            t_vec = (i - jnp.arange(p, dtype=jnp.int32)) % p
+            live_s, live_t, fin_s, fin_t, new_beam, new_tok = vtrans(
+                live_s, live_t, fin_s, fin_t, last_logp, t_vec
+            )
+
+            # ---- pool-row parent permute (decoded tails only) ----
+            flat_sel = (
+                jnp.arange(p, dtype=jnp.int32)[:, None] * k + new_beam
+            ).reshape(rows)
+            cache = _beam_gather_cache(cache, flat_sel, s)
+
+            # ---- ONE merged forward: P*K rows + question i+1's prefill ----
+            logits, cache, last_n, cache_n, media_n, pos_n = merged(
+                params,
+                new_tok.reshape(rows, 1),
+                jnp.ones((rows, 1), jnp.int32),
+                next_pos[:, None],
+                cache, media, icv,
+                px_n, pv_n, ids_n, mask_n, cache_len,
+            )
+            last_logp = jax.nn.log_softmax(
+                logits[:, -1, :].astype(jnp.float32), axis=-1
+            ).reshape(p, k, -1)
+
+            carry = (
+                (last_n, cache_n, media_n, pos_n),
+                cache, media,
+                (live_s, live_t, fin_s, fin_t),
+                last_logp,
+                next_pos + 1,
+            )
+            return carry, best
+
+        # iteration i admits question i (mod n) and prefills question i+1
+        # (mod n); question q's answer lands at iteration q + p
+        total = n + p
+        take = lambda x: jnp.take(  # noqa: E731
+            x, (jnp.arange(total) + 1) % n, axis=0
+        )
+        _, outs = jax.lax.scan(
+            body,
+            carry0,
+            (
+                jnp.arange(total, dtype=jnp.int32),
+                take(ids), take(mask), take(pixels), take(valid),
+            ),
+        )
+        return outs[p:]  # (N, 1, max_new)
+
+    return chain
+
+
+def make_idefics_pooled_eval_chain(
+    cfg,
+    eos_token_id: int,
+    *,
+    num_beams: int = 3,
+    max_new_tokens: int = 5,
+    length_penalty: float = 0.0,
+    min_new_tokens: int = 0,
+    transition_eos_token_id: Optional[int] = None,
+):
+    """POOLED eval chain for the idefics family: P = max_new-1 concurrent
+    question groups pipelined through one jitted scan — every weight-stream
+    pass serves P·K beam rows + one prefill instead of the serial chain's
+    K rows, completing ONE question per pass (~4× the overlapped chain's
+    per-question weight traffic at the reference eval shape; reference
+    workload: config/inference.yaml:11,26-30, questions independent —
+    reference inference.py:262 itself batches them).
+
+    Signature matches ``make_idefics_eval_chain``::
+
+        chain(params, ids (N,1,S), mask, pixels (N,1,I,H,W,3), valid,
+              icv) -> (N, 1, max_new) best-beam tokens
+
+    Token-exact vs per-question ``decode.beam_generate`` on CPU f32
+    (tests/test_eval_chain.py); on TPU bf16 the pooled forward carries the
+    usual batch-shape kernel-selection drift (documented for the engine).
+    """
+    from ..models.idefics import (
+        SERVING_MEDIA_AXES,
+        make_idefics_merged_admit_fn,
+        make_idefics_serving_fns,
+    )
+
+    prefill, _, media_axes = make_idefics_serving_fns(cfg, eos_token_id)
+    merged = make_idefics_merged_admit_fn(cfg, eos_token_id)
+    assert media_axes == SERVING_MEDIA_AXES
+    return _make_pooled_chain(
+        cfg.text, prefill, merged, media_axes,
+        num_beams=num_beams,
+        max_new_tokens=max_new_tokens,
+        length_penalty=length_penalty,
+        min_new_tokens=min_new_tokens,
+        transition_eos_token_id=transition_eos_token_id,
+        eos_token_id=eos_token_id,
+    )

@@ -10,7 +10,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from licv_vqa_tpu.infer.decode import beam_generate
-from licv_vqa_tpu.infer.eval_chain import make_idefics_eval_chain
+from licv_vqa_tpu.infer.eval_chain import (
+    make_idefics_eval_chain,
+    make_idefics_pooled_eval_chain,
+)
 from licv_vqa_tpu.models.idefics import (
     IdeficsConfig,
     init_idefics_params,
@@ -43,6 +46,53 @@ def test_eval_chain_matches_beam_generate():
 
     chain = jax.jit(
         make_idefics_eval_chain(
+            cfg, EOS, num_beams=k, max_new_tokens=max_new
+        )
+    )
+    got = np.asarray(chain(params, ids, mask, pixels, valid, icv))
+
+    for i in range(n):
+        fwd = bind(
+            params, jnp.asarray(pixels[i]), jnp.asarray(valid[i]),
+            jnp.asarray(ids[i]), icv, s + max_new + 1,
+        )
+        want = np.asarray(
+            beam_generate(
+                fwd, jnp.asarray(ids[i]), jnp.asarray(mask[i]),
+                max_new_tokens=max_new, eos_token_id=EOS, pad_token_id=PAD,
+                num_beams=k,
+            )
+        )[:, s:]
+        np.testing.assert_array_equal(got[i], want, err_msg=f"question {i}")
+
+
+def test_pooled_eval_chain_matches_beam_generate():
+    """The POOLED chain (P = max_new-1 staggered groups, one merged forward
+    per iteration) is token-exact vs per-question beam_generate — including
+    warm-up (first P iterations hold garbage groups) and drain (wrapped
+    re-admissions past N).  Exercises EOS retirement into the finished pool
+    (real eos as the transition stop token) and a left-padded question."""
+    cfg = IdeficsConfig.tiny()
+    params = init_idefics_params(jax.random.PRNGKey(1), cfg)
+    _, bind = make_idefics_forward_fns(cfg, eos_token_id=EOS)
+
+    rng = np.random.default_rng(7)
+    n, s, max_new, k = 7, 12, 4, 3  # P = 3 groups, N > P (+ drain wrap)
+    isz = cfg.vision.image_size
+    ids = rng.integers(3, cfg.text.vocab_size, size=(n, 1, s)).astype(np.int32)
+    ids[:, :, 1] = cfg.image_token_id
+    mask = np.ones_like(ids)
+    mask[3, :, :2] = 0
+    ids[3, :, :2] = PAD
+    pixels = rng.normal(size=(n, 1, 1, isz, isz, 3)).astype(np.float32)
+    valid = np.ones((n, 1, 1), bool)
+    icv = jnp.asarray(
+        rng.normal(size=(cfg.text.n_layers, cfg.text.d_model)) * 0.1,
+        jnp.float32,
+    )
+
+    chain = jax.jit(
+        make_idefics_pooled_eval_chain(
             cfg, EOS, num_beams=k, max_new_tokens=max_new
         )
     )
