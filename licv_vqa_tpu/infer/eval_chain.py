@@ -487,3 +487,68 @@ def make_idefics_pooled_eval_chain(
         transition_eos_token_id=transition_eos_token_id,
         eos_token_id=eos_token_id,
     )
+
+
+def make_idefics2_pooled_eval_chain(
+    cfg,
+    eos_token_id: int,
+    *,
+    num_beams: int = 3,
+    max_new_tokens: int = 5,
+    length_penalty: float = 0.0,
+    min_new_tokens: int = 0,
+    transition_eos_token_id: Optional[int] = None,
+):
+    """Pooled eval chain for idefics2 (Mistral GQA + SigLIP; image latents
+    merge into the prefill embeds, so the pool carries no media state).
+    Same contract/semantics as ``make_idefics_pooled_eval_chain``; uniform
+    image resolution (the NaViT ``pixel_attention_mask`` path keeps the
+    engine/runner route)."""
+    from ..models.idefics2 import (
+        make_idefics2_merged_admit_fn,
+        make_idefics2_serving_fns,
+    )
+
+    prefill, _, media_axes = make_idefics2_serving_fns(cfg, eos_token_id)
+    merged = make_idefics2_merged_admit_fn(cfg, eos_token_id)
+    return _make_pooled_chain(
+        cfg.text, prefill, merged, media_axes,
+        num_beams=num_beams,
+        max_new_tokens=max_new_tokens,
+        length_penalty=length_penalty,
+        min_new_tokens=min_new_tokens,
+        transition_eos_token_id=transition_eos_token_id,
+        eos_token_id=eos_token_id,
+    )
+
+
+def make_openflamingo_pooled_eval_chain(
+    cfg,
+    eos_token_id: int,
+    *,
+    num_beams: int = 3,
+    max_new_tokens: int = 5,
+    length_penalty: float = 0.0,
+    min_new_tokens: int = 0,
+    transition_eos_token_id: Optional[int] = None,
+):
+    """Pooled eval chain for OpenFlamingo (MPT/ALiBi + every-4 gated
+    xattn).  Same contract/semantics as ``make_idefics_pooled_eval_chain``;
+    the merged program threads per-lane ALiBi biases through
+    ``decoder.merged_decoder_layer``."""
+    from ..models.openflamingo import (
+        make_openflamingo_merged_admit_fn,
+        make_openflamingo_serving_fns,
+    )
+
+    prefill, _, media_axes = make_openflamingo_serving_fns(cfg, eos_token_id)
+    merged = make_openflamingo_merged_admit_fn(cfg, eos_token_id)
+    return _make_pooled_chain(
+        cfg.text, prefill, merged, media_axes,
+        num_beams=num_beams,
+        max_new_tokens=max_new_tokens,
+        length_penalty=length_penalty,
+        min_new_tokens=min_new_tokens,
+        transition_eos_token_id=transition_eos_token_id,
+        eos_token_id=eos_token_id,
+    )

@@ -305,16 +305,31 @@ class ServingEngine:
                 params, norm_pixels(pixels), pv, ids, mask, icv, cache_len, **kw
             )
 
-        # chunked prefill: greedy engines on the idefics family get the
-        # merged admit+decode program (beam groups keep the plain admit —
+        # chunked prefill: greedy engines get the merged admit+decode
+        # program for every family (beam groups keep the plain admit —
         # their step is the beam transition, not _make_step_parts)
         merged = None
-        if isinstance(cfg, IdeficsConfig) and not issubclass(
-            cls, BeamServingEngine
-        ):
-            from ..models.idefics import make_idefics_merged_admit_fn
+        if not issubclass(cls, BeamServingEngine):
+            if isinstance(cfg, IdeficsConfig):
+                from ..models.idefics import make_idefics_merged_admit_fn
 
-            raw_merged = make_idefics_merged_admit_fn(cfg, bundle.eos_token_id)
+                raw_merged = make_idefics_merged_admit_fn(
+                    cfg, bundle.eos_token_id
+                )
+            elif isinstance(cfg, Idefics2Config):
+                from ..models.idefics2 import make_idefics2_merged_admit_fn
+
+                raw_merged = make_idefics2_merged_admit_fn(
+                    cfg, bundle.eos_token_id
+                )
+            else:
+                from ..models.openflamingo import (
+                    make_openflamingo_merged_admit_fn,
+                )
+
+                raw_merged = make_openflamingo_merged_admit_fn(
+                    cfg, bundle.eos_token_id
+                )
 
             def merged(
                 params, dec_tok, dec_adv, dec_pos, cache, media, icv,

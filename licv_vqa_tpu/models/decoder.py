@@ -547,6 +547,8 @@ def merged_decoder_layer(
     flash_valid_p: Optional[jax.Array],  # (B2, S2): prefill flash eligibility
     icv_row_d,  # per-lane ICV rows ((D,) / (row, flag) / None)
     icv_row_p,
+    bias_d: Optional[jax.Array] = None,  # per-lane ALiBi biases (MPT lanes;
+    bias_p: Optional[jax.Array] = None,  # None for rope families)
 ):
     """One decoder layer over BOTH lanes with all projections packed.
 
@@ -565,12 +567,6 @@ def merged_decoder_layer(
     caller's bulk cache writes."""
     from ..ops.int8_matmul import qdot
 
-    if cfg.positional != "rope":
-        # the ALiBi bias plumbing is not wired into the merged lanes —
-        # openflamingo/MPT keeps the plain (unmerged) admit path
-        raise NotImplementedError(
-            "merged_decoder_layer supports rope positional encoding only"
-        )
     b1, s1, d = h_d.shape
     b2, s2, _ = h_p.shape
     nh, nkv, dh = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
@@ -594,9 +590,11 @@ def merged_decoder_layer(
         q_p = L.rms_norm(p["attn"]["q_norm"], q_p, cfg.norm_eps)
         k_p = L.rms_norm(p["attn"]["k_norm"], k_p, cfg.norm_eps)
 
-    def lane_attention(q, k, v, mask, kv_write, flash_valid):
+    def lane_attention(q, k, v, mask, kv_write, flash_valid, bias):
         """decoder_layer's cached-attention schedule for one lane (same
-        int8-round-trip invariant: attention sees what decode reads back)."""
+        int8-round-trip invariant: attention sees what decode reads back;
+        same flash-branch selection as the unmerged path, so merged ==
+        plain per lane)."""
         k_cache, v_cache, index = kv_write
         k_local, v_local = k, v
         if isinstance(k_cache, dict):  # int8 KV cache
@@ -616,12 +614,32 @@ def merged_decoder_layer(
             and cfg.attn_logit_softcap is None
             and L.flash_attention_usable(cfg, s, nh, dh)
         )
+        use_flash_alibi = False
+        if (
+            flash_valid is not None
+            and cfg.positional == "alibi"
+            and cfg.attn_logit_softcap is None
+        ):
+            from ..ops.flash_alibi import flash_alibi_usable
+
+            use_flash_alibi = flash_alibi_usable(cfg, s, dh)
         if use_flash:  # self-contained prefill into an empty cache
             attn = L.flash_attention_tpu(
                 q,
                 L.repeat_kv(k_local, nh // nkv),
                 L.repeat_kv(v_local, nh // nkv),
                 flash_valid,
+            )
+        elif use_flash_alibi:  # MPT/ALiBi prefill (decoder_layer's branch)
+            from ..ops.flash_alibi import flash_alibi_attention
+
+            attn = flash_alibi_attention(
+                q,
+                L.repeat_kv(k_local, nh // nkv),
+                L.repeat_kv(v_local, nh // nkv),
+                flash_valid,
+                L.alibi_slopes(nh),
+                float(dh) ** -0.5,
             )
         else:
             attn = _cached_attention(
@@ -631,15 +649,17 @@ def merged_decoder_layer(
                 L.repeat_kv(k_local, nh // nkv),
                 L.repeat_kv(v_local, nh // nkv),
                 mask,
-                None,
+                bias,
                 index,
                 logit_softcap=cfg.attn_logit_softcap,
             )
         return attn, new_kv
 
-    attn_d, new_kv_d = lane_attention(q_d, k_d, v_d, mask_d, kv_write_d, None)
+    attn_d, new_kv_d = lane_attention(
+        q_d, k_d, v_d, mask_d, kv_write_d, None, bias_d
+    )
     attn_p, new_kv_p = lane_attention(
-        q_p, k_p, v_p, mask_p, kv_write_p, flash_valid_p
+        q_p, k_p, v_p, mask_p, kv_write_p, flash_valid_p, bias_p
     )
 
     ao = qdot(

@@ -415,6 +415,130 @@ def make_idefics2_forward_fns(cfg: Idefics2Config, eos_token_id: int, params=Non
 SERVING_MEDIA_AXES: dict = {}
 
 
+def make_idefics2_merged_admit_fn(cfg: Idefics2Config, eos_token_id: int):
+    """ONE program = one pool decode step + one admission-group prefill with
+    every decoder projection packed over both token streams — idefics2's
+    form of the chunked-prefill merged step (see
+    ``idefics.make_idefics_merged_admit_fn`` for the rationale and
+    ``decoder.merged_decoder_layer`` for the packing).  Simpler than the
+    gated-xattn families: image latents merge into the prefill lane's
+    embeddings (``merge_image_embeds``) and decode steps carry no media, so
+    the ONLY per-lane work is attention (pool cache vs fresh prefill cache).
+
+    Contract (``ServingEngine._build_merged_admit`` / eval_chain)::
+
+        merged_step(params, dec_tok (B1,1), dec_adv (B1,1), dec_pos (B1,1),
+                    cache, media={}, icv_scaled,
+                    pixels, pv, ids, mask, cache_len)
+          -> (dec_logits (B1,1,V), new_cache,
+              pre_last_logits (B2,V) f32, pre_cache, pre_media={},
+              pre_next_pos)
+    """
+    del eos_token_id  # inline image tokens need no EOS packing
+    t = cfg.text
+    from .decoder import (
+        _norm,
+        apply_kv_rows,
+        decode_cache_view,
+        merged_decoder_layer,
+    )
+
+    def merged_step(
+        params, dec_tok, dec_adv, dec_pos, cache, media, icv_scaled,
+        pixels, pv, ids, mask, cache_len, pixel_attention_mask=None,
+    ):
+        del media  # idefics2 decode carries no media state
+        b2, s2 = ids.shape
+
+        # ---- prefill-lane embeds: vision tower + latent merge ----
+        latents = encode_images2(
+            cfg, params, pixels, pixel_attention_mask=pixel_attention_mask
+        )
+        latents = latents * pv[:, :, None, None].astype(latents.dtype)
+        h_p = merge_image_embeds(
+            ids, params["embed"][ids].astype(t.dtype), latents,
+            cfg.image_token_id,
+        )
+        pos_p = _positions_from_mask(mask)
+        cache_p = init_kv_cache(t, b2, cache_len)
+
+        # ---- per-lane attention views / rope ----
+        index_d = cache["index"]
+        mask_d, cache_pos_d, cache_valid_d = decode_cache_view(
+            cache, dec_pos, dec_adv, 1
+        )
+        index_p = cache_p["index"]
+        mask_p, cache_pos_p, cache_valid_p = decode_cache_view(
+            cache_p, pos_p, mask, s2
+        )
+        rope_d = L.rope_cos_sin(dec_pos, t.head_dim, t.rope_theta)
+        rope_p = L.rope_cos_sin(pos_p, t.head_dim, t.rope_theta)
+
+        h_d = params["embed"][dec_tok].astype(t.dtype)
+
+        have_icv = icv_scaled is not None
+        icv_xs = (
+            jax.tree.map(
+                lambda x: x.astype(t.dtype)
+                if jnp.issubdtype(x.dtype, jnp.floating)
+                else x,
+                icv_scaled,
+            )
+            if have_icv
+            else jnp.zeros((t.n_layers, 1), t.dtype)
+        )
+
+        def body(carry, xs):
+            h_d, h_p = carry
+            p_l, icv_row, kv_d_l, kv_p_l = xs
+            icv_arg = icv_row if have_icv else None
+            h_d, h_p, nk_d, nk_p = merged_decoder_layer(
+                t, p_l, h_d, h_p, rope_d, rope_p,
+                mask_d, (kv_d_l[0], kv_d_l[1], index_d),
+                mask_p, (kv_p_l[0], kv_p_l[1], index_p),
+                mask,  # prefill_flash: prefill into an empty cache
+                icv_arg, icv_arg,
+            )
+            return (h_d, h_p), (nk_d, nk_p)
+
+        (h_d, h_p), (kv_d_out, kv_p_out) = jax.lax.scan(
+            body,
+            (h_d, h_p),
+            (
+                params["layers"],
+                icv_xs,
+                (cache["k"], cache["v"]),
+                (cache_p["k"], cache_p["v"]),
+            ),
+        )
+        new_cache = dict(
+            apply_kv_rows(cache, kv_d_out[0], kv_d_out[1]),
+            pos=cache_pos_d, valid=cache_valid_d, index=index_d + 1,
+        )
+        new_cache_p = dict(
+            apply_kv_rows(cache_p, kv_p_out[0], kv_p_out[1]),
+            pos=cache_pos_p, valid=cache_valid_p, index=index_p + s2,
+        )
+
+        # final norm per lane, ONE packed lm_head read for both lanes
+        h_d = _norm(t, params["final_norm"], params.get("final_norm_b"), h_d)
+        h_pl = _norm(
+            t, params["final_norm"], params.get("final_norm_b"),
+            h_p[:, -1:, :],
+        )
+        b1 = dec_tok.shape[0]
+        logits = logits_from_hidden(
+            t, params, jnp.concatenate([h_d, h_pl], axis=0)
+        )
+        return (
+            logits[:b1], new_cache,
+            logits[b1:, -1, :].astype(jnp.float32), new_cache_p, {},
+            pos_p[:, -1] + 1,
+        )
+
+    return merged_step
+
+
 def make_idefics2_serving_fns(cfg: Idefics2Config, eos_token_id: int):
     """Slot-oriented (prefill, decode_step) for the continuous-batching
     engine (``infer/serving.py``); see ``make_idefics_serving_fns`` for the

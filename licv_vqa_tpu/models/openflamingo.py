@@ -548,6 +548,169 @@ def make_openflamingo_forward_fns(
 SERVING_MEDIA_AXES = {"latents": 0, "step_onehot": 0, "xattn_kv": 1}
 
 
+def make_openflamingo_merged_admit_fn(
+    cfg: OpenFlamingoConfig, eos_token_id: int
+):
+    """ONE program = one pool decode step + one admission-group prefill for
+    the MPT/ALiBi family (see ``idefics.make_idefics_merged_admit_fn`` for
+    the chunked-prefill rationale).  Decoder projections + MLP + the tied
+    lm_head pack over both token streams (``decoder.merged_decoder_layer``
+    with per-lane ALiBi biases — no rope); the gated xattn runs per lane
+    BEFORE each group-closing layer (``li % every == every-1``, flamingo's
+    phase — openflamingo_forward's decode scan).
+
+    Contract: identical to ``idefics.make_idefics_merged_admit_fn``."""
+    t = cfg.text
+    every = cfg.cross_attn_every_n_layers
+    n_groups = t.n_layers // every
+    from .decoder import (
+        _norm,
+        apply_kv_rows,
+        decode_cache_view,
+        merged_decoder_layer,
+    )
+
+    def merged_step(
+        params, dec_tok, dec_adv, dec_pos, cache, media, icv_scaled,
+        pixels, pv_in, ids, mask, cache_len,
+    ):
+        b1 = dec_tok.shape[0]
+        b2, s2 = ids.shape
+
+        # ---- prefill-lane media (ViT-L + perceiver + xattn KV) ----
+        latents_p = encode_media(cfg, params, pixels)
+        n_img = pixels.shape[1]
+        pvf = pv_in[:, None, :].astype(jnp.float32)
+        prefill_onehot = (
+            image_attention_onehot(ids, cfg.image_token_id, eos_token_id, n_img)
+            * pvf
+        )
+        step_onehot = last_image_onehot(ids, cfg.image_token_id, n_img) * pvf
+        xattn_kv_p = precompute_xattn_kv(cfg, params, latents_p)
+        pos_p = _positions_from_mask(mask)
+        cache_p = init_kv_cache(t, b2, cache_len)
+
+        # ---- per-lane attention views / ALiBi ----
+        index_d = cache["index"]
+        mask_d, cache_pos_d, cache_valid_d = decode_cache_view(
+            cache, dec_pos, dec_adv, 1
+        )
+        index_p = cache_p["index"]
+        mask_p, cache_pos_p, cache_valid_p = decode_cache_view(
+            cache_p, pos_p, mask, s2
+        )
+        bias_d = L.alibi_bias(t.n_heads, dec_pos, cache_pos_d)
+        bias_p = L.alibi_bias(t.n_heads, pos_p, cache_pos_p)
+
+        # ---- per-lane xattn masks (decode: step onehot; prefill: full) ----
+        onehot_d = jnp.broadcast_to(
+            media["step_onehot"], (b1, 1, media["step_onehot"].shape[-1])
+        )
+        n_lat_d = media["latents"].shape[1] // onehot_d.shape[-1]
+        xmask_d = jnp.repeat(onehot_d, n_lat_d, axis=-1) > 0
+        gate_d = jnp.any(xmask_d, axis=-1).astype(jnp.float32)
+        xmask_d = xmask_d[:, None, :, :]
+        n_lat_p = latents_p.shape[1] // prefill_onehot.shape[-1]
+        xmask_p = jnp.repeat(prefill_onehot, n_lat_p, axis=-1) > 0
+        gate_p = jnp.any(xmask_p, axis=-1).astype(jnp.float32)
+        xmask_p = xmask_p[:, None, :, :]
+
+        h_d = params["embed"][dec_tok].astype(t.dtype)
+        h_p = params["embed"][ids].astype(t.dtype)
+
+        have_icv = icv_scaled is not None
+        icv_xs = (
+            jax.tree.map(
+                lambda x: x.astype(t.dtype)
+                if jnp.issubdtype(x.dtype, jnp.floating)
+                else x,
+                icv_scaled,
+            )
+            if have_icv
+            else jnp.zeros((t.n_layers, 1), t.dtype)
+        )
+
+        def body(carry, xs):
+            h_d, h_p = carry
+            p_l, icv_row, kv_d_l, kv_p_l, li = xs
+
+            def do_xattn(hh):
+                hd, hp = hh
+                g = li // every
+                pick = lambda ax: lambda x: jax.lax.dynamic_index_in_dim(  # noqa: E731
+                    x, g, ax, keepdims=False
+                )
+                xp = jax.tree.map(pick(0), params["xattn"])
+                kv_gd = jax.tree.map(pick(0), media["xattn_kv"])
+                kv_gp = jax.tree.map(pick(0), xattn_kv_p)
+                hd = flamingo_xattn_block(
+                    cfg, xp, hd, media["latents"], xmask_d, gate_d,
+                    kv_pre=kv_gd,
+                )
+                hp = flamingo_xattn_block(
+                    cfg, xp, hp, latents_p, xmask_p, gate_p, kv_pre=kv_gp
+                )
+                return hd, hp
+
+            if n_groups > 0:
+                h_d, h_p = jax.lax.cond(
+                    li % every == every - 1, do_xattn, lambda hh: hh,
+                    (h_d, h_p),
+                )
+            icv_arg = icv_row if have_icv else None
+            h_d, h_p, nk_d, nk_p = merged_decoder_layer(
+                t, p_l, h_d, h_p, None, None,
+                mask_d, (kv_d_l[0], kv_d_l[1], index_d),
+                mask_p, (kv_p_l[0], kv_p_l[1], index_p),
+                mask,  # prefill_flash: prefill into an empty cache
+                icv_arg, icv_arg,
+                bias_d=bias_d, bias_p=bias_p,
+            )
+            return (h_d, h_p), (nk_d, nk_p)
+
+        (h_d, h_p), (kv_d_out, kv_p_out) = jax.lax.scan(
+            body,
+            (h_d, h_p),
+            (
+                params["layers"],
+                icv_xs,
+                (cache["k"], cache["v"]),
+                (cache_p["k"], cache_p["v"]),
+                jnp.arange(t.n_layers),
+            ),
+        )
+        new_cache = dict(
+            apply_kv_rows(cache, kv_d_out[0], kv_d_out[1]),
+            pos=cache_pos_d, valid=cache_valid_d, index=index_d + 1,
+        )
+        new_cache_p = dict(
+            apply_kv_rows(cache_p, kv_p_out[0], kv_p_out[1]),
+            pos=cache_pos_p, valid=cache_valid_p, index=index_p + s2,
+        )
+
+        # final norm per lane, ONE packed tied-embedding head read
+        h_d = _norm(t, params["final_norm"], params.get("final_norm_b"), h_d)
+        h_pl = _norm(
+            t, params["final_norm"], params.get("final_norm_b"),
+            h_p[:, -1:, :],
+        )
+        logits = logits_from_hidden(
+            t, params, jnp.concatenate([h_d, h_pl], axis=0)
+        )
+        media_p = {
+            "latents": latents_p,
+            "step_onehot": step_onehot,
+            "xattn_kv": xattn_kv_p,
+        }
+        return (
+            logits[:b1], new_cache,
+            logits[b1:, -1, :].astype(jnp.float32), new_cache_p, media_p,
+            pos_p[:, -1] + 1,
+        )
+
+    return merged_step
+
+
 def make_openflamingo_serving_fns(cfg: OpenFlamingoConfig, eos_token_id: int):
     """Slot-oriented (prefill, decode_step) for the continuous-batching
     engine (``infer/serving.py``); see ``make_idefics_serving_fns`` for the

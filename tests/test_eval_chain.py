@@ -8,11 +8,14 @@ matmuls are row-identical in exact arithmetic → f32 CPU equality)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from licv_vqa_tpu.infer.decode import beam_generate
 from licv_vqa_tpu.infer.eval_chain import (
+    make_idefics2_pooled_eval_chain,
     make_idefics_eval_chain,
     make_idefics_pooled_eval_chain,
+    make_openflamingo_pooled_eval_chain,
 )
 from licv_vqa_tpu.models.idefics import (
     IdeficsConfig,
@@ -95,6 +98,68 @@ def test_pooled_eval_chain_matches_beam_generate():
         make_idefics_pooled_eval_chain(
             cfg, EOS, num_beams=k, max_new_tokens=max_new
         )
+    )
+    got = np.asarray(chain(params, ids, mask, pixels, valid, icv))
+
+    for i in range(n):
+        fwd = bind(
+            params, jnp.asarray(pixels[i]), jnp.asarray(valid[i]),
+            jnp.asarray(ids[i]), icv, s + max_new + 1,
+        )
+        want = np.asarray(
+            beam_generate(
+                fwd, jnp.asarray(ids[i]), jnp.asarray(mask[i]),
+                max_new_tokens=max_new, eos_token_id=EOS, pad_token_id=PAD,
+                num_beams=k,
+            )
+        )[:, s:]
+        np.testing.assert_array_equal(got[i], want, err_msg=f"question {i}")
+
+
+@pytest.mark.parametrize("family", ["idefics2", "openflamingo"])
+def test_pooled_eval_chain_other_families(family):
+    """The pooled chain covers the WHOLE model zoo (reference evals all
+    three families — reference: utils.py:40-80): idefics2 (GQA, latents
+    merged into embeds — no pool media) and OpenFlamingo (ALiBi biases
+    through the merged lanes + per-lane gated xattn)."""
+    if family == "idefics2":
+        from licv_vqa_tpu.models.idefics2 import (
+            Idefics2Config as Cfg,
+            init_idefics2_params as init,
+            make_idefics2_forward_fns as fwd_fns,
+        )
+
+        factory = make_idefics2_pooled_eval_chain
+    else:
+        from licv_vqa_tpu.models.openflamingo import (
+            OpenFlamingoConfig as Cfg,
+            init_openflamingo_params as init,
+            make_openflamingo_forward_fns as fwd_fns,
+        )
+
+        factory = make_openflamingo_pooled_eval_chain
+
+    cfg = Cfg.tiny()
+    params = init(jax.random.PRNGKey(2), cfg)
+    _, bind = fwd_fns(cfg, eos_token_id=EOS)
+
+    rng = np.random.default_rng(29)
+    n, s, max_new, k = 5, 10, 4, 3
+    isz = cfg.vision.image_size
+    ids = rng.integers(3, cfg.text.vocab_size, size=(n, 1, s)).astype(np.int32)
+    ids[:, :, 1] = cfg.image_token_id
+    mask = np.ones_like(ids)
+    mask[2, :, :2] = 0
+    ids[2, :, :2] = PAD
+    pixels = rng.normal(size=(n, 1, 1, isz, isz, 3)).astype(np.float32)
+    valid = np.ones((n, 1, 1), bool)
+    icv = jnp.asarray(
+        rng.normal(size=(cfg.text.n_layers, cfg.text.d_model)) * 0.1,
+        jnp.float32,
+    )
+
+    chain = jax.jit(
+        factory(cfg, EOS, num_beams=k, max_new_tokens=max_new)
     )
     got = np.asarray(chain(params, ids, mask, pixels, valid, icv))
 

@@ -668,6 +668,50 @@ def test_engine_merged_admit_matches_greedy():
         np.testing.assert_array_equal(got[r.uid], want, err_msg=r.uid)
 
 
+@pytest.mark.parametrize("family", ["idefics2", "openflamingo"])
+def test_engine_merged_admit_other_families(family):
+    """Merged admission (chunked prefill) now covers the WHOLE zoo: idefics2
+    (GQA, no pool media) and OpenFlamingo (per-lane ALiBi biases through
+    merged_decoder_layer) serve token-for-token equal to per-request greedy
+    with mid-flight merged admissions."""
+    if family == "idefics2":
+        from licv_vqa_tpu.models.idefics2 import (
+            make_idefics2_merged_admit_fn as make_merged,
+        )
+    else:
+        from licv_vqa_tpu.models.openflamingo import (
+            make_openflamingo_merged_admit_fn as make_merged,
+        )
+
+    cfg, params, bind, (prefill, decode, axes) = SETUPS[family]()
+    merged = make_merged(cfg, eos_token_id=EOS)
+    rng = np.random.default_rng(23)
+    reqs = _make_requests(cfg, rng, 7, min_new=1)
+    icv = jnp.asarray(
+        rng.normal(size=(cfg.text.n_layers, cfg.text.d_model)) * 0.1,
+        jnp.float32,
+    )
+
+    engine = ServingEngine(
+        prefill, decode, axes, cfg.text, params,
+        eos_token_id=EOS, pad_token_id=PAD,
+        n_slots=3, out_cap=8, prompt_buckets=(8, 16),
+        sync_steps=2, admit_sizes=(2, 1), icv_scaled=icv,
+        merged_admit_fn=merged, merged_admit_in_run=True,
+    )
+    for r in reqs:
+        engine.submit(r)
+    got = engine.run()
+
+    assert engine.merged_admits > 0, "merged program never used"
+    assert set(got) == {r.uid for r in reqs}
+    for r in reqs:
+        want = _reference_tokens(cfg, bind, params, r, icv)
+        np.testing.assert_array_equal(
+            got[r.uid], want, err_msg=f"{family}:{r.uid}"
+        )
+
+
 def test_engine_merged_admit_int8_weights_and_cache():
     """Merged admit with int8 weights + int8 KV cache: the packed-projection
     qdots and the int8 round-trip invariant survive the merged program."""
