@@ -214,6 +214,7 @@ def main(argv: list[str] | None = None):
                 instruction=str(cfg.prompt.instruction),
                 icv_scaled=icv_scaled,
                 n_slots=int(cfg.bs),
+                mesh=mesh,
             )
         else:
             results = icv_inference(
@@ -273,6 +274,7 @@ def main(argv: list[str] | None = None):
                     generate_kwargs=gen_kwargs,
                     instruction=str(cfg.prompt.instruction),
                     n_slots=int(cfg.bs),
+                    mesh=mesh,
                 )
             else:
                 results = icl_inference(

@@ -333,11 +333,16 @@ def _run_continuous(
     icv_scaled,
     n_slots: int,
     sync_steps: int,
+    mesh=None,
 ) -> dict:
     """Shared continuous-batching eval loop: encode each ``(sample, prompt)``
     pair from ``prompt_iter`` into an engine ``Request``, run the pool, and
     return the ``icv_inference``-shaped results dict.  ``num_beams > 1``
-    (the reference's beam-3 eval default) rides ``BeamServingEngine``."""
+    (the reference's beam-3 eval default) rides ``BeamServingEngine``.
+
+    With ``mesh``, the slot pool (greedy: rows; beam: groups) shards over
+    the dp axis and tp>1 Megatron-shards the frozen weights (``from_bundle``
+    lays them out); ``n_slots`` rounds up to a dp multiple."""
     from .serving import BeamServingEngine, Request, ServingEngine
 
     num_beams = int(generate_kwargs.get("num_beams", 1))
@@ -373,8 +378,12 @@ def _run_continuous(
     # static prompt buckets: 64-multiples covering the observed lengths
     # (one admit compile per distinct bucket)
     buckets = tuple(sorted({-(-n // 64) * 64 for n in lens})) or (64,)
+    if mesh is not None:
+        dp = mesh.shape.get("dp", 1)
+        n_slots = -(-n_slots // dp) * dp
     kw = dict(
         icv_scaled=icv_scaled,
+        mesh=mesh,
         n_slots=n_slots,
         out_cap=max(max_new, 1),
         prompt_buckets=buckets,
@@ -415,6 +424,7 @@ def icv_inference_continuous(
     progress: bool = True,
     n_slots: int = 8,
     sync_steps: int = 4,
+    mesh=None,
 ) -> dict:
     """``icv_inference`` through the continuous-batching engine.  Same
     output contract as ``icv_inference``; per-request results are
@@ -432,7 +442,8 @@ def icv_inference_continuous(
             yield sample, p
 
     return _run_continuous(
-        prompts(), bundle, generate_kwargs, icv_scaled, n_slots, sync_steps
+        prompts(), bundle, generate_kwargs, icv_scaled, n_slots, sync_steps,
+        mesh=mesh,
     )
 
 
@@ -447,6 +458,7 @@ def icl_inference_continuous(
     progress: bool = True,
     n_slots: int = 8,
     sync_steps: int = 4,
+    mesh=None,
 ) -> dict:
     """``icl_inference`` through the continuous-batching engine — the
     reference's raggedest workload (prompt lengths vary ~30x across
@@ -475,7 +487,8 @@ def icl_inference_continuous(
             yield sample, p
 
     return _run_continuous(
-        prompts(), bundle, generate_kwargs, None, n_slots, sync_steps
+        prompts(), bundle, generate_kwargs, None, n_slots, sync_steps,
+        mesh=mesh,
     )
 
 

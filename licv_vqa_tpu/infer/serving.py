@@ -1179,8 +1179,14 @@ class BeamServingEngine(ServingEngine):
     reference's ``length_penalty=0.0``; for lp != 0 the engine matches a
     bs=1 (unpadded) HF run, which is the batching-independent answer.
 
-    v1 scope: single-device pool (no dp mesh — the per-group transition
-    would reshape across the dp shard boundary) and no ``run_fused``.
+    Multi-chip: with ``mesh``, the GROUP pool shards over the dp axis —
+    ``n_slots`` (groups) must divide dp so each chip holds whole groups of
+    ``num_beams`` rows (the per-group transition reshapes ``(G·K,) →
+    (G, K)``, which stays shard-local only on group boundaries); a tp>1
+    axis Megatron-shards the frozen weights exactly as the static path
+    (``runner._replicate_bundle_params``) — the beam transition itself is
+    tiny per-group math that GSPMD replicates.  ``run_fused`` stays
+    greedy-only.
     """
 
     def __init__(
@@ -1200,10 +1206,11 @@ class BeamServingEngine(ServingEngine):
         if num_beams < 2:
             raise ValueError("BeamServingEngine needs num_beams >= 2; use "
                              "ServingEngine for greedy")
-        if mesh is not None:
-            raise NotImplementedError(
-                "beam serving is single-device v1 (per-group transitions "
-                "cross dp shard boundaries); run one engine per chip"
+        if mesh is not None and int(n_slots) % mesh.shape.get("dp", 1):
+            raise ValueError(
+                f"n_slots={n_slots} beam GROUPS must divide over dp="
+                f"{mesh.shape.get('dp', 1)} (each chip holds whole groups "
+                f"of num_beams rows)"
             )
         if kw.pop("merged_admit_fn", None) is not None:
             raise NotImplementedError(
@@ -1216,7 +1223,7 @@ class BeamServingEngine(ServingEngine):
         self.n_groups = int(n_slots)
         super().__init__(
             prefill_fn, decode_fn, media_axes, text_cfg, params,
-            n_slots=self.n_groups * self.num_beams, **kw,
+            n_slots=self.n_groups * self.num_beams, mesh=mesh, **kw,
         )
         # slot tracking is per GROUP (one request per group)
         self._slots = [None] * self.n_groups

@@ -202,7 +202,9 @@ def test_continuous_engine_inference_matches_static(env):
     save_path = train_cli.main(
         COMMON + ["trainer=debug", "data_cfg.bs=2", "run_name=e2e_static"]
     )
-    for run in ("e2e_cont", "e2e_static_beam", "e2e_cont_beam"):
+    for run in (
+        "e2e_cont", "e2e_static_beam", "e2e_cont_beam", "e2e_cont_beam_mesh"
+    ):
         shutil.copytree(save_path, save_path.parent / run)
 
     args = COMMON + [
@@ -221,6 +223,19 @@ def test_continuous_engine_inference_matches_static(env):
     infer_cli.main(
         args + beam + ["run_name=e2e_cont_beam", "infer_engine=continuous"]
     )
+    # multi-chip beam serving through the CLI: group pool over dp=2, frozen
+    # weights Megatron-sharded over tp=2 (infer_dp/infer_tp compose with
+    # infer_engine=continuous)
+    infer_cli.main(
+        args
+        + beam
+        + [
+            "run_name=e2e_cont_beam_mesh",
+            "infer_engine=continuous",
+            "infer_dp=2",
+            "infer_tp=2",
+        ]
+    )
 
     base = env / "results" / "inference" / "tiny-idefics" / "vqav2"
 
@@ -230,6 +245,7 @@ def test_continuous_engine_inference_matches_static(env):
 
     assert preds("e2e_static") == preds("e2e_cont")
     assert preds("e2e_static_beam") == preds("e2e_cont_beam")
+    assert preds("e2e_static_beam") == preds("e2e_cont_beam_mesh")
 
 
 def test_continuous_engine_icl_matches_static(env):

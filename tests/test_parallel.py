@@ -149,3 +149,56 @@ def test_dp_tp_matches_single_device():
     trainable_s = jax.device_put(trainable, NamedSharding(mesh, P()))
     sharded = float(jax.jit(loss_fn)(trainable_s, params_s, batch_s))
     np.testing.assert_allclose(sharded, single, rtol=2e-5)
+
+
+def test_tp_sharded_beam_decode_matches_single_device():
+    """Inference-side TP on the decode mode the reference evals with:
+    beam_generate over Megatron-tp=2-sharded frozen weights (the layout a
+    bf16 9B model needs to span two 16 GB chips — reference evals it on one
+    80 GB A100, inference.py:313) emits token-identical beams to the
+    unsharded run.  int8-quantized weights shard through the same specs
+    (param_specs handles {"q","s"} leaves by parent name)."""
+    from jax.sharding import NamedSharding
+    from licv_vqa_tpu.core.mesh import MeshConfig, create_mesh
+    from licv_vqa_tpu.infer.decode import beam_generate
+    from licv_vqa_tpu.models.idefics import make_idefics_forward_fns
+
+    cfg = IdeficsConfig.tiny()
+    params = init_idefics_params(jax.random.PRNGKey(0), cfg)
+    _, bind = make_idefics_forward_fns(cfg, eos_token_id=2)
+
+    rng = np.random.default_rng(11)
+    b, s, max_new = 2, 10, 5
+    isz = cfg.vision.image_size
+    ids = jnp.asarray(rng.integers(3, cfg.text.vocab_size, size=(b, s)), jnp.int32)
+    ids = ids.at[:, 1].set(cfg.image_token_id)
+    mask = jnp.ones_like(ids)
+    pixels = jnp.asarray(rng.normal(size=(b, 1, isz, isz, 3)), jnp.float32)
+    pv = jnp.ones((b, 1), bool)
+    icv = jnp.asarray(
+        rng.normal(size=(cfg.text.n_layers, cfg.text.d_model)) * 0.1, jnp.float32
+    )
+
+    def beams(p):
+        fwd = bind(p, pixels, pv, ids, icv, s + max_new + 1)
+        return np.asarray(
+            beam_generate(
+                fwd, ids, mask, max_new_tokens=max_new, eos_token_id=2,
+                pad_token_id=0, num_beams=3,
+            )
+        )
+
+    single = beams(params)
+
+    mesh = create_mesh(MeshConfig(dp=1, tp=2), jax.devices()[:2])
+    params_s = jax.device_put(
+        params,
+        jax.tree.map(
+            lambda sp: NamedSharding(mesh, sp), param_specs(params),
+            is_leaf=lambda x: isinstance(x, P),
+        ),
+    )
+    # assert the layout REALLY carries a tp axis (not silent replication)
+    wq_shard = params_s["layers"]["attn"]["wq"].sharding
+    assert wq_shard.spec == P(None, None, "tp")
+    np.testing.assert_array_equal(beams(params_s), single)

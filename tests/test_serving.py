@@ -438,6 +438,54 @@ def test_engine_dp_mesh_matches_single_device():
         np.testing.assert_array_equal(sharded[uid], base[uid], err_msg=uid)
 
 
+@pytest.mark.parametrize("layout", ["dp2", "tp2", "dp2tp2"])
+def test_beam_engine_mesh_matches_single_device(layout):
+    """Multi-chip BEAM serving (the decode mode the reference actually
+    evaluates with — config/inference.yaml:26-30): the group pool shards
+    over dp (whole groups per chip) and/or the frozen weights Megatron-
+    shard over tp (parallel/sharding.py param_specs — the path a bf16 9B
+    model needs to fit two 16 GB chips); results are identical to the
+    unsharded beam engine."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from licv_vqa_tpu.parallel.sharding import param_specs
+
+    cfg, params, bind, (prefill, decode, axes) = _idefics_setup()
+    rng = np.random.default_rng(31)
+    reqs = _make_requests(cfg, rng, 6)
+
+    def run(mesh, p):
+        engine = BeamServingEngine(
+            prefill, decode, axes, cfg.text, p,
+            num_beams=3, eos_token_id=EOS, pad_token_id=PAD,
+            n_slots=2, out_cap=8, prompt_buckets=(8, 16),
+            sync_steps=2, admit_sizes=(2, 1), mesh=mesh,
+        )
+        for r in reqs:
+            engine.submit(r)
+        return engine.run()
+
+    base = run(None, params)
+    dp, tp = {"dp2": (2, 1), "tp2": (1, 2), "dp2tp2": (2, 2)}[layout]
+    mesh = Mesh(
+        np.array(jax.devices()[: dp * tp]).reshape(dp, tp), ("dp", "tp")
+    )
+    if tp > 1:  # the static path's weight layout (_replicate_bundle_params)
+        sharded_params = jax.device_put(
+            params,
+            jax.tree.map(
+                lambda s: NamedSharding(mesh, s), param_specs(params),
+                is_leaf=lambda x: isinstance(x, P),
+            ),
+        )
+    else:
+        sharded_params = jax.device_put(params, NamedSharding(mesh, P()))
+    sharded = run(mesh, sharded_params)
+    assert set(base) == set(sharded)
+    for uid in base:
+        np.testing.assert_array_equal(sharded[uid], base[uid], err_msg=str(uid))
+
+
 def test_engine_from_bundle():
     """Bundle-level construction: synthetic idefics bundle, uint8 pixels
     normalized on device — engine tokens match the bundle's own greedy
