@@ -201,8 +201,26 @@ def main(argv: list[str] | None = None):
                 gen_kwargs.get("length_penalty"),
             )
 
+    # infer_engine=pooled: the pooled beam schedule (P=max_new-1 staggered
+    # question groups share each weight-stream pass — the highest-throughput
+    # eval schedule on one chip; ragged prompts bucket to 64-multiples)
+    pooled = str(cfg.get("infer_engine", "static")) == "pooled"
+
     if cfg.test_icv:
-        if continuous:
+        if pooled:
+            from licv_vqa_tpu.infer.runner import icv_inference_pooled
+
+            warn_continuous_lp()
+            results = icv_inference_pooled(
+                val_ds,
+                bundle,
+                prompt_manager,
+                generate_kwargs=gen_kwargs,
+                instruction=str(cfg.prompt.instruction),
+                icv_scaled=icv_scaled,
+                pool_questions=int(cfg.get("infer_pool", 32)),
+            )
+        elif continuous:
             from licv_vqa_tpu.infer.runner import icv_inference_continuous
 
             warn_continuous_lp()
@@ -261,7 +279,21 @@ def main(argv: list[str] | None = None):
                 ice_idx_list = [
                     random.sample(pool, int(shot_num)) for _ in range(len(val_ds))
                 ]
-            if continuous:
+            if pooled:
+                from licv_vqa_tpu.infer.runner import icl_inference_pooled
+
+                warn_continuous_lp()
+                results = icl_inference_pooled(
+                    train_ds,
+                    val_ds,
+                    ice_idx_list,
+                    bundle,
+                    prompt_manager,
+                    generate_kwargs=gen_kwargs,
+                    instruction=str(cfg.prompt.instruction),
+                    pool_questions=int(cfg.get("infer_pool", 32)),
+                )
+            elif continuous:
                 from licv_vqa_tpu.infer.runner import icl_inference_continuous
 
                 warn_continuous_lp()

@@ -492,6 +492,193 @@ def icl_inference_continuous(
     )
 
 
+def _run_pooled(
+    prompt_iter,
+    bundle,
+    generate_kwargs: dict,
+    icv_scaled,
+    pool_questions: int,
+) -> dict:
+    """Shared POOLED-schedule eval loop (``infer_engine=pooled``): the
+    highest-throughput beam-eval schedule on one chip — P = max_new-1
+    staggered beam groups share every weight-stream pass inside one jitted
+    scan (``eval_chain._make_pooled_chain``; measured 37 q/s/chip vs the
+    chained path's 10.8 at the reference eval shape).
+
+    Ragged prompts bucket to 64-multiples (one compile per bucket × image
+    width); each bucket runs in fixed-size chunks of ``pool_questions``
+    (the last chunk pads by repeating its final question — the chain's
+    wrap-around drain makes extras free to discard).  Per-question tokens
+    are ``decode.beam_generate``'s (tests/test_eval_chain.py), so results
+    match the static beam path exactly on CPU f32 and up to batch-shape
+    kernel drift on TPU."""
+    import jax
+
+    from ..models.idefics import IdeficsConfig
+    from ..models.idefics2 import Idefics2Config
+    from .eval_chain import (
+        make_idefics2_pooled_eval_chain,
+        make_idefics_pooled_eval_chain,
+        make_openflamingo_pooled_eval_chain,
+    )
+
+    num_beams = int(generate_kwargs.get("num_beams", 1))
+    max_new = int(generate_kwargs.get("max_new_tokens", 5))
+    if num_beams < 2 or max_new < 2:
+        raise ValueError(
+            "the pooled schedule needs num_beams >= 2 and max_new_tokens >= 2"
+            " (greedy/1-token workloads: use infer_engine=continuous)"
+        )
+    cfg = bundle.model_cfg
+    if isinstance(cfg, IdeficsConfig):
+        factory = make_idefics_pooled_eval_chain
+    elif isinstance(cfg, Idefics2Config):
+        factory = make_idefics2_pooled_eval_chain
+    else:
+        factory = make_openflamingo_pooled_eval_chain
+    chain = jax.jit(
+        factory(
+            cfg,
+            bundle.eos_token_id,
+            num_beams=num_beams,
+            max_new_tokens=max_new,
+            length_penalty=float(generate_kwargs.get("length_penalty", 0.0)),
+            min_new_tokens=int(generate_kwargs.get("min_new_tokens", 0)),
+        )
+    )
+
+    proc = bundle.processor
+    samples, encs = [], []
+    for sample, p in prompt_iter:
+        enc = proc.prepare_input([p], padding=True, padding_side="left")
+        if "pixel_attention_mask" in enc:
+            raise ValueError(
+                "NaViT variable resolution is engine-only; use "
+                "infer_engine=continuous"
+            )
+        mask = np.asarray(enc["attention_mask"][0], bool)
+        encs.append(
+            (
+                np.asarray(enc["input_ids"][0])[mask],
+                np.asarray(enc["pixel_values"][0]),
+                np.asarray(enc["pixel_valid"][0], bool),
+            )
+        )
+        samples.append(sample)
+
+    pad_id = bundle.pad_token_id
+    # bucket by 64-multiple prompt length AND image-buffer width (one
+    # compile per (bucket, n_img, chunk size))
+    buckets: dict = {}
+    for idx, (ids, px, pv) in enumerate(encs):
+        key = (max(-(-len(ids) // 64) * 64, 64), px.shape[0])
+        buckets.setdefault(key, []).append(idx)
+
+    answers: dict = {}
+    for (bucket, n_img), idxs in sorted(buckets.items()):
+        c = min(int(pool_questions), len(idxs))
+        for lo in range(0, len(idxs), c):
+            chunk = idxs[lo : lo + c]
+            real = len(chunk)
+            chunk = chunk + [chunk[-1]] * (c - real)
+            ids = np.full((c, 1, bucket), pad_id, np.int32)
+            mask = np.zeros((c, 1, bucket), np.int32)
+            px0 = encs[chunk[0]][1]
+            pixels = np.zeros((c, 1, n_img) + px0.shape[1:], px0.dtype)
+            pvs = np.zeros((c, 1, n_img), bool)
+            for r, qi in enumerate(chunk):
+                q_ids, q_px, q_pv = encs[qi]
+                ids[r, 0, bucket - len(q_ids):] = q_ids  # left padding
+                mask[r, 0, bucket - len(q_ids):] = 1
+                pixels[r, 0, : q_px.shape[0]] = q_px
+                pvs[r, 0, : q_pv.shape[0]] = q_pv
+            out = np.asarray(
+                chain(
+                    bundle.params,
+                    jnp.asarray(ids),
+                    jnp.asarray(mask),
+                    jnp.asarray(pixels),
+                    jnp.asarray(pvs),
+                    icv_scaled,
+                )
+            )  # (c, 1, max_new)
+            for r, qi in enumerate(chunk[:real]):
+                answers[qi] = bundle.tokenizer.batch_decode(
+                    [out[r, 0]], skip_special_tokens=True
+                )[0]
+
+    results = {}
+    for idx, sample in enumerate(samples):
+        row = {k: v for k, v in sample.items() if k != "image"}
+        results[idx] = {"prediction": answers[idx], **row}
+    return results
+
+
+def icv_inference_pooled(
+    val_ds,
+    bundle,
+    prompt_manager: PromptManager,
+    generate_kwargs: dict,
+    instruction: str = "",
+    icv_scaled=None,
+    progress: bool = True,
+    pool_questions: int = 32,
+) -> dict:
+    """``icv_inference`` through the pooled beam schedule (one-image VQA
+    questions — the reference's eval workload at its own decode settings,
+    reference: config/inference.yaml:11,26-30)."""
+
+    def prompts():
+        for sample in _maybe_tqdm(val_ds, progress):
+            p = [instruction] if instruction else []
+            p += [
+                sample["image"],
+                prompt_manager.gen_query_text_without_label(sample),
+            ]
+            yield sample, p
+
+    return _run_pooled(
+        prompts(), bundle, generate_kwargs, icv_scaled, pool_questions
+    )
+
+
+def icl_inference_pooled(
+    train_ds,
+    val_ds,
+    ice_idx_list: list[list[int]],
+    bundle,
+    prompt_manager: PromptManager,
+    generate_kwargs: dict,
+    instruction: str = "",
+    progress: bool = True,
+    pool_questions: int = 32,
+) -> dict:
+    """``icl_inference`` through the pooled beam schedule: mixed shot
+    counts bucket by (prompt length, image count), so each chunk's merged
+    program stays shape-static."""
+
+    def prompts():
+        for idx, sample in enumerate(_maybe_tqdm(val_ds, progress)):
+            p = [instruction] if instruction else []
+            for si in ice_idx_list[idx]:
+                shot = train_ds[si]
+                p += [
+                    shot["image"],
+                    prompt_manager.gen_ice_text_with_label(
+                        shot, add_sep_token=True
+                    ),
+                ]
+            p += [
+                sample["image"],
+                prompt_manager.gen_query_text_without_label(sample),
+            ]
+            yield sample, p
+
+    return _run_pooled(
+        prompts(), bundle, generate_kwargs, None, pool_questions
+    )
+
+
 def icl_inference(
     train_ds,
     val_ds,

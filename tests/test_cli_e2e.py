@@ -248,6 +248,53 @@ def test_continuous_engine_inference_matches_static(env):
     assert preds("e2e_static_beam") == preds("e2e_cont_beam_mesh")
 
 
+def test_pooled_engine_inference_matches_static(env):
+    """infer_engine=pooled routes beam evals through the pooled schedule
+    (P staggered question groups share each weight-stream pass —
+    infer/eval_chain.py); predictions are identical to the static beam
+    path for both test_icv and test_icl (mixed shot counts exercise the
+    (bucket, image-count) grouping)."""
+    import json as _json
+    import shutil
+
+    import inference as infer_cli
+    import train as train_cli
+
+    save_path = train_cli.main(
+        COMMON + ["trainer=debug", "data_cfg.bs=2", "run_name=e2e_pl_static"]
+    )
+    shutil.copytree(save_path, save_path.parent / "e2e_pl")
+
+    ice_cache = env / "ice_idx_pool.json"
+    ice_cache.write_text(_json.dumps([[0, 1], [1], [0], [1, 0], [0]]))
+    args = COMMON + [
+        "test_icv=true",
+        "test_icl=true",
+        "few_shot_list=[2]",
+        f"ice_idx_list_cache={ice_cache}",
+        "test_num=5",
+        "train_num=4",
+        "bs=2",
+        "generate_kwargs.max_new_tokens=3",
+        "generate_kwargs.num_beams=3",
+        # chunk smaller than the question count: exercises the fixed-size
+        # chunking + last-chunk repeat-padding path
+        "infer_pool=3",
+    ]
+    infer_cli.main(args + ["run_name=e2e_pl_static"])
+    infer_cli.main(args + ["run_name=e2e_pl", "infer_engine=pooled"])
+
+    base = env / "results" / "inference" / "tiny-idefics" / "vqav2"
+
+    def preds(run, name):
+        p = _json.load(open(next((base / run / "meta_info").glob(f"*{name}"))))
+        return [p[k]["prediction"] for k in sorted(p)]
+
+    for name in ("icv.json", "icl_shot2.json"):
+        want = preds("e2e_pl_static", name)
+        assert want == preds("e2e_pl", name), name
+
+
 def test_continuous_engine_icl_matches_static(env):
     """infer_engine=continuous routes test_icl through the engine too — the
     reference's raggedest workload (mixed shot counts → ~30x prompt-length

@@ -323,3 +323,31 @@ def test_icv_inject_pallas_row_constant_shapes_interpret():
         got = np.asarray(_icv_inject_pallas(h, shift_kernel, interpret=True))
         want = np.asarray(icv_inject_reference(h, shift_ref))
         np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+
+
+def test_vit_attention_kernel_interpret():
+    """Fused short-seq ViT attention kernel (ops/vit_attention.py) matches
+    layers.dot_product_attention elementwise (interpret mode on CPU) — both
+    the unmasked CLIP path and the NaViT key-valid mask, at the real ViT-H
+    geometry (s=257, dh=80 — neither sublane- nor lane-aligned)."""
+    import numpy as np
+
+    from licv_vqa_tpu.models import layers as L
+    from licv_vqa_tpu.ops.vit_attention import vit_attention_tpu
+
+    rng = np.random.default_rng(7)
+    b, s, h, dh = 2, 37, 4, 10
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(b, s, h, dh)), jnp.float32)
+        for _ in range(3)
+    )
+
+    ref = L.dot_product_attention(q, k, v)
+    got = vit_attention_tpu(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+    valid = jnp.asarray(rng.random((b, s)) > 0.3)
+    refm = L.dot_product_attention(q, k, v, mask=valid[:, None, None, :])
+    gotm = vit_attention_tpu(q, k, v, valid=valid, interpret=True)
+    # invalid QUERY rows: both paths let them attend valid keys; compare all
+    np.testing.assert_allclose(np.asarray(gotm), np.asarray(refm), atol=2e-5)
