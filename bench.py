@@ -53,12 +53,15 @@ KV_HEADS, KV_HEAD_DIM = 32, 128  # flagship KV geometry (K and V each)
 # tok/s on v5e with the round-3 row-update KV cache); 32L int8 is the
 # flagship full depth on one v5e (544.2 tok/s at bs=8 — 97.0% of the
 # measured-bandwidth ceiling); bs=64 + int8 KV cache amortizes the weight
-# stream 8× and halves cache traffic (serving-throughput headline: 1675.7
-# tok/s/chip measured on v5e with w8a8 prefill, 59.7% of the int8-peak
+# stream 8× and halves cache traffic (serving-throughput headline: 1789.2
+# tok/s/chip measured on v5e with w8a8 prefill, 63.8% of the int8-peak
 # ceiling).  The LAST variant is the reference's own eval shape (bs=1,
 # num_beams=3, max_new_tokens=5 — config/inference.yaml:11,26-30) in
-# questions/sec/chip (10.8 q/s measured; 43.7 q/s at the optional bs=8
-# batched-eval variant) — printed last: the driver parses the final line.
+# questions/sec/chip — its headline is the best schedule's: the POOLED
+# eval chain (P·K beam rows + next prefill share each weight stream,
+# infer/eval_chain.py) measured 37.0 q/s/chip on v5e (60.5% of its own
+# per-schedule roofline; serial per-question dispatch measures 10.5,
+# overlapped chain 15.4) — printed last: the driver parses the final line.
 VARIANTS = (
     # (spec, per-variant budget, reserve): a variant is SKIPPED unless
     # budget + reserve seconds remain — reserve protects the headline

@@ -897,10 +897,10 @@ class ServingEngine:
         ENTIRE scheduler onto the device: requests (padded to one prompt
         bucket) upload once, then a ``lax.while_loop`` either admits
         pending requests into free slots (prefill + scatter — all static
-        shapes, traced slot indices; a K-lane group branch fills the pool
-        K requests per iteration with K = ``admit_sizes[0]``, the
-        one-slot-freed drip uses a single-lane prefill) or decodes one
-        lockstep step for the pool; finished slots release and refill with
+        shapes, traced slot indices; ONE lane-masked K-lane branch with
+        K = ``admit_sizes[0]`` handles fill, drip and drain — lanes past
+        the pending tail admit to slots that immediately deactivate) or
+        decodes one lockstep step for the pool; finished slots release and refill with
         ZERO host involvement, and results read back once at the end.
         Trade-off vs run(): no mid-flight streaming/submission — built for
         offline workloads (batch eval, dataset sweeps).
@@ -964,13 +964,15 @@ class ServingEngine:
         step_once = self._make_step()
         n_slots = self.n_slots
         # group admission width from the engine's admit_sizes knob: when
-        # >=K slots are free AND >=K requests are pending, one loop
-        # iteration prefills K requests (initial pool fill costs n_slots/K
-        # iterations instead of n_slots); the steady one-slot-freed drip
-        # keeps the cheap single-lane prefill.  admit_sizes=(1,) forces
-        # adm=1 prefill numerics in fused mode too (prefill logits are
-        # batch-shape-dependent in bf16 — module docstring), and bounds
-        # the K-lane prefill's activation memory alongside the pool cache.
+        # >=K slots are free AND >=1 request is pending, one loop iteration
+        # prefills up to K requests (initial pool fill costs n_slots/K
+        # iterations instead of n_slots); the pending tail rides the SAME
+        # K-lane program with masked lanes, so only two branch programs
+        # (admit, decode) are ever traced into the while body.
+        # admit_sizes=(1,) forces adm=1 prefill numerics in fused mode too
+        # (prefill logits are batch-shape-dependent in bf16 — module
+        # docstring), and bounds the K-lane prefill's activation memory
+        # alongside the pool cache.
         adm_k = min(self.admit_sizes[0], n_slots, r_n)
 
         def fused(params, ids, mask, pixels, pv, max_new, min_new, icv):
@@ -1012,21 +1014,29 @@ class ServingEngine:
                 return state_post, res_out, res_len
 
             def make_admit(k):
-                # k-lane admission: guarded by >=k free slots and >=k
-                # pending requests, so every lane is valid — stable argsort
-                # puts the k free (False) slots first and stays a
-                # permutation (distinct targets), no masking needed (k=1
-                # degenerates to first-free-slot, next-request admission).
-                # With a merged admit fn the lane ALSO advances the pool one
-                # lockstep step (chunked prefill: the prefill packs into the
-                # pool step's weight stream) — an admission iteration then
-                # costs ~a decode step instead of stalling the pool.
+                # k-lane admission with LANE MASKING: guarded by >=k free
+                # slots and >=1 pending request.  Lanes past the pending
+                # tail re-prefill the last request (clamped index); their
+                # slots scatter normally, then flip back to inactive with a
+                # dump-row request pointer, so they free up next iteration
+                # and never harvest.  A stable argsort puts the k free
+                # (False) slots first and stays a permutation (distinct
+                # targets).  ONE admission branch handles fill, drip and
+                # drain — the old separate single-lane drip doubled the
+                # while-body's traced branch programs (and their buffer
+                # peaks), the 64-slot OOM's biggest lever.  With a merged
+                # admit fn the lane ALSO advances the pool one lockstep
+                # step (chunked prefill: the prefill packs into the pool
+                # step's weight stream) — an admission iteration then costs
+                # ~a decode step instead of stalling the pool.
                 merged_fn = self._merged_admit
                 emit_phase, post_phase = self._make_step_parts()
 
                 def admit(c):
                     state, cache, media, slot_req, res_out, res_len, next_req, stats = c
-                    js = next_req + jnp.arange(k, dtype=jnp.int32)
+                    js_raw = next_req + jnp.arange(k, dtype=jnp.int32)
+                    lane_ok = js_raw < r_n
+                    js = jnp.minimum(js_raw, r_n - 1)
                     slots = jnp.argsort(state["active"])[:k].astype(jnp.int32)
                     if merged_fn is None:
                         last, small, new_media, next_pos = prefill(
@@ -1057,16 +1067,20 @@ class ServingEngine:
                         last, small, new_media, next_pos,
                         max_new[js], min_new[js],
                     )
+                    state = dict(
+                        state, active=state["active"].at[slots].set(lane_ok)
+                    )
                     return (
                         state, cache, media,
-                        slot_req.at[slots].set(js),
-                        res_out, res_len, next_req + k,
+                        slot_req.at[slots].set(jnp.where(lane_ok, js, r_n)),
+                        res_out, res_len,
+                        next_req + jnp.sum(lane_ok.astype(jnp.int32)),
                         stats.at[0].add(1),
                     )
 
                 return admit
 
-            admit, admit_k = make_admit(1), make_admit(adm_k)
+            admit_k = make_admit(adm_k)
 
             def decode(c):
                 state, cache, media, slot_req, res_out, res_len, next_req, stats = c
@@ -1084,17 +1098,11 @@ class ServingEngine:
                 state, *_, next_req, _stats = c
                 free = jnp.sum(~state["active"])
                 pending = r_n - next_req
-                can_1 = (free >= 1) & (pending >= 1)
-
-                def admit_or_decode(c):
-                    return jax.lax.cond(can_1, admit, decode, c)
-
-                if adm_k == 1:
-                    # Python-level guard: don't trace/compile a dead K-lane
-                    # prefill program into the loop (remote-compile payload)
-                    return admit_or_decode(c)
-                can_k = (free >= adm_k) & (pending >= adm_k)
-                return jax.lax.cond(can_k, admit_k, admit_or_decode, c)
+                # lane masking makes the K-lane program complete for ANY
+                # pending >= 1 — the while-body traces exactly TWO branch
+                # programs (admit, decode) regardless of adm_k
+                can = (free >= adm_k) & (pending >= 1)
+                return jax.lax.cond(can, admit_k, decode, c)
 
             out = jax.lax.while_loop(cond, body, carry)
             return out[4][:r_n], out[5][:r_n], out[7]

@@ -99,7 +99,17 @@ def _vit_layer(
         # drops them).
         attn = L.flash_attention_bidir_tpu(q, k, v, valid=valid)
     else:
-        attn = L.dot_product_attention(q, k, v, mask=mask)
+        from ..ops.vit_attention import vit_attention_tpu, vit_attention_usable
+
+        if vit_attention_usable(s, dh):
+            # fused whole-score-in-VMEM Pallas kernel — OPT-IN only
+            # (LICV_VIT_FUSED_ATTN=1): measured ~3% slower than XLA's
+            # in-tower fused attention at ViT-H shapes on v5e (see
+            # vit_attention_usable).  ``mask`` here is always the
+            # key-validity form (== valid)
+            attn = vit_attention_tpu(q, k, v, valid)
+        else:
+            attn = L.dot_product_attention(q, k, v, mask=mask)
     h = h + (
         qdot(attn.reshape(b, s, d), a["wo"], a8=a8) + a["bo"]
     ).astype(h.dtype)

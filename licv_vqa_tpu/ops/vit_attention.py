@@ -59,8 +59,11 @@ def _kernel_masked(q_ref, k_ref, v_ref, m_ref, o_ref, *, scale: float):
         q, k, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     ) * jnp.float32(scale)
+    # mask block is (1, G, S) — Mosaic requires the last two block dims be
+    # 8/128-tileable OR equal to the full array dims, so the mask rides in
+    # as one leading grid dim + full (G, S) trailing dims
     scores = jnp.where(
-        m_ref[:][:, None, :] != 0, scores, jnp.finfo(jnp.float32).min
+        m_ref[0][:, None, :] != 0, scores, jnp.finfo(jnp.float32).min
     )
     probs = jax.nn.softmax(scores, axis=-1)
     out = jax.lax.dot_general(
@@ -87,20 +90,31 @@ def _pick_group(bh: int, s: int, dh: int) -> int:
 
 
 def vit_attention_usable(s: int, dh: int) -> bool:
-    """Gate: real TPU, short sequences (the flash kernel owns s >= 1024 —
-    layers.flash_bidir_usable), and a head_dim the MXU pads (the 128-aligned
-    case leaves much less on the table, and XLA is already fine there).
-    ``LICV_VIT_FUSED_ATTN=0`` kills the path."""
+    """Gate — DEFAULT OFF (``LICV_VIT_FUSED_ATTN=1`` opts in on real TPU;
+    ``LICV_VIT_ATTN_INTERPRET=1`` forces it through the Pallas interpreter
+    for CPU integration tests).
+
+    Measured verdict (v5e, ViT-H s=257 dh=80, bs=8): standalone the kernel
+    is 1.7x XLA's attention (889 vs 1525 us — tools/exp_vit_attn.py), but
+    IN-TOWER the full ViT forward is ~3% SLOWER with it (26.24 vs
+    25.42 ms, same-session A/B via bench_prefill_tpu --vision-breakdown):
+    XLA fuses the in-context attention with the surrounding projections
+    well (its serial in-tower attention cost is ~141 us/layer, not the
+    standalone probe's 1525 us — that baseline paid jit-boundary layout
+    passes), and the pallas_call boundary forfeits that fusion.  Same
+    story as the masked-KL kernel: correct, validated, kept as an
+    alternative; XLA stays the default."""
     import os
 
+    if os.environ.get("LICV_VIT_ATTN_INTERPRET") == "1":
+        return s <= 1024
     return (
         jax.default_backend() == "tpu"
         and s <= 1024
-        and os.environ.get("LICV_VIT_FUSED_ATTN", "1") != "0"
+        and os.environ.get("LICV_VIT_FUSED_ATTN", "0") == "1"
     )
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
 def vit_attention_tpu(
     q: jax.Array,  # (B, S, H, Dh)
     k: jax.Array,
@@ -115,6 +129,16 @@ def vit_attention_tpu(
     up to f32 reduction order.  Invalid QUERY rows attend only valid keys
     (same convention as the XLA path — their outputs are masked downstream
     either way)."""
+    import os
+
+    # env resolved OUTSIDE the jitted core so the jit cache keys on the
+    # effective interpret flag (CPU integration tests flip it per-test)
+    interpret = interpret or os.environ.get("LICV_VIT_ATTN_INTERPRET") == "1"
+    return _vit_attention_jit(q, k, v, valid, scale, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def _vit_attention_jit(q, k, v, valid, scale, interpret):
     b, s, h, dh = q.shape
     scale = float(scale if scale is not None else 1.0 / np.sqrt(dh))
     qt = q.transpose(0, 2, 1, 3).reshape(b * h, s, dh)
@@ -134,7 +158,10 @@ def vit_attention_tpu(
         )(qt, kt, vt)
     else:
         vm = jnp.repeat(valid.astype(jnp.int32), h, axis=0)  # (B*H, S)
-        mspec = pl.BlockSpec((g, s), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        vm = vm.reshape(b * h // g, g, s)
+        mspec = pl.BlockSpec(
+            (1, g, s), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        )
         out = pl.pallas_call(
             functools.partial(_kernel_masked, scale=scale),
             out_shape=jax.ShapeDtypeStruct((b * h, s, dh), q.dtype),

@@ -351,3 +351,45 @@ def test_vit_attention_kernel_interpret():
     gotm = vit_attention_tpu(q, k, v, valid=valid, interpret=True)
     # invalid QUERY rows: both paths let them attend valid keys; compare all
     np.testing.assert_allclose(np.asarray(gotm), np.asarray(refm), atol=2e-5)
+
+
+def test_vit_attention_integrated_tower_interpret(monkeypatch):
+    """vision_forward with the fused ViT attention kernel engaged
+    (LICV_VIT_ATTN_INTERPRET routes _vit_layer's short-seq branch through
+    the Pallas interpreter on CPU) matches the XLA attention path — both
+    the CLIP class-token tower (mask=None) and the NaViT patch-mask path."""
+    import numpy as np
+
+    from licv_vqa_tpu.models.config import VisionConfig
+    from licv_vqa_tpu.models.vision import init_vision_params, vision_forward
+
+    rng = np.random.default_rng(11)
+
+    # CLIP-style (class token, no mask)
+    cfg = VisionConfig(
+        d_model=32, n_layers=2, n_heads=2, d_ff=64, patch_size=14,
+        image_size=56, dtype=jnp.float32,
+    )
+    params = init_vision_params(jax.random.PRNGKey(0), cfg)
+    pixels = jnp.asarray(rng.normal(size=(2, 56, 56, 3)), jnp.float32)
+    ref = np.asarray(vision_forward(cfg, params, pixels))
+    monkeypatch.setenv("LICV_VIT_ATTN_INTERPRET", "1")
+    got = np.asarray(vision_forward(cfg, params, pixels))
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+    monkeypatch.delenv("LICV_VIT_ATTN_INTERPRET")
+
+    # NaViT-style (no class token, ragged patch grid -> key-valid mask)
+    cfg2 = VisionConfig(
+        d_model=32, n_layers=2, n_heads=2, d_ff=64, patch_size=14,
+        image_size=56, use_class_token=False, use_pre_norm=False,
+        use_post_norm=True, patch_bias=True, dtype=jnp.float32,
+    )
+    params2 = init_vision_params(jax.random.PRNGKey(1), cfg2)
+    pm = np.ones((2, 4, 4), bool)
+    pm[0, 2:, :] = False  # first image occupies only the top 2x4 rectangle
+    pm = jnp.asarray(pm)
+    ref2 = np.asarray(vision_forward(cfg2, params2, pixels, patch_mask=pm))
+    monkeypatch.setenv("LICV_VIT_ATTN_INTERPRET", "1")
+    got2 = np.asarray(vision_forward(cfg2, params2, pixels, patch_mask=pm))
+    vm = np.asarray(pm.reshape(2, -1))
+    np.testing.assert_allclose(got2[vm], ref2[vm], atol=2e-5)

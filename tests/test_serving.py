@@ -1,128 +1,15 @@
-"""Continuous-batching serving engine vs per-request greedy decode.
+"""Continuous-batching serving engine vs per-request greedy decode
+(core engine + beam engine; merged-admission/fused/online tests live
+in test_serving_merged.py — split for xdist loadscope worker memory).
 
-The engine (infer/serving.py) must emit EXACTLY what ``greedy_generate``
-emits for every request — same argmax stream, same EOS cut, same
-``min_new_tokens`` suppression — while decoding many requests in shared
-slots with mixed prompt buckets, mixed ``max_new``, slot reuse, and
-mid-flight admission.  Reference decode settings context:
-/root/reference/inference.py:300-321 (per-batch HF generate)."""
+Reference decode settings context: /root/reference/inference.py:300-321
+(per-batch HF generate)."""
 
-import dataclasses
-
-import jax
-import jax.numpy as jnp
-import numpy as np
-import pytest
-
-from licv_vqa_tpu.infer.decode import beam_generate, greedy_generate
-from licv_vqa_tpu.infer.serving import (
-    BeamServingEngine,
-    Request,
-    ServingEngine,
+from tests.serving_common import *  # noqa: F401,F403
+from tests.serving_common import (
+    SETUPS, EOS, PAD, _idefics_setup, _make_requests,
+    _reference_tokens,
 )
-
-EOS, PAD = 2, 0
-
-
-def _idefics_setup():
-    from licv_vqa_tpu.models.idefics import (
-        IdeficsConfig,
-        init_idefics_params,
-        make_idefics_forward_fns,
-        make_idefics_serving_fns,
-    )
-
-    cfg = IdeficsConfig.tiny()
-    params = init_idefics_params(jax.random.PRNGKey(0), cfg)
-    _, bind = make_idefics_forward_fns(cfg, eos_token_id=EOS)
-    serving = make_idefics_serving_fns(cfg, eos_token_id=EOS)
-    return cfg, params, bind, serving
-
-
-def _idefics2_setup():
-    from licv_vqa_tpu.models.idefics2 import (
-        Idefics2Config,
-        init_idefics2_params,
-        make_idefics2_forward_fns,
-        make_idefics2_serving_fns,
-    )
-
-    cfg = Idefics2Config.tiny()
-    params = init_idefics2_params(jax.random.PRNGKey(0), cfg)
-    _, bind = make_idefics2_forward_fns(cfg, eos_token_id=EOS)
-    serving = make_idefics2_serving_fns(cfg, eos_token_id=EOS)
-    return cfg, params, bind, serving
-
-
-def _openflamingo_setup():
-    from licv_vqa_tpu.models.openflamingo import (
-        OpenFlamingoConfig,
-        init_openflamingo_params,
-        make_openflamingo_forward_fns,
-        make_openflamingo_serving_fns,
-    )
-
-    cfg = OpenFlamingoConfig.tiny()
-    params = init_openflamingo_params(jax.random.PRNGKey(0), cfg)
-    _, bind = make_openflamingo_forward_fns(cfg, eos_token_id=EOS)
-    serving = make_openflamingo_serving_fns(cfg, eos_token_id=EOS)
-    return cfg, params, bind, serving
-
-
-SETUPS = {
-    "idefics": _idefics_setup,
-    "idefics2": _idefics2_setup,
-    "openflamingo": _openflamingo_setup,
-}
-
-
-def _make_requests(cfg, rng, n, min_new=0):
-    """Mixed prompt lengths (crossing two buckets) and mixed max_new."""
-    isz = cfg.vision.image_size
-    vocab = cfg.text.vocab_size
-    reqs = []
-    for i in range(n):
-        s = int(rng.integers(5, 13))
-        ids = rng.integers(3, vocab, size=(s,)).astype(np.int32)
-        ids[1] = cfg.image_token_id
-        # idefics2 expands each <image> into image_seq_len latents at a
-        # placeholder RUN — a single token run of 1 works with n_latents=1
-        # tiny configs; keep one image token per prompt for all families
-        pixels = rng.normal(size=(1, isz, isz, 3)).astype(np.float32)
-        reqs.append(
-            Request(
-                uid=f"r{i}",
-                input_ids=ids,
-                pixel_values=pixels,
-                max_new=int(rng.integers(2, 7)),
-                min_new=min_new,
-            )
-        )
-    return reqs
-
-
-def _reference_tokens(cfg, bind, params, req, icv):
-    """Per-request greedy_generate through the family's bind closure."""
-    ids = jnp.asarray(req.input_ids[None])
-    mask = jnp.ones_like(ids)
-    pixels = jnp.asarray(req.pixel_values[None])
-    pv = jnp.ones((1, pixels.shape[1]), bool)
-    fwd = bind(
-        params, pixels, pv, ids, icv, int(ids.shape[1]) + req.max_new + 1
-    )
-    out = np.asarray(
-        greedy_generate(
-            fwd, ids, mask,
-            max_new_tokens=req.max_new,
-            eos_token_id=EOS,
-            pad_token_id=PAD,
-            min_new_tokens=req.min_new,
-        )
-    )[0]
-    gen = out[len(req.input_ids) :]
-    eos_hits = np.nonzero(gen == EOS)[0]
-    return gen[: eos_hits[0] + 1] if len(eos_hits) else gen
-
 
 @pytest.mark.parametrize("family", sorted(SETUPS))
 def test_engine_matches_greedy(family):
@@ -681,211 +568,3 @@ def test_engine_rejects_pam_for_unsupporting_family():
         engine.submit(r)
 
 
-def test_engine_merged_admit_matches_greedy():
-    """Chunked prefill: admissions ride ONE merged program (pool decode step
-    + group prefill with packed decoder projections) — token-for-token equal
-    to per-request greedy_generate, with slot reuse forcing mid-flight
-    merged admissions (VERDICT r3 item 3; ICV on to cover the packed
-    injection path)."""
-    from licv_vqa_tpu.models.idefics import make_idefics_merged_admit_fn
-
-    cfg, params, bind, (prefill, decode, axes) = _idefics_setup()
-    merged = make_idefics_merged_admit_fn(cfg, eos_token_id=EOS)
-    rng = np.random.default_rng(17)
-    reqs = _make_requests(cfg, rng, 7, min_new=1)
-    icv = jnp.asarray(
-        rng.normal(size=(cfg.text.n_layers, cfg.text.d_model)) * 0.1,
-        jnp.float32,
-    )
-
-    engine = ServingEngine(
-        prefill, decode, axes, cfg.text, params,
-        eos_token_id=EOS, pad_token_id=PAD,
-        n_slots=3, out_cap=8, prompt_buckets=(8, 16),
-        sync_steps=2, admit_sizes=(2, 1), icv_scaled=icv,
-        merged_admit_fn=merged, merged_admit_in_run=True,
-    )
-    for r in reqs:
-        engine.submit(r)
-    got = engine.run()
-
-    assert engine.merged_admits > 0, "merged program never used"
-    assert set(got) == {r.uid for r in reqs}
-    for r in reqs:
-        want = _reference_tokens(cfg, bind, params, r, icv)
-        np.testing.assert_array_equal(got[r.uid], want, err_msg=r.uid)
-
-
-@pytest.mark.parametrize("family", ["idefics2", "openflamingo"])
-def test_engine_merged_admit_other_families(family):
-    """Merged admission (chunked prefill) now covers the WHOLE zoo: idefics2
-    (GQA, no pool media) and OpenFlamingo (per-lane ALiBi biases through
-    merged_decoder_layer) serve token-for-token equal to per-request greedy
-    with mid-flight merged admissions."""
-    if family == "idefics2":
-        from licv_vqa_tpu.models.idefics2 import (
-            make_idefics2_merged_admit_fn as make_merged,
-        )
-    else:
-        from licv_vqa_tpu.models.openflamingo import (
-            make_openflamingo_merged_admit_fn as make_merged,
-        )
-
-    cfg, params, bind, (prefill, decode, axes) = SETUPS[family]()
-    merged = make_merged(cfg, eos_token_id=EOS)
-    rng = np.random.default_rng(23)
-    reqs = _make_requests(cfg, rng, 7, min_new=1)
-    icv = jnp.asarray(
-        rng.normal(size=(cfg.text.n_layers, cfg.text.d_model)) * 0.1,
-        jnp.float32,
-    )
-
-    engine = ServingEngine(
-        prefill, decode, axes, cfg.text, params,
-        eos_token_id=EOS, pad_token_id=PAD,
-        n_slots=3, out_cap=8, prompt_buckets=(8, 16),
-        sync_steps=2, admit_sizes=(2, 1), icv_scaled=icv,
-        merged_admit_fn=merged, merged_admit_in_run=True,
-    )
-    for r in reqs:
-        engine.submit(r)
-    got = engine.run()
-
-    assert engine.merged_admits > 0, "merged program never used"
-    assert set(got) == {r.uid for r in reqs}
-    for r in reqs:
-        want = _reference_tokens(cfg, bind, params, r, icv)
-        np.testing.assert_array_equal(
-            got[r.uid], want, err_msg=f"{family}:{r.uid}"
-        )
-
-
-def test_engine_merged_admit_int8_weights_and_cache():
-    """Merged admit with int8 weights + int8 KV cache: the packed-projection
-    qdots and the int8 round-trip invariant survive the merged program."""
-    import dataclasses as dc
-
-    from licv_vqa_tpu.models.idefics import (
-        IdeficsConfig,
-        init_idefics_params,
-        make_idefics_forward_fns,
-        make_idefics_merged_admit_fn,
-        make_idefics_serving_fns,
-    )
-    from licv_vqa_tpu.ops.quantize import quantize_layer_stack
-
-    cfg = IdeficsConfig.tiny()
-    cfg = dc.replace(cfg, text=dc.replace(cfg.text, kv_cache_dtype="int8"))
-    params = init_idefics_params(jax.random.PRNGKey(1), cfg)
-    params["layers"] = quantize_layer_stack(params["layers"])
-    params["xattn"] = quantize_layer_stack(params["xattn"])
-    _, bind = make_idefics_forward_fns(cfg, eos_token_id=EOS)
-    prefill, decode, axes = make_idefics_serving_fns(cfg, eos_token_id=EOS)
-    merged = make_idefics_merged_admit_fn(cfg, eos_token_id=EOS)
-
-    rng = np.random.default_rng(29)
-    reqs = _make_requests(cfg, rng, 5)
-    engine = ServingEngine(
-        prefill, decode, axes, cfg.text, params,
-        eos_token_id=EOS, pad_token_id=PAD,
-        n_slots=2, out_cap=8, prompt_buckets=(16,),
-        sync_steps=2, admit_sizes=(2, 1), merged_admit_fn=merged,
-        merged_admit_in_run=True,
-    )
-    for r in reqs:
-        engine.submit(r)
-    got = engine.run()
-    assert engine.merged_admits > 0
-    for r in reqs:
-        want = _reference_tokens(cfg, bind, params, r, None)
-        np.testing.assert_array_equal(got[r.uid], want, err_msg=r.uid)
-
-
-def test_engine_run_online_concurrent_submit():
-    """True online serving (VERDICT r3 item 6): run_online parks when idle,
-    a feeder THREAD submits requests while the loop is live, stop() drains
-    and returns.  Tokens equal per-request greedy; arrival/admission/
-    first-token/completion clocks are populated and ordered."""
-    import threading
-    import time as _time
-
-    cfg, params, bind, (prefill, decode, axes) = _idefics_setup()
-    rng = np.random.default_rng(31)
-    reqs = _make_requests(cfg, rng, 6)
-
-    engine = ServingEngine(
-        prefill, decode, axes, cfg.text, params,
-        eos_token_id=EOS, pad_token_id=PAD,
-        n_slots=2, out_cap=8, prompt_buckets=(16,),
-        sync_steps=2, admit_sizes=(2, 1),
-    )
-    # pre-warm the compile path with the first request so the feeder's
-    # timing isn't dominated by XLA:CPU compiles
-    engine.submit(reqs[0])
-    engine.run()
-    got0 = {reqs[0].uid: None}
-
-    # serve in a thread; feed from THIS thread while the loop is live
-    # (submissions race real decode chunks, not the loop startup)
-    holder = {}
-
-    def serve():
-        holder["got"] = engine.run_online()
-
-    t = threading.Thread(target=serve)
-    t.start()
-    while engine._clock_t0 is None:  # wait for the online clock
-        _time.sleep(0.001)
-    for r in reqs[1:]:
-        engine.submit(r)
-        _time.sleep(0.05)
-    # drain politely: stop() means "finish what's submitted, then exit"
-    engine.stop()
-    t.join(timeout=120)
-    assert not t.is_alive(), "run_online failed to stop"
-    got = holder["got"]
-
-    assert set(got) == {r.uid for r in reqs[1:]}
-    for r in reqs[1:]:
-        want = _reference_tokens(cfg, bind, params, r, None)
-        np.testing.assert_array_equal(got[r.uid], want, err_msg=r.uid)
-        uid = r.uid
-        assert uid in engine.arrival_s and uid in engine.admission_s, uid
-        assert uid in engine.completion_s, uid
-        assert engine.arrival_s[uid] <= engine.admission_s[uid] + 1e-9
-        assert engine.admission_s[uid] <= engine.completion_s[uid]
-        if uid in engine.first_token_s:
-            assert engine.first_token_s[uid] <= engine.completion_s[uid]
-    del got0
-
-
-def test_engine_fused_merged_matches_greedy():
-    """run_fused with MERGED admission: the while_loop's admit branch also
-    advances the pool one lockstep step (chunked prefill on-device, zero
-    host involvement) — token-for-token equal to per-request greedy with
-    slot reuse and ICV."""
-    from licv_vqa_tpu.models.idefics import make_idefics_merged_admit_fn
-
-    cfg, params, bind, (prefill, decode, axes) = _idefics_setup()
-    merged = make_idefics_merged_admit_fn(cfg, eos_token_id=EOS)
-    rng = np.random.default_rng(47)
-    reqs = _make_requests(cfg, rng, 6, min_new=1)
-    icv = jnp.asarray(
-        rng.normal(size=(cfg.text.n_layers, cfg.text.d_model)) * 0.1,
-        jnp.float32,
-    )
-
-    engine = ServingEngine(
-        prefill, decode, axes, cfg.text, params,
-        eos_token_id=EOS, pad_token_id=PAD,
-        n_slots=3, out_cap=8, prompt_buckets=(16,),
-        admit_sizes=(2, 1), icv_scaled=icv, merged_admit_fn=merged,
-    )
-    for r in reqs:
-        engine.submit(r)
-    got = engine.run_fused()
-
-    assert set(got) == {r.uid for r in reqs}
-    for r in reqs:
-        want = _reference_tokens(cfg, bind, params, r, icv)
-        np.testing.assert_array_equal(got[r.uid], want, err_msg=r.uid)

@@ -6,6 +6,16 @@ the 26 ms bs=8 tower pass — tools/bench_prefill_tpu.py --vision-breakdown).
 A/B ``ops.vit_attention.vit_attention_tpu`` (whole-score-in-VMEM fused
 kernel, G heads per grid cell) against ``layers.dot_product_attention`` at
 the ViT-H and SigLIP shapes, over the batch sizes the serving engine sees.
+
+VERDICT (v5e, 2026-08): standalone the kernel wins 1.6-1.8x at all three
+shapes — but this comparison is MISLEADING: the XLA baseline here pays
+jit-boundary layout passes that the in-tower XLA attention does not (its
+serial in-tower cost is ~141 us/layer vs this probe's 1525 us at bs=8).
+The honest same-session A/B at the full-tower level (bench_prefill_tpu
+--vision-breakdown, LICV_VIT_FUSED_ATTN=0 vs 1) measured the kernel ~3%
+SLOWER in-tower (26.24 vs 25.42 ms) — XLA's fusion with the surrounding
+projections beats the pallas_call boundary.  Default is OFF
+(ops/vit_attention.py::vit_attention_usable).
 """
 
 import functools
