@@ -180,15 +180,11 @@ class ServingEngine:
                 f"{mesh.shape.get('dp', 1)}"
             )
 
-        self._cache = self._init_cache()
+        self._cache = None
         self._media: Optional[dict] = None  # allocated at first admission
         self._media_n_img: Optional[int] = None  # buffer image-count width
-        self._state = self._init_state()
-        if mesh is not None:
-            self._cache = self._shard_cache(self._cache)
-            self._state = {
-                k: self._shard_batch0(x) for k, x in self._state.items()
-            }
+        self._state = None
+        self._ensure_pool()
         self._queue: deque[Request] = deque()
         self._slots: list[Optional[_Slot]] = [None] * self.n_slots
         self._admit_jits: dict = {}
@@ -211,6 +207,32 @@ class ServingEngine:
         self._stop_requested = False
 
     # -- fresh device state ---------------------------------------------------
+
+    def _ensure_pool(self) -> None:
+        """(Re-)allocate the pool's device buffers if released."""
+        if self._cache is None:
+            self._cache = self._init_cache()
+            self._state = self._init_state()
+            if self.mesh is not None:
+                self._cache = self._shard_cache(self._cache)
+                self._state = {
+                    k: self._shard_batch0(x) for k, x in self._state.items()
+                }
+
+    def release_pool(self) -> None:
+        """Drop the pool's DEVICE buffers (KV cache, media, slot state)
+        while keeping every compiled program warm.  At flagship scale a
+        64-slot pool holds multi-GB of cache+media; an idle server (or a
+        benchmark switching arms) should not keep that resident in HBM.
+        Buffers re-allocate lazily on the next run/admission."""
+        if any(s is not None for s in self._slots) or self._queue:
+            raise RuntimeError(
+                "release_pool with active slots or queued requests"
+            )
+        self._cache = None
+        self._media = None
+        self._media_n_img = None
+        self._state = None
 
     def _init_cache(self) -> dict:
         cache = init_kv_cache(self._text_cfg, self.n_slots, self.cache_len)
@@ -448,6 +470,7 @@ class ServingEngine:
     def _serve(self, online: bool, on_complete, idle_sleep_s: float = 0.002):
         import time
 
+        self._ensure_pool()  # re-allocate if release_pool() dropped buffers
         results: dict = {}
         t0 = time.perf_counter()
         self._clock_t0 = t0 if online else None

@@ -568,3 +568,32 @@ def test_engine_rejects_pam_for_unsupporting_family():
         engine.submit(r)
 
 
+
+
+def test_engine_release_pool_roundtrip():
+    """release_pool drops the device buffers but keeps compiled programs;
+    a subsequent run re-allocates and still matches per-request greedy."""
+    cfg, params, bind, (prefill, decode, axes) = _idefics_setup()
+    rng = np.random.default_rng(31)
+    reqs = _make_requests(cfg, rng, 3)
+
+    engine = ServingEngine(
+        prefill, decode, axes, cfg.text, params,
+        eos_token_id=EOS, pad_token_id=PAD,
+        n_slots=2, out_cap=8, prompt_buckets=(16,),
+    )
+    for r in reqs[:2]:
+        engine.submit(r)
+    got0 = engine.run()
+    engine.release_pool()
+    assert engine._cache is None and engine._state is None
+
+    for r in reqs:
+        engine.submit(r)
+    with pytest.raises(RuntimeError, match="queued"):
+        engine.release_pool()
+    got = engine.run()
+    for r in reqs:
+        want = _reference_tokens(cfg, bind, params, r, None)
+        np.testing.assert_array_equal(got[r.uid], want, err_msg=r.uid)
+    assert set(got0) == {r.uid for r in reqs[:2]}

@@ -42,7 +42,10 @@ def make_workload(rng, n_req, bucket, out_cap, uniform=None):
 
     reqs = []
     for i in range(n_req):
-        s = int(rng.integers(64, bucket - 8))
+        # uniform arm (the bs=64 static-comparison protocol): fixed
+        # 64-token prompts — also keeps bucket=64 legal, where the ragged
+        # draw's range would be empty
+        s = 64 if uniform else int(rng.integers(64, bucket - 8))
         ids = rng.integers(3, 32000, size=(s,)).astype(np.int32)
         ids[1] = 32001  # image token (idefics_9b image_token_id — asserted below)
         max_new = uniform or int(rng.integers(8, out_cap + 1))
@@ -405,7 +408,11 @@ def main():
         cfg, params, args.slots, buckets, out_cap, args.sync_steps,
         merged=not args.no_merged, admit_sizes=admit_sizes,
     )
-    # warmup pass (compiles all arms), then the timed pass on warm engines
+    # warmup + timed GROUPED PER ARM (each arm warm when timed), with the
+    # engine pools released between arms: at 64 slots a pool's cache+media
+    # is multi-GB and cannot sit in HBM alongside another arm's buffers
+    # (observed RESOURCE_EXHAUSTED when the static arm ran against two
+    # warm 64-slot engines).  release_pool() keeps the jits warm.
     for tag in ("warmup", "timed"):
         if nb > 1:
             st_res, st_t, st_rows, st_lat = run_static_beam(
@@ -417,25 +424,30 @@ def main():
                 cfg, params, bind, reqs, args.slots, bucket,
                 per_batch_bucket=args.icl,
             )
+    for tag in ("warmup", "timed"):
         en_res, en_t = run_engine(eng, reqs)
+        if tag == "warmup":
+            eng.steps_run = 0  # count the timed pass only
+    eng.release_pool()
+    for tag in ("warmup", "timed"):
         fu_res, fu_t = (
             run_engine(fu_eng, reqs, fused=True) if fu_eng else ({}, 1.0)
         )
-        if tag == "warmup":
-            # agreement FYI (see module docstring: batch-shape bf16 numerics
-            # make exact parity across arms unattainable at 9B scale)
-            same = agree = total = 0
-            for r in reqs:
-                a, b = st_res[r.uid], en_res[r.uid]
-                same += np.array_equal(a, b)
-                n = min(len(a), len(b))
-                agree += int((a[:n] == b[:n]).sum())
-                total += n
-            print(
-                f"[warmup] static-vs-engine: {same}/{len(reqs)} exact, "
-                f"{agree}/{total} positions agree"
-            )
-            eng.steps_run = 0  # count the timed pass only
+    if fu_eng:
+        fu_eng.release_pool()
+    # agreement FYI (see module docstring: batch-shape bf16 numerics
+    # make exact parity across arms unattainable at 9B scale)
+    same = agree = total = 0
+    for r in reqs:
+        a, b = st_res[r.uid], en_res[r.uid]
+        same += np.array_equal(a, b)
+        n = min(len(a), len(b))
+        agree += int((a[:n] == b[:n]).sum())
+        total += n
+    print(
+        f"static-vs-engine: {same}/{len(reqs)} exact, "
+        f"{agree}/{total} positions agree"
+    )
 
     st_useful = int(sum(len(v) for v in st_res.values()))
     en_useful = int(sum(len(v) for v in en_res.values()))
@@ -481,8 +493,18 @@ def main():
             (fu_useful / fu_t) / (st_useful / st_t), 2
         )
     if args.arrivals > 0:
-        # the engine is warm (both passes above compiled every program);
-        # the arrival process measures the online loop, not compiles
+        # prewarm EVERY admit width the online loop can hit: the offline
+        # arms admit mostly at the largest admit_size (requests all queued
+        # up front), while a low-QPS arrival process admits in 1s and 2s —
+        # a (k, bucket) admit/merged program compiling mid-arrivals shows
+        # up as a multi-second queueing-tail artifact, not a latency number
+        for k in sorted({a for a in admit_sizes if a <= args.slots}):
+            for r in make_workload(rng, k, args.bucket, args.out_cap,
+                                   uniform=4):
+                r.uid = f"warm{k}-{r.uid}"
+                eng.submit(r)
+            eng.run()
+        eng.completion_s.clear()
         out["arrivals"] = run_arrivals(eng, reqs, args.arrivals, rng)
     print(json.dumps(out))
 
